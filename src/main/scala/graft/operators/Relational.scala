@@ -1,0 +1,308 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.t
+
+/** Core relational operator inventory (SURVEY §2.4-§2.8): joins,
+  * aggregations, sorts/ranks, set ops, and the flagship standings pipeline
+  * (reference semantics at dags/projectde_dag.py:159-248 re-expressed as
+  * union + conditional hash-aggregation + window rank).
+  *
+  * Scale design notes (100 TB):
+  *  - Money sums go through DecimalType(18,2) so partial/final aggregation is
+  *    exact and order-independent — the same plan hash-matches any oracle no
+  *    matter how many executors combined partials.
+  *  - groupBy keys are low-cardinality (flags, nations, clubs): partial
+  *    (map-side) aggregation collapses each input partition to ~|keys| rows
+  *    before the shuffle, so shuffle volume is O(partitions × keys), not
+  *    O(rows).
+  *  - Global row_number windows appear ONLY post-aggregation on small
+  *    relations (≤ |clubs| / |nations| rows) — never over a fact table.
+  *  - The full-outer join J1 joins two pre-aggregated sides (≤ 25 rows each);
+  *    at scale AQE picks broadcast/SMJ as appropriate.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact order-independent money sum for DERIVED double values (products):
+    * round each row to integer cents (one deterministic IEEE op on inputs
+    * both engines share bit-for-bit), sum as long (exact, associative),
+    * divide once at the end. Raw 2-decimal columns can go straight through
+    * a DecimalType cast; derived products cannot — the double→decimal
+    * rounding at the third decimal differs across engines often enough to
+    * drift a 60k-row sum.
+    */
+  private def centSum(c: Column): Column =
+    sum(round(c * 100).cast("long")).cast("double") / 100.0
+
+  /** A1 — group-count (ref spark-scripts/spark-project.py:71-72). */
+  def a1GroupCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** A2 — multi-sum aggregation, TPC-H Q1 shape
+    * (ref spark-scripts/spark-project.py:89-92 generalized).
+    * Decimal-exact sums, then cast to double for the oracle.
+    */
+  def a2GroupSum(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        centSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        centSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"),
+      )
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+
+  /** A4 — post-aggregation derived column (ref dags/projectde_dag.py:229). */
+  def a4PostAggDerived(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(
+        count(lit(1)).as("customers"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"),
+      )
+      .withColumn("avg_bal", col("total_bal") / col("customers"))
+
+  /** Synthetic deterministic "matches" fact derived from orders — the
+    * testdata stand-in for the reference's scraped match table (SURVEY §2
+    * determinism contract: scrape order / wall clock replaced by pure
+    * arithmetic on stable keys).
+    */
+  private def matches(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(
+      (col("o_custkey") % 20).as("home"),
+      ((col("o_custkey") + 7) % 20).as("away"),
+      (col("o_orderkey") % 5).as("hs"),
+      ((col("o_orderkey") % 7) % 5).as("as_"),
+    )
+
+  /** U1 — union of home/away perspectives (ref dags/projectde_dag.py:164-222,
+    * the two mirror-image loop bodies collapsed into unionByName).
+    */
+  def u1UnionPerspectives(spark: SparkSession, dir: String): DataFrame = {
+    val m = matches(spark, dir)
+    val home = m.select(col("home").as("club"), col("hs").as("gf"), col("as_").as("ga"))
+    val away = m.select(col("away").as("club"), col("as_").as("gf"), col("hs").as("ga"))
+    home.unionByName(away)
+      .groupBy(col("club"))
+      .agg(count(lit(1)).as("appearances"), sum(col("gf")).as("goals"))
+  }
+
+  /** A3 + U1 + O1 + O2 + X10 — the flagship standings pipeline
+    * (ref dags/projectde_dag.py:159-248: imperative O(rows×clubs) fold
+    * re-expressed as one declarative plan: union of perspectives →
+    * conditional hash agg → multi-key sort → dense rank).
+    * The global window ranks the POST-AGG relation (|clubs| = 20 rows) —
+    * never the fact table — so the single-partition window stage is O(clubs).
+    */
+  def a3Standings(spark: SparkSession, dir: String): DataFrame = {
+    val m = matches(spark, dir)
+    val home = m.select(col("home").as("club"), col("hs").as("gf"), col("as_").as("ga"))
+    val away = m.select(col("away").as("club"), col("as_").as("gf"), col("hs").as("ga"))
+    val u = home.unionByName(away)
+    val agg = u.groupBy(col("club")).agg(
+      count(lit(1)).as("match"),
+      sum(when(col("gf") > col("ga"), 1).otherwise(0)).as("win"),
+      sum(when(col("gf") === col("ga"), 1).otherwise(0)).as("draw"),
+      sum(when(col("gf") < col("ga"), 1).otherwise(0)).as("loss"),
+      sum(col("gf")).as("goal_for"),
+      sum(col("ga")).as("goal_against"),
+      // X10: 3-way CASE points, computed inside the aggregate (replaces the
+      // reference's per-row pandas apply at dags/projectde_dag.py:128-129).
+      sum(when(col("gf") > col("ga"), 3)
+        .when(col("gf") === col("ga"), 1).otherwise(0)).as("points"),
+    )
+    val withDiff = agg.withColumn("goal_diff", col("goal_for") - col("goal_against"))
+    // O1 multi-key desc sort + O2 dense 1..N id, tiebreak club asc
+    // (SURVEY §2 determinism contract (c)).
+    val rankW = Window.orderBy(
+      col("points").desc, col("goal_for").desc, col("goal_against").desc,
+      col("win").desc, col("draw").desc, col("loss").desc, col("club").asc)
+    withDiff
+      .withColumn("id", row_number().over(rankW))
+      .select("id", "club", "points", "match", "win", "draw", "loss",
+        "goal_for", "goal_against", "goal_diff")
+  }
+
+  /** J1 — full-outer equi-join of two aggregated sides with coalesced key and
+    * null-filled counts (ref spark-scripts/spark-project.py:75-80).
+    */
+  def j1FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 0)
+      .groupBy(col("c_nationkey").as("cnk"))
+      .agg(count(lit(1)).as("customers"))
+    val supp = t(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").as("snk"))
+      .agg(count(lit(1)).as("suppliers"))
+    cust.join(supp, cust("cnk") === supp("snk"), "full_outer")
+      .select(
+        coalesce(col("cnk"), col("snk")).as("nationkey"),
+        coalesce(col("customers"), lit(0L)).as("customers"),
+        coalesce(col("suppliers"), lit(0L)).as("suppliers"),
+      )
+  }
+
+  /** J2 — key-existence probe as a left-semi join (ref hand-rolled list probe
+    * at dags/projectde_dag.py:171,198; here expressed as the hash-join Spark
+    * plans natively — at scale this broadcasts the distinct key side).
+    */
+  def j2SemiExists(spark: SparkSession, dir: String): DataFrame = {
+    val bigSpenders = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+    t(spark, dir, "customer")
+      .join(bigSpenders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** J2 complement — anti join (NOT EXISTS). */
+  def j2AntiNotExists(spark: SparkSession, dir: String): DataFrame = {
+    val bigSpenders = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+    t(spark, dir, "customer")
+      .join(bigSpenders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_nationkey"))
+  }
+
+  /** O1 — multi-key desc sort with total-order tiebreak, position made
+    * explicit via row_number so the result content encodes the order
+    * (ref dags/projectde_dag.py:224-225). Small (post-filter) relation.
+    */
+  def o1MultiKeySort(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("s_acctbal").desc, col("s_nationkey").asc,
+      col("s_suppkey").asc)
+    t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+      .withColumn("pos", row_number().over(w))
+  }
+
+  /** O2 — dense sequential rank id over an aggregated relation
+    * (ref dags/projectde_dag.py:228).
+    */
+  def o2RankId(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("nationkey").asc)
+    counts.withColumn("rank_id", row_number().over(w))
+  }
+
+  /** O3/S8 — ordered LIMIT (top-k). Spark plans TakeOrderedAndProject:
+    * per-partition heap + driver merge, no global sort — the scale-correct
+    * top-k (ref sql/ingest-retail.sql:2, spark-project.py:67).
+    */
+  def o3TopKLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_group_count" -> (a1GroupCount _),
+    "a2_group_sum" -> (a2GroupSum _),
+    "a4_postagg_derived" -> (a4PostAggDerived _),
+    "u1_union_perspectives" -> (u1UnionPerspectives _),
+    "a3_standings" -> (a3Standings _),
+    "j1_full_outer" -> (j1FullOuter _),
+    "j2_semi_exists" -> (j2SemiExists _),
+    "j2_anti_not_exists" -> (j2AntiNotExists _),
+    "o1_multikey_sort" -> (o1MultiKeySort _),
+    "o2_rank_id" -> (o2RankId _),
+    "o3_topk_limit" -> (o3TopKLimit _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_group_count" ->
+      "SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY 1",
+    "a2_group_sum" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
+        count(*) AS count_order,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY 1, 2""",
+    "a4_postagg_derived" -> """
+      SELECT c_nationkey AS nationkey, count(*) AS customers,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+      FROM customer GROUP BY 1""",
+    "u1_union_perspectives" -> """
+      WITH m AS (SELECT o_custkey % 20 AS home, (o_custkey + 7) % 20 AS away,
+                        o_orderkey % 5 AS hs, (o_orderkey % 7) % 5 AS aws
+                 FROM orders),
+      u AS (SELECT home AS club, hs AS gf, aws AS ga FROM m
+            UNION ALL
+            SELECT away AS club, aws AS gf, hs AS ga FROM m)
+      SELECT club, count(*) AS appearances, CAST(sum(gf) AS BIGINT) AS goals
+      FROM u GROUP BY club""",
+    "a3_standings" -> """
+      WITH m AS (SELECT o_custkey % 20 AS home, (o_custkey + 7) % 20 AS away,
+                        o_orderkey % 5 AS hs, (o_orderkey % 7) % 5 AS aws
+                 FROM orders),
+      u AS (SELECT home AS club, hs AS gf, aws AS ga FROM m
+            UNION ALL
+            SELECT away AS club, aws AS gf, hs AS ga FROM m),
+      s AS (SELECT club,
+              count(*) AS "match",
+              CAST(sum(CASE WHEN gf > ga THEN 1 ELSE 0 END) AS BIGINT) AS win,
+              CAST(sum(CASE WHEN gf = ga THEN 1 ELSE 0 END) AS BIGINT) AS draw,
+              CAST(sum(CASE WHEN gf < ga THEN 1 ELSE 0 END) AS BIGINT) AS loss,
+              CAST(sum(gf) AS BIGINT) AS goal_for,
+              CAST(sum(ga) AS BIGINT) AS goal_against,
+              CAST(sum(CASE WHEN gf > ga THEN 3 WHEN gf = ga THEN 1 ELSE 0 END) AS BIGINT) AS points
+            FROM u GROUP BY club)
+      SELECT CAST(row_number() OVER (ORDER BY points DESC, goal_for DESC,
+               goal_against DESC, win DESC, draw DESC, loss DESC, club ASC)
+             AS INT) AS id,
+             club, points, "match", win, draw, loss, goal_for, goal_against,
+             goal_for - goal_against AS goal_diff
+      FROM s""",
+    "j1_full_outer" -> """
+      WITH c AS (SELECT c_nationkey AS cnk, count(*) AS customers
+                 FROM customer WHERE c_acctbal > 0 GROUP BY 1),
+           s AS (SELECT s_nationkey AS snk, count(*) AS suppliers
+                 FROM supplier GROUP BY 1)
+      SELECT coalesce(cnk, snk) AS nationkey,
+             coalesce(customers, 0) AS customers,
+             coalesce(suppliers, 0) AS suppliers
+      FROM c FULL OUTER JOIN s ON cnk = snk""",
+    "j2_semi_exists" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
+    "j2_anti_not_exists" -> """
+      SELECT c_custkey, c_nationkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
+    "o1_multikey_sort" -> """
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+        CAST(row_number() OVER (ORDER BY s_acctbal DESC, s_nationkey ASC,
+          s_suppkey ASC) AS INT) AS pos
+      FROM supplier""",
+    "o2_rank_id" -> """
+      WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n
+                 FROM customer GROUP BY 1)
+      SELECT nationkey, n,
+        CAST(row_number() OVER (ORDER BY n DESC, nationkey ASC) AS INT) AS rank_id
+      FROM c""",
+    "o3_topk_limit" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+  )
+}
