@@ -9,6 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
+    (sources.Sources.queries, sources.Sources.oracle),
+    (operators.Projections.queries, operators.Projections.oracle),
+    (operators.Scalars.queries, operators.Scalars.oracle),
     (operators.Relational.queries, operators.Relational.oracle),
     (streaming.EventConsumer.queries, streaming.EventConsumer.oracle),
   )

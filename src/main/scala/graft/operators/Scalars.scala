@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Scalar-function inventory (SURVEY §2.3, X1-X13): string split/index/cast,
+  * trim, map lookup with default, conditional year inference, concat/format,
+  * date parse, timezone rendering, date arithmetic, 3-way CASE, arithmetic,
+  * coalesce/lit, first-value-in-group.
+  *
+  * All native `functions._` expressions — codegen'd, pushdown-friendly; the
+  * reference computes these as per-row Python (dags/projectde_dag.py:61-131),
+  * which would translate to pushdown-blocking UDFs — exactly the trap SURVEY
+  * §4 flags.
+  */
+object Scalars {
+
+  /** X1 — string split, first token (ref dags/projectde_dag.py:67). */
+  def x1Split(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        element_at(split(col("c_name"), "#"), 1).as("name_prefix"))
+
+  /** X2 — split + index + cast, null on missing part
+    * (ref dags/projectde_dag.py:100-102; spark-project.py:86-87).
+    */
+  def x2SplitCast(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        element_at(split(col("c_name"), "#"), 2).cast("long").as("cust_num"))
+  }
+
+  /** X3 — trim (ref dags/projectde_dag.py:40-43,79). */
+  def x3Trim(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "region")
+      .select(col("r_regionkey"),
+        trim(concat(lit("  "), col("r_name"), lit("  "))).as("name_trimmed"))
+
+  /** X4 — dict lookup with default (ref day-name map,
+    * dags/projectde_dag.py:68-76): typedLit map + element_at + coalesce.
+    * The map literal constant-folds (SURVEY §4).
+    */
+  def x4MapLookupDefault(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    val m = typedLit(Map("AFRICA" -> "AF", "AMERICA" -> "AM", "ASIA" -> "AS"))
+    t(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name"),
+        coalesce(element_at(m, col("r_name")), lit("other")).as("code"))
+  }
+
+  /** X5 — conditional year inference (ref dags/projectde_dag.py:82-83:
+    * Jan–Jul ⇒ 2025 else 2024).
+    */
+  def x5ConditionalYear(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        when(month(col("o_orderdate")).between(1, 7), 2025)
+          .otherwise(2024).as("inferred_year"))
+
+  /** X6 — concat / format (ref f-string at dags/projectde_dag.py:86). */
+  def x6ConcatFormat(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation")
+      .select(col("n_nationkey"),
+        concat_ws(" ", col("n_name"), lit("nation")).as("label"),
+        format_string("nation-%02d", col("n_nationkey")).as("tag"))
+
+  /** X7 — date parse 'd MMM yyyy' (ref datetime.strptime,
+    * dags/projectde_dag.py:90), roundtripped through a formatted string.
+    */
+  def x7DateParse(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        to_date(date_format(col("o_orderdate"), "d MMM yyyy"), "d MMM yyyy")
+          .as("parsed"))
+
+  /** X8 — timestamp in timezone + format (ref
+    * dags/projectde_dag.py:120-122, Asia/Jakarta render). The wall clock is
+    * injectable (determinism contract (a)); fixed literal here.
+    */
+  def x8TzFormat(spark: SparkSession, dir: String,
+      runTs: String = "2025-02-24 12:00:00"): DataFrame =
+    t(spark, dir, "region")
+      .select(col("r_regionkey"),
+        date_format(
+          from_utc_timestamp(lit(runTs).cast("timestamp"), "Asia/Jakarta"),
+          "yyyy-MM-dd HH:mm:ss").as("created_at"))
+
+  /** X9 — date interval arithmetic (ref today - timedelta(days=1),
+    * dags/projectde_dag.py:64).
+    */
+  def x9DateArith(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        date_sub(col("o_orderdate").cast("date"), 1).as("day_before"),
+        add_months(col("o_orderdate").cast("date"), 1).as("month_after"))
+
+  /** X10 — 3-way CASE (match points; ref row-wise apply at
+    * dags/projectde_dag.py:128-129).
+    */
+  def x10Case3Way(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        when(col("p_size") > 25, 3).when(col("p_size") === 25, 1)
+          .otherwise(0).as("points"))
+
+  /** X11 — arithmetic (ref goal_diff, dags/projectde_dag.py:229). */
+  def x11Arith(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        (col("p_retailprice") - col("p_size")).as("diff"))
+
+  /** X12 — coalesce / nullif / lit (ref spark-project.py:77-79). */
+  def x12CoalesceLit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING"))
+          .as("status"))
+
+  /** X13 — first value per group, made deterministic as min
+    * (ref df['created_at'].iloc[0], dags/projectde_dag.py:162).
+    */
+  def x13FirstInGroup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_shipdate")).as("first_ship"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_split" -> (x1Split _),
+    "x2_split_cast" -> (x2SplitCast _),
+    "x3_trim" -> (x3Trim _),
+    "x4_map_lookup_default" -> (x4MapLookupDefault _),
+    "x5_conditional_year" -> (x5ConditionalYear _),
+    "x6_concat_format" -> (x6ConcatFormat _),
+    "x7_date_parse" -> (x7DateParse _),
+    "x8_tz_format" -> ((s: SparkSession, d: String) => x8TzFormat(s, d)),
+    "x9_date_arith" -> (x9DateArith _),
+    "x10_case_3way" -> (x10Case3Way _),
+    "x11_arith" -> (x11Arith _),
+    "x12_coalesce_lit" -> (x12CoalesceLit _),
+    "x13_first_in_group" -> (x13FirstInGroup _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x1_split" ->
+      "SELECT c_custkey, split_part(c_name, '#', 1) AS name_prefix FROM customer",
+    "x2_split_cast" ->
+      "SELECT c_custkey, split_part(c_name, '#', 2)::BIGINT AS cust_num FROM customer",
+    "x3_trim" ->
+      "SELECT r_regionkey, trim('  ' || r_name || '  ') AS name_trimmed FROM region",
+    "x4_map_lookup_default" -> """
+      SELECT r_regionkey, r_name,
+        CASE r_name WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
+                    WHEN 'ASIA' THEN 'AS' ELSE 'other' END AS code
+      FROM region""",
+    "x5_conditional_year" -> """
+      SELECT o_orderkey,
+        CASE WHEN month(o_orderdate) BETWEEN 1 AND 7 THEN 2025 ELSE 2024 END
+          AS inferred_year
+      FROM orders""",
+    "x6_concat_format" -> """
+      SELECT n_nationkey, n_name || ' nation' AS label,
+             printf('nation-%02d', n_nationkey) AS tag
+      FROM nation""",
+    "x7_date_parse" -> """
+      SELECT o_orderkey,
+             strptime(strftime(o_orderdate, '%-d %b %Y'), '%-d %b %Y')::DATE
+               AS parsed
+      FROM orders""",
+    "x8_tz_format" -> """
+      SELECT r_regionkey,
+        strftime(timezone('Asia/Jakarta',
+          TIMESTAMP '2025-02-24 12:00:00+00'::TIMESTAMPTZ),
+          '%Y-%m-%d %H:%M:%S') AS created_at
+      FROM region""",
+    "x9_date_arith" -> """
+      SELECT o_orderkey,
+        (o_orderdate::DATE - INTERVAL '1 day')::DATE AS day_before,
+        (o_orderdate::DATE + INTERVAL '1 month')::DATE AS month_after
+      FROM orders""",
+    "x10_case_3way" -> """
+      SELECT p_partkey,
+        CASE WHEN p_size > 25 THEN 3 WHEN p_size = 25 THEN 1 ELSE 0 END
+          AS points
+      FROM part""",
+    "x11_arith" ->
+      "SELECT p_partkey, p_retailprice - p_size AS diff FROM part",
+    "x12_coalesce_lit" -> """
+      SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'P'), 'PENDING')
+        AS status
+      FROM orders""",
+    "x13_first_in_group" -> """
+      SELECT l_returnflag, min(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY 1""",
+  )
+}

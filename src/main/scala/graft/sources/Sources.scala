@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.Tables.t
+
+/** Source/sink inventory (SURVEY §2.1): HTML-table scan, CSV scan/sink with
+  * explicit schema, in-memory rows, DDL/catalog, JDBC overwrite sink, LIMIT
+  * preview.
+  *
+  * Scale notes: every file source gets an explicit schema (no inference
+  * pass); the single-file CSV sink uses `coalesce(1)` on the WRITE side only
+  * (upstream parallelism preserved; the reference instead collected to the
+  * driver via toPandas, spark-scripts/spark-project.py:98-113).
+  */
+object Sources {
+
+  // ---------------------------------------------------------------- S1 HTML
+
+  /** S1 — HTML-table scan (ref dags/projectde_dag.py:28-57: GET + bs4 over
+    * `<tr class="odd">`). No network in the sandbox, so the fetch step is a
+    * seam: callers hand us the HTML string; parsing is a pure function and
+    * the rows distribute via createDataFrame. A DataSource V2 TableProvider
+    * is the marked follow-up for scale-out fetch.
+    */
+  def parseHtmlTableRows(html: String): Seq[Seq[String]] = {
+    val tr = "(?s)<tr[^>]*>(.*?)</tr>".r
+    val td = "(?s)<t[dh][^>]*>(.*?)</t[dh]>".r
+    val tag = "<[^>]*>".r
+    tr.findAllMatchIn(html).map { m =>
+      td.findAllMatchIn(m.group(1))
+        .map(c => tag.replaceAllIn(c.group(1), "").trim)
+        .toSeq
+    }.toSeq
+  }
+
+  /** Deterministic fixture standing in for the scraped page (shape of
+    * soccerstats.com rows the reference scrapes, incl. the junk rows its
+    * filters drop — dags/projectde_dag.py:46-47).
+    */
+  val htmlFixture: String =
+    """<table>
+      |<tr class="odd"><td>Sa 15 Feb</td><td>Arsenal</td><td>2 - 1</td><td>Chelsea</td></tr>
+      |<tr class="odd"><td>Su 16 Feb</td><td>Leeds</td><td>0 - 0</td><td>Fulham</td></tr>
+      |<tr class="odd"><td>Mo 17 Feb</td><td>Spurs</td><td>1 - 3</td><td>Everton</td></tr>
+      |<tr class="odd"><td>Averages</td><td>Totals</td><td>-</td><td></td></tr>
+      |<tr class="odd"><td>Tu 18 Feb</td><td>Wolves</td><td>2 - 2</td><td>Brighton</td></tr>
+      |</table>""".stripMargin
+
+  private val htmlSchema = StructType(Seq(
+    StructField("date", StringType),
+    StructField("home_team", StringType),
+    StructField("score", StringType),
+    StructField("away_team", StringType),
+  ))
+
+  /** S1 as a runnable query: parse the fixture, drop junk rows (F1), split
+    * the score (X2). Fully deterministic → VALUES oracle.
+    */
+  def s1HtmlTableScan(spark: SparkSession, dir: String): DataFrame = {
+    val rows = parseHtmlTableRows(htmlFixture).filter(_.length >= 4)
+      .map(r => Row(r(0), r(1), r(2), r(3)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), htmlSchema)
+    df.filter(!col("date").isin("Averages", "Percentages") &&
+        col("home_team") =!= "Totals")
+      .withColumn("home_score",
+        element_at(split(col("score"), " - "), 1).cast("int"))
+      .withColumn("away_score",
+        element_at(split(col("score"), " - "), 2).cast("int"))
+      .drop("score")
+  }
+
+  // ----------------------------------------------------------- S2/S5 CSV
+
+  /** S2 — CSV scan with header + explicit schema (ref sql/ingest-retail.sql:1
+    * `COPY ... CSV HEADER`). Roundtrips `region` through CSV so the scan is
+    * oracle-checkable against the parquet original.
+    */
+  def s2CsvScan(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_csv_scan").toString
+    t(spark, dir, "region").write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType)))
+    spark.read.option("header", "true").schema(schema).csv(tmp)
+  }
+
+  /** S5 — single-file CSV sink with header (ref
+    * spark-scripts/spark-project.py:98-113, minus the driver collect):
+    * coalesce(1) on the write only, then read back for the oracle check.
+    */
+  def s5CsvSink(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_csv_sink").toString
+    t(spark, dir, "nation").coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.option("header", "true").schema(schema).csv(tmp)
+  }
+
+  // ------------------------------------------------------------ S3 rows
+
+  /** S3 — in-memory rows → table (ref spark-scripts/spark-project.py:64),
+    * with explicit schema instead of dict inference: the reference's
+    * day-abbreviation lookup table (dags/projectde_dag.py:68-76) as data.
+    */
+  def s3RowsTable(spark: SparkSession, dir: String): DataFrame = {
+    val data = Seq(
+      ("Mo", "Monday"), ("Tu", "Tuesday"), ("We", "Wednesday"),
+      ("Th", "Thursday"), ("Fr", "Friday"), ("Sa", "Saturday"),
+      ("Su", "Sunday"))
+    val schema = StructType(Seq(
+      StructField("day_abbrev", StringType, nullable = false),
+      StructField("day_name", StringType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(p => Row(p._1, p._2)), 1),
+      schema)
+  }
+
+  // ------------------------------------------------------------- S8 LIMIT
+
+  /** S8 — deterministic row preview (ref `SELECT * FROM retail LIMIT 5`,
+    * sql/ingest-retail.sql:2; made order-stable with an explicit sort).
+    * Plans as TakeOrderedAndProject — no global sort.
+    */
+  def s8LimitPreview(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").orderBy(col("c_custkey")).limit(5)
+
+  // --------------------------------------------------------------- S9 DDL
+
+  /** S9 — DDL/catalog surface (ref sql/ddl-retail.sql, sql/warehouse-ddl.sql):
+    * temp view over parquet + SQL query through the catalog.
+    */
+  def s9DdlCatalog(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW nation_v
+                  USING parquet OPTIONS (path '$dir/nation.parquet')""")
+    spark.sql("""SELECT n_regionkey, count(*) AS nations
+                 FROM nation_v GROUP BY n_regionkey""")
+  }
+
+  // -------------------------------------------------------------- S4 JDBC
+
+  /** S4 — JDBC overwrite sink (ref dags/projectde_dag.py:144-150: DROP +
+    * to_sql replace). No live database in the sandbox: this builds the
+    * configured writer (e2e-tested via the parquet path, writer options
+    * unit-tested — SURVEY §7.4 risk 7). SaveMode.Overwrite = drop+recreate,
+    * matching the reference.
+    */
+  def jdbcOverwriteWriter(df: DataFrame, url: String, table: String,
+      user: String = "", password: String = "") =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .option("truncate", "false") // full drop+recreate like the reference
+      .mode(SaveMode.Overwrite)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_html_table_scan" -> (s1HtmlTableScan _),
+    "s2_csv_scan" -> (s2CsvScan _),
+    "s3_rows_table" -> (s3RowsTable _),
+    "s5_csv_sink" -> (s5CsvSink _),
+    "s8_limit_preview" -> (s8LimitPreview _),
+    "s9_ddl_catalog" -> (s9DdlCatalog _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_html_table_scan" -> """
+      SELECT * FROM (VALUES
+        ('Sa 15 Feb', 'Arsenal', 'Chelsea', 2, 1),
+        ('Su 16 Feb', 'Leeds', 'Fulham', 0, 0),
+        ('Mo 17 Feb', 'Spurs', 'Everton', 1, 3),
+        ('Tu 18 Feb', 'Wolves', 'Brighton', 2, 2))
+      AS t(date, home_team, away_team, home_score, away_score)""",
+    "s2_csv_scan" -> "SELECT r_regionkey, r_name FROM region",
+    "s3_rows_table" -> """
+      SELECT * FROM (VALUES
+        ('Mo', 'Monday'), ('Tu', 'Tuesday'), ('We', 'Wednesday'),
+        ('Th', 'Thursday'), ('Fr', 'Friday'), ('Sa', 'Saturday'),
+        ('Su', 'Sunday')) AS t(day_abbrev, day_name)""",
+    "s5_csv_sink" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s8_limit_preview" -> "SELECT * FROM customer ORDER BY c_custkey LIMIT 5",
+    "s9_ddl_catalog" ->
+      "SELECT n_regionkey, count(*) AS nations FROM nation GROUP BY 1",
+  )
+}
