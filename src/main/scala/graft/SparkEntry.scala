@@ -13,6 +13,8 @@ object SparkEntry {
     (operators.Projections.queries, operators.Projections.oracle),
     (operators.Scalars.queries, operators.Scalars.oracle),
     (operators.Relational.queries, operators.Relational.oracle),
+    (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
+    (operators.Dedup.queries, operators.Dedup.oracle),
     (streaming.EventConsumer.queries, streaming.EventConsumer.oracle),
   )
 

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pure Column-expression building blocks for text analysis and dedup —
+  * session-free, unit-testable, all Catalyst-native (no Scala UDFs: a UDF
+  * here would block pushdown/codegen and serialize every row through the
+  * JVM boundary — the SURVEY §4 trap).
+  *
+  * Portability contract: every function here has an exact DuckDB-SQL
+  * equivalent (md5 hex, ASCII-lexicographic string min, integer-exact
+  * arithmetic) so the oracle can replay results bit-for-bit.
+  *
+  * Functions that build nested lambda expressions take the input column
+  * NAME (not a Column) and parse via `expr` — the generated SQL is then
+  * the literal documentation of what the oracle must mirror.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space corpus; mirrors string_split). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word-level 3-gram shingles from a token array column named `w`.
+    * Empty for short docs (explicit guard: Spark's `sequence(1,0)` would
+    * count DOWN, not return empty).
+    */
+  def shingles3(w: String): Column =
+    expr(s"""CASE WHEN size($w) >= 3
+      THEN transform(sequence(1, size($w) - 2),
+             i -> concat_ws(' ', $w[i-1], $w[i], $w[i+1]))
+      ELSE CAST(array() AS array<string>) END""")
+
+  /** MinHash signature: k md5-seeded minimum shingle hashes over the array
+    * column named `sh`, computed PER ROW with higher-order functions — no
+    * explode, no shuffle. md5's hex string under lexicographic min acts as
+    * a random permutation of the shingle universe; seeds give k independent
+    * permutations. O(k·|shingles|) map-side work per document; only the
+    * k-string signature ever shuffles.
+    */
+  def minhashSignature(sh: String, k: Int): Column =
+    expr(s"""transform(sequence(0, ${k - 1}),
+      h -> array_min(transform($sh, s -> md5(concat(CAST(h AS STRING), '|', s)))))""")
+
+  /** 64-bit SimHash over the shingle-array column named `sh`, as a '0'/'1'
+    * string, computed PER ROW: fold shingles into a 64-long bit-vote
+    * accumulator (integer-exact, so any fold order — or the oracle's
+    * group-sum — yields identical votes), then threshold. Bit j of a
+    * shingle = bit (3 - j%4) of hex nibble j/4 of md5(shingle).
+    */
+  def simhash64(sh: String): Column =
+    expr(s"""array_join(transform(
+        aggregate($sh, transform(sequence(0, 63), j -> 0),
+          (acc, s) -> zip_with(acc,
+            transform(sequence(0, 63), j ->
+              CASE WHEN ((instr('0123456789abcdef',
+                  substr(md5(s), 1 + CAST(j DIV 4 AS INT), 1)) - 1)
+                DIV (CASE CAST(j % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4
+                     WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1 THEN 1 ELSE -1 END),
+            (a, b) -> a + b)),
+        votes -> CASE WHEN votes > 0 THEN '1' ELSE '0' END), '')""")
+
+  /** Hamming distance between two equal-length string columns. */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""),
+        (x, y) => when(x === y, 0).otherwise(1)),
+      lit(0), (acc, v) => acc + v)
+
+  /** Number of stopword tokens ('a', 'the') in a token array. */
+  def stopwordCount(w: Column): Column =
+    size(filter(w, x => x === "a" || x === "the"))
+
+  /** Order-insensitive document fingerprint: md5 of the sorted token bag. */
+  def fingerprintMd5(w: Column): Column =
+    md5(array_join(array_sort(w), " "))
+
+  /** Positional polynomial fingerprint: Σ ascii(ch_i)·((i·131) mod 9973),
+    * exact long arithmetic → order-independent combining, oracle-identical.
+    * (The sequential-rolling-hash capability of the reference inventory,
+    * made associative so it distributes.)
+    */
+  def fingerprintPoly(text: Column): Column =
+    aggregate(
+      transform(split(text, ""),
+        (ch, i) => ascii(ch).cast("long") * ((i * 131) % 9973).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+}

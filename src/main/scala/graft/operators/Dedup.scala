@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.TextFunctions._
+
+/** Deduplication family over `documents` / `embeddings` — the core
+  * training-data-pipeline operators: exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, embedding-cosine near-dup.
+  *
+  * Scale design (the point of each variant):
+  *  - EXACT groups by md5(text), not text: the shuffle carries 32-byte
+  *    digests, not documents.
+  *  - JACCARD all-pairs is the CORRECTNESS BASELINE — its shared-shingle
+  *    self-join is quadratic in hot-shingle buckets and does not survive
+  *    100 TB. It exists to validate the LSH variants below.
+  *  - MINHASH+LSH is the scale path: signatures are computed map-side per
+  *    row (higher-order functions, no explode), only (doc, band, key)
+  *    tuples shuffle, and the band bucket-join touches candidate pairs
+  *    only. Tuning k/bands trades recall vs cost without changing shape.
+  *  - SIMHASH likewise: one 64-bit-string signature per doc map-side, then
+  *    16-char-prefix band buckets; hamming verify on candidates only.
+  *  - EMBEDDING cosine all-pairs is the baseline for Similarity's
+  *    LSH-bucketed ANN (see Similarity.scala); norms are precomputed once.
+  */
+object Dedup {
+
+  /** documents → (doc_id, sh: array<string>) DISTINCT word-3-gram shingle
+    * arrays (set semantics — SimHash votes and Jaccard are defined over the
+    * shingle set, not the multiset).
+    */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), array_distinct(shingles3("w")).as("sh"))
+
+  /** Exact dedup: canonical representative + copy count per distinct text,
+    * keyed by digest so the shuffle never carries document bodies.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(md5(col("text")).as("text_md5"), col("doc_id"))
+      .groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** N-gram Jaccard near-dup pairs (exact, all candidate pairs via shared
+    * shingles). τ = 0.8. Baseline/oracle for the LSH variants.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(cnt.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("c", "ca")), "da")
+      .join(broadcast(cnt.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("c", "cb")), "db")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** MinHash (k=8) + LSH (4 bands × 2 rows) near-dup pairs with estimated
+    * similarity ≥ 0.5. Signatures map-side; only candidates verified.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = docShingles(spark, dir)
+      .select(col("doc_id"), minhashSignature("sh", 8).as("sig"))
+    val bands = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key", expr("concat(sig[band * 2], sig[band * 2 + 1])"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .distinct()
+    cand
+      .withColumn("sim_est", expr(
+        "CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) AS DOUBLE) / 8"))
+      .filter(col("sim_est") >= 0.5)
+      .select(col("da"), col("db"), col("sim_est"))
+  }
+
+  /** SimHash (64-bit over shingles) + 4×16-char band LSH, hamming ≤ 6. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sims = docShingles(spark, dir)
+      .select(col("doc_id"), simhash64("sh").as("simhash"))
+    val bands = sims
+      .select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key", expr("substr(simhash, 1 + band * 16, 16)"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("dist", hammingDist(col("sa"), col("sb")))
+      .filter(col("dist") <= 6)
+      .select(col("da"), col("db"), col("dist"))
+  }
+
+  /** Embedding-cosine near-dup pairs, brute-force baseline, τ = 0.45
+    * (corpus max ≈ 0.51 — no planted duplicate vectors). Norms computed
+    * once per side; the nested-loop pair join is the documented
+    * non-scale baseline for Similarity.simLshAnn.
+    */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      expr("""sqrt(aggregate(transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        CAST(0 AS DOUBLE), (a, v) -> a + v))""").as("nrm"))
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", expr(
+        """aggregate(zip_with(a.embedding, b.embedding,
+           (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v)""") /
+        (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.45)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+  )
+
+  private val shinglesCte = """
+    tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shn AS (SELECT doc_id,
+              CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w) - 2),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [] END AS sh
+            FROM tok),
+    sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn)"""
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> """
+      SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+             count(*) AS n_copies
+      FROM documents GROUP BY 1""",
+    "dedup_ngram_jaccard" -> s"""
+      WITH $shinglesCte,
+      cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT da, db, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
+      FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+      WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.8""",
+    "dedup_minhash_lsh" -> s"""
+      WITH $shinglesCte,
+      sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || '|' || s)) AS v
+              FROM sh, UNNEST(generate_series(0, 7)) AS g(h) GROUP BY 1, 2),
+      band AS (SELECT doc_id, h // 2 AS band, string_agg(v, '' ORDER BY h) AS key
+               FROM sig GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+               WHERE a.doc_id < b.doc_id),
+      est AS (SELECT da, db,
+                CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 8
+                  AS sim_est
+              FROM cand
+              JOIN sig sa ON sa.doc_id = da
+              JOIN sig sb ON sb.doc_id = db AND sa.h = sb.h
+              GROUP BY 1, 2)
+      SELECT da, db, sim_est FROM est WHERE sim_est >= 0.5""",
+    "dedup_simhash" -> s"""
+      WITH $shinglesCte,
+      th AS (SELECT doc_id, substr(md5(s), 1, 16) AS hx FROM sh),
+      bits AS (SELECT doc_id, j,
+                 CASE WHEN ((strpos('0123456789abcdef',
+                       substr(hx, 1 + j // 4, 1)) - 1)
+                     // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2
+                        ELSE 1 END)) % 2 = 1
+                   THEN 1 ELSE -1 END AS c
+               FROM th, UNNEST(generate_series(0, 63)) AS g(j)),
+      sim AS (SELECT doc_id,
+                string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                           ORDER BY j) AS simhash
+              FROM (SELECT doc_id, j, sum(c) AS s FROM bits GROUP BY 1, 2)
+              GROUP BY 1),
+      band AS (SELECT doc_id, b, substr(simhash, 1 + b * 16, 16) AS key, simhash
+               FROM sim, UNNEST(generate_series(0, 3)) AS g(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                 a.simhash AS sa, b.simhash AS sb
+               FROM band a JOIN band b ON a.b = b.b AND a.key = b.key
+               WHERE a.doc_id < b.doc_id)
+      SELECT da, db, CAST(hamming(sa, sb) AS INT) AS dist
+      FROM cand WHERE hamming(sa, sb) <= 6""",
+    "dedup_embedding_cosine" -> """
+      WITH n AS (SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                 FROM embeddings)
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+        round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          / (a.nrm * b.nrm) >= 0.45""",
+  )
+}

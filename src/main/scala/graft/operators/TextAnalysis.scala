@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting — the
+  * per-document stages of a training-data pipeline.
+  *
+  * Scale notes: every query here is embarrassingly parallel (per-row
+  * Column expressions, zero shuffles) — the shape that holds unchanged at
+  * 100 TB. No UDFs; regex/array ops are Catalyst expressions.
+  */
+object TextAnalysis {
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letters / digits / single punctuation as separate tokens).
+    */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .as("n_re_tokens"))
+
+  /** Quality scoring: length, stopword ratio, alphabetic ratio → composite
+    * score in [0,1]. Pure double arithmetic, identical across engines.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("w", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        size(col("w")).as("n_tokens"),
+        (stopwordCount(col("w")).cast("double") / size(col("w")))
+          .as("stop_ratio"),
+        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text"))).as("alpha_ratio"))
+      .withColumn("quality",
+        round(lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * col("alpha_ratio"), 6))
+
+  /** Language-ID heuristic: marker-word counts per language, deterministic
+    * argmax (priority de→es→fr, fallback en). NOTE: the synthetic corpus
+    * draws one shared vocabulary for every lang label (verified: no token
+    * is >90% concentrated in a language), so predictions collapse to 'en'
+    * — the operator's counting/argmax machinery is what the oracle checks;
+    * on real corpora the marker lists are swapped for trained profiles.
+    */
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("w", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(filter(col("w"), x => x.isin("the"))).as("cnt_en"),
+        size(filter(col("w"), x => x.isin("der", "das", "und"))).as("cnt_de"),
+        size(filter(col("w"), x => x.isin("el", "los", "una"))).as("cnt_es"),
+        size(filter(col("w"), x => x.isin("le", "les", "une"))).as("cnt_fr"))
+      .withColumn("predicted_lang",
+        when(col("cnt_de") > greatest(col("cnt_en"), col("cnt_es"), col("cnt_fr")), "de")
+          .when(col("cnt_es") > greatest(col("cnt_en"), col("cnt_de"), col("cnt_fr")), "es")
+          .when(col("cnt_fr") > greatest(col("cnt_en"), col("cnt_de"), col("cnt_es")), "fr")
+          .otherwise("en"))
+
+  /** Document fingerprinting: order-insensitive md5-of-sorted-tokens +
+    * associative positional polynomial hash.
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("w", tokens(col("text")))
+      .select(col("doc_id"),
+        fingerprintMd5(col("w")).as("fp_md5"),
+        fingerprintPoly(col("text")).as("fp_poly"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" -> """
+      SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS n_re_tokens
+      FROM documents""",
+    "text_quality" -> """
+      WITH q AS (
+        SELECT doc_id, length(text) AS n_chars_calc,
+          len(string_split(text, ' ')) AS n_tokens,
+          CAST(len(list_filter(string_split(text, ' '),
+            x -> x = 'a' OR x = 'the')) AS DOUBLE)
+            / len(string_split(text, ' ')) AS stop_ratio,
+          CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+            / length(text) AS alpha_ratio
+        FROM documents)
+      SELECT doc_id, n_chars_calc, n_tokens, stop_ratio, alpha_ratio,
+        round(0.4 * least(n_tokens / 100.0, 1.0)
+          + 0.3 * (1.0 - stop_ratio) + 0.3 * alpha_ratio, 6) AS quality
+      FROM q""",
+    "text_langid" -> """
+      WITH c AS (
+        SELECT doc_id,
+          len(list_filter(string_split(text, ' '), x -> x IN ('the'))) AS cnt_en,
+          len(list_filter(string_split(text, ' '),
+            x -> x IN ('der', 'das', 'und'))) AS cnt_de,
+          len(list_filter(string_split(text, ' '),
+            x -> x IN ('el', 'los', 'una'))) AS cnt_es,
+          len(list_filter(string_split(text, ' '),
+            x -> x IN ('le', 'les', 'une'))) AS cnt_fr
+        FROM documents)
+      SELECT doc_id, cnt_en, cnt_de, cnt_es, cnt_fr,
+        CASE WHEN cnt_de > greatest(cnt_en, cnt_es, cnt_fr) THEN 'de'
+             WHEN cnt_es > greatest(cnt_en, cnt_de, cnt_fr) THEN 'es'
+             WHEN cnt_fr > greatest(cnt_en, cnt_de, cnt_es) THEN 'fr'
+             ELSE 'en' END AS predicted_lang
+      FROM c""",
+    "text_fingerprint" -> """
+      SELECT doc_id,
+        md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp_md5,
+        CAST(list_sum(list_transform(generate_series(1, length(text)),
+          i -> ascii(substr(text, i, 1))::BIGINT * (((i-1) * 131) % 9973)::BIGINT))
+          AS BIGINT) AS fp_poly
+      FROM documents""",
+  )
+}
