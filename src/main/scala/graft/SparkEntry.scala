@@ -15,6 +15,8 @@ object SparkEntry {
     (operators.Relational.queries, operators.Relational.oracle),
     (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
     (operators.Dedup.queries, operators.Dedup.oracle),
+    (operators.Similarity.queries, operators.Similarity.oracle),
+    (operators.Multimodal.queries, operators.Multimodal.oracle),
     (streaming.EventConsumer.queries, streaming.EventConsumer.oracle),
   )
 

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, decode / feature-extract / frame-sample stages.
+  *
+  * The container has no codec libraries, so the DECODE KERNEL IS A STUB —
+  * a deterministic fake deriving metadata from the content digest (clearly
+  * marked below). Everything around it is real and tested: the binary
+  * column handling, the schema contract, the iterator-to-iterator
+  * partition transform (no partition materialization — streams batches,
+  * constant memory per task, the exact shape a JNI/FFmpeg decoder plugs
+  * into), and the explode-based frame sampling.
+  *
+  * Scale notes: decode runs map-side per partition with zero shuffle;
+  * binary payloads never enter a shuffle key; frame sampling multiplies
+  * rows AFTER metadata projection (columns pruned before the explode).
+  */
+object Multimodal {
+
+  /** Typed row for the decoded-media contract. */
+  case class MediaMeta(doc_id: Long, byte_len: Int, width: Int, height: Int,
+    n_frames: Int, fmt: String)
+
+  /** STUB DECODER — deterministic fake standing in for a real image/video
+    * codec. Derives metadata from the md5 digest of the payload so results
+    * are reproducible in any engine. A production build replaces ONLY this
+    * function (same signature: bytes in, metadata out).
+    */
+  def fakeDecode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    MediaMeta(
+      doc_id = docId,
+      byte_len = bytes.length,
+      width = 16 * (1 + (hex(0).toInt % 8)),
+      height = 16 * (1 + (hex(1).toInt % 8)),
+      n_frames = 1 + (hex(2).toInt % 8),
+      fmt = (hex(3).toInt % 3) match {
+        case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
+      })
+  }
+
+  /** The real plumbing: binary column → typed partition transform →
+    * decoded metadata Dataset. Iterator-to-iterator (lazy) so a partition
+    * of large blobs never materializes in memory.
+    */
+  def decodePartitions(binDf: DataFrame): Dataset[MediaMeta] = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
+  }
+
+  /** Documents table with a synthesized binary payload column (the corpus
+    * has no real media; text bytes stand in — the column TYPE and handling
+    * are what matters).
+    */
+  def withPayload(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Decode metadata — Column-expression twin of `fakeDecode` (same md5
+    * arithmetic, so the SQL oracle and the mapPartitions path agree;
+    * DecodeParitySpec asserts the latter).
+    */
+  def mmDecodeMeta(spark: SparkSession, dir: String): DataFrame =
+    withPayload(spark, dir)
+      .withColumn("hex", md5(col("payload")))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("byte_len"),
+        (lit(16) * (lit(1) + (ascii(substring(col("hex"), 1, 1)) % 8)))
+          .as("width"),
+        (lit(16) * (lit(1) + (ascii(substring(col("hex"), 2, 1)) % 8)))
+          .as("height"),
+        (lit(1) + (ascii(substring(col("hex"), 3, 1)) % 8)).as("n_frames"),
+        when(ascii(substring(col("hex"), 4, 1)) % 3 === 0, "jpeg")
+          .when(ascii(substring(col("hex"), 4, 1)) % 3 === 1, "png")
+          .otherwise("webp").as("fmt"))
+
+  /** Frame sampling: every 2nd frame index per document, with a 25 fps
+    * timestamp — metadata first, explode after projection.
+    */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    mmDecodeMeta(spark, dir)
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1, 2)")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        round(col("frame_idx") / 25.0, 6).as("frame_ts"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_meta" -> (mmDecodeMeta _),
+    "mm_frame_sample" -> (mmFrameSample _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_decode_meta" -> """
+      WITH h AS (SELECT doc_id, length(text) AS byte_len, md5(text) AS hex
+                 FROM documents)
+      SELECT doc_id, byte_len,
+        16 * (1 + ascii(substr(hex, 1, 1)) % 8) AS width,
+        16 * (1 + ascii(substr(hex, 2, 1)) % 8) AS height,
+        1 + ascii(substr(hex, 3, 1)) % 8 AS n_frames,
+        CASE ascii(substr(hex, 4, 1)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+          ELSE 'webp' END AS fmt
+      FROM h""",
+    "mm_frame_sample" -> """
+      WITH h AS (SELECT doc_id, 1 + ascii(substr(md5(text), 3, 1)) % 8
+                   AS n_frames
+                 FROM documents)
+      SELECT doc_id, CAST(i AS INT) AS frame_idx, round(i / 25.0, 6) AS frame_ts
+      FROM h, UNNEST(generate_series(0, n_frames - 1, 2)) AS g(i)""",
+  )
+}

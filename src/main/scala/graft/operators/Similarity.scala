@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.CentroidAggregator
+
+/** Approximate-nearest-neighbor / similarity search over the `embeddings`
+  * table (`array<float>`, dim 64).
+  *
+  * Scale design:
+  *  - BRUTE-FORCE top-k is the correctness baseline: every (query,
+  *    candidate) pair scored. Fine for 10 queries × N; quadratic in
+  *    general — it exists to measure the ANN variants' recall.
+  *  - LSH-BUCKETED ANN is the scale path: each vector gets a
+  *    sign-of-hyperplane-dot bucket key computed map-side per row (no
+  *    shuffle); search joins query buckets to candidate buckets
+  *    (equi-join on the key → hash join, broadcastable query side) and
+  *    reranks only within-bucket candidates exactly. At 100 TB the bucket
+  *    table is the index; hyperplanes come from deterministic integer
+  *    arithmetic so the index is reproducible anywhere (and by the SQL
+  *    oracle).
+  *  - CENTROID per label uses the custom typed Aggregator (§2.10) — the
+  *    same shape an IVF coarse quantizer would train with.
+  */
+object Similarity {
+
+  /** Exact dot/norm via sequential fold — bit-compatible with the oracle's
+    * list_sum over the same element order.
+    */
+  private val dotAB =
+    """aggregate(zip_with(a.embedding, b.embedding,
+       (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", expr(
+      """sqrt(aggregate(transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         CAST(0 AS DOUBLE), (a, v) -> a + v))"""))
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 10. */
+  def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(spark, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") < 10)
+    val scored = q.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", expr(dotAB) / (col("a.nrm") * col("b.nrm")))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"), col("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Deterministic random-hyperplane bucket key: 4 sign bits. Plane p,
+    * dim d has integer weight ((p·97 + d·31 + 13) mod 17) − 8 — pure
+    * arithmetic, reproducible in any engine, no stored model.
+    */
+  private val bucketExpr =
+    """array_join(transform(sequence(0, 3), p ->
+       CASE WHEN aggregate(transform(sequence(0, 63),
+         d -> CAST(embedding[d] AS DOUBLE)
+              * CAST((p * 97 + d * 31 + 13) % 17 - 8 AS DOUBLE)),
+         CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0
+       THEN '1' ELSE '0' END), '')"""
+
+  /** LSH-bucketed ANN: top-5 within the query's bucket only. */
+  def simLshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(spark, dir, "embeddings"))
+      .withColumn("bucket", expr(bucketExpr))
+    val q = emb.filter(col("vec_id") < 10)
+    val scored = q.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", expr(dotAB) / (col("a.nrm") * col("b.nrm")))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"), col("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Per-label centroid via the custom typed Aggregator, unpivoted to
+    * (label, dim, val) rows for the oracle.
+    */
+  def simCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val centroid = CentroidAggregator.centroid(64)
+    t(spark, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(centroid(col("embedding")).as("centroid"))
+      .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"), round(col("v"), 6).as("val"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> (simTopkBruteforce _),
+    "sim_lsh_ann" -> (simLshAnn _),
+    "sim_centroid" -> (simCentroid _),
+  )
+
+  private val normCte = """
+    n AS (SELECT vec_id, embedding,
+            sqrt(list_sum(list_transform(embedding,
+              x -> x::DOUBLE * x::DOUBLE))) AS nrm
+          FROM embeddings)"""
+
+  private val cosAB = """
+    list_sum(list_transform(generate_series(1, len(a.embedding)),
+      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm)"""
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk_bruteforce" -> s"""
+      WITH $normCte,
+      scored AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id, $cosAB AS cos
+                 FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+      SELECT qid, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim
+      FROM (SELECT qid, vec_id, cos, row_number() OVER
+              (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
+    "sim_lsh_ann" -> s"""
+      WITH $normCte,
+      bk AS (SELECT vec_id, embedding, nrm,
+               array_to_string(list_transform(generate_series(0, 3), p ->
+                 CASE WHEN list_sum(list_transform(generate_series(0, 63),
+                     d -> embedding[d + 1]::DOUBLE
+                          * ((p * 97 + d * 31 + 13) % 17 - 8)::DOUBLE)) > 0
+                 THEN '1' ELSE '0' END), '') AS bucket
+             FROM n),
+      scored AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id, $cosAB AS cos
+                 FROM bk a JOIN bk b ON a.bucket = b.bucket
+                   AND a.vec_id < 10 AND a.vec_id <> b.vec_id)
+      SELECT qid, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim
+      FROM (SELECT qid, vec_id, cos, row_number() OVER
+              (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
+    "sim_centroid" -> """
+      SELECT label, CAST(i AS INT) AS dim,
+             round(avg(embedding[i + 1]::DOUBLE), 6) AS val
+      FROM embeddings, UNNEST(generate_series(0, 63)) AS g(i)
+      GROUP BY 1, 2""",
+  )
+}
