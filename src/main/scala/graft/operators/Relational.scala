@@ -107,11 +107,20 @@ object Relational {
     * The global window ranks the POST-AGG relation (|clubs| = 20 rows) —
     * never the fact table — so the single-partition window stage is O(clubs).
     */
-  def a3Standings(spark: SparkSession, dir: String): DataFrame = {
-    val m = matches(spark, dir)
+  def a3Standings(spark: SparkSession, dir: String): DataFrame =
+    standingsOf(matches(spark, dir))
+
+  /** Standings over any (home, away, hs, as_) matches relation — the
+    * reusable pipeline (also property-tested in StandingsSpec).
+    */
+  def standingsOf(m: DataFrame): DataFrame = {
     val home = m.select(col("home").as("club"), col("hs").as("gf"), col("as_").as("ga"))
     val away = m.select(col("away").as("club"), col("as_").as("gf"), col("hs").as("ga"))
+    // Null scores (unplayed matches) are excluded explicitly — the
+    // reference only survives them by accident of filter order
+    // (SURVEY §7.4 risk 5).
     val u = home.unionByName(away)
+      .filter(col("gf").isNotNull && col("ga").isNotNull)
     val agg = u.groupBy(col("club")).agg(
       count(lit(1)).as("match"),
       sum(when(col("gf") > col("ga"), 1).otherwise(0)).as("win"),

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Dedup-family behavior on the sf0.001 documents (500 docs, planted
+  * near-duplicates) — recall/precision structure the oracle can't express.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val exactJaccard =
+    Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+
+  test("jaccard finds the planted near-dup pairs, ordered a<b") {
+    assert(exactJaccard.nonEmpty)
+    assert(exactJaccard.forall { case (a, b) => a < b })
+  }
+
+  test("minhash-lsh achieves high recall against exact jaccard") {
+    val lsh = Dedup.dedupMinhashLsh(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val recall = (exactJaccard & lsh).size.toDouble / exactJaccard.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("simhash candidates at hamming<=6 overlap the jaccard pairs") {
+    val sh = Dedup.dedupSimhash(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val recall = (exactJaccard & sh).size.toDouble / exactJaccard.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("exact dedup partitions all docs") {
+    val rows = Dedup.dedupExact(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_copies")).sum ==
+      graft.Tables.t(spark, dir, "documents").count())
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = Dedup.dedupEmbeddingCosine(spark, dir).collect()
+    assert(rows.forall(r => r.getAs[Long]("va") < r.getAs[Long]("vb")))
+    assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.45))
+  }
+}

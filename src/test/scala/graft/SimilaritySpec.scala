@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, Similarity}
+
+/** Similarity + multimodal behavior on the sf0.001 tables. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("brute-force top-k: 5 ranked neighbors per query, cos in [-1,1]") {
+    val rows = Similarity.simTopkBruteforce(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+      val sims = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+      assert(sims.sliding(2).forall(p => p(0) >= p(1))) // descending
+    }
+  }
+
+  test("lsh ann results are a subset of same-bucket exact rerank, ranked") {
+    val rows = Similarity.simLshAnn(spark, dir).collect()
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to g.length))
+      assert(g.length <= 5)
+    }
+  }
+
+  test("centroid aggregator: per-label element-wise mean, 64 dims") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(2.0f, 2.0f)))
+      .toDF("label", "embedding")
+      .groupBy(col("label"))
+      .agg(graft.functions.CentroidAggregator.centroid(2)(col("embedding")).as("c"))
+      .collect().map(r => r.getAs[Int]("label") -> r.getSeq[Double](1).toSeq).toMap
+    assert(got(0) == Seq(2.0, 4.0))
+    assert(got(1) == Seq(2.0, 2.0))
+  }
+
+  test("mapPartitions decode agrees with the column-expression twin") {
+    val colSide = Multimodal.mmDecodeMeta(spark, dir)
+    val mpSide = Multimodal.decodePartitions(
+      Multimodal.withPayload(spark, dir)).toDF()
+    assert(colSide.exceptAll(mpSide).count() == 0)
+    assert(mpSide.exceptAll(colSide).count() == 0)
+    assert(mpSide.count() > 0)
+  }
+
+  test("frame sample: every 2nd frame, ts = idx/25") {
+    val rows = Multimodal.mmFrameSample(spark, dir).collect()
+    assert(rows.forall(_.getAs[Int]("frame_idx") % 2 == 0))
+    assert(rows.forall(r =>
+      r.getAs[Double]("frame_ts") == r.getAs[Int]("frame_idx") / 25.0))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sources
+
+/** Edge cases for the HTML-table scan and the JDBC writer seam (S1/S4). */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("parseHtmlTableRows strips nested tags and whitespace") {
+    val rows = Sources.parseHtmlTableRows(
+      """<tr><td> <b>Arsenal</b> </td><td>2 - 1</td></tr>
+        |<tr class="odd"><td>Leeds</td><td href="x">0 - 0</td></tr>""".stripMargin)
+    assert(rows == Seq(Seq("Arsenal", "2 - 1"), Seq("Leeds", "0 - 0")))
+  }
+
+  test("parseHtmlTableRows tolerates malformed / empty rows") {
+    val rows = Sources.parseHtmlTableRows("<tr></tr><tr><td>x</td></tr><p>junk</p>")
+    assert(rows == Seq(Seq.empty, Seq("x")))
+  }
+
+  test("parseHtmlTableRows handles th header cells") {
+    val rows = Sources.parseHtmlTableRows("<tr><th>h1</th><th>h2</th></tr>")
+    assert(rows == Seq(Seq("h1", "h2")))
+  }
+
+  test("s1 query drops junk rows and splits scores") {
+    val df = Sources.s1HtmlTableScan(spark, "unused")
+    val got = df.collect().map(r => (r.getAs[String]("home_team"),
+      r.getAs[Int]("home_score"), r.getAs[Int]("away_score"))).toSet
+    assert(got == Set(("Arsenal", 2, 1), ("Leeds", 0, 0),
+      ("Spurs", 1, 3), ("Wolves", 2, 2)))
+  }
+
+  test("jdbc overwrite writer builds with url/table options") {
+    val w = Sources.jdbcOverwriteWriter(
+      Seq((1, "x")).toDF("id", "v"),
+      "jdbc:postgresql://localhost:5432/warehouse", "matches_england",
+      "user", "pw")
+    // no live database in the sandbox: the save() path is exercised against
+    // parquet elsewhere; here the writer must at least be fully configured
+    val err = intercept[Exception](w.save())
+    assert(err.getMessage != null)
+  }
+}
