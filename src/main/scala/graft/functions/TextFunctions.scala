@@ -38,7 +38,7 @@ object TextFunctions {
     * permutations. O(k·|shingles|) map-side work per document; only the
     * k-string signature ever shuffles.
     */
-  def minhashSignature(sh: String, k: Int): Column =
+  def minhashSignatureSql(sh: String, k: Int): Column =
     expr(s"""transform(sequence(0, ${k - 1}),
       h -> array_min(transform($sh, s -> md5(concat(CAST(h AS STRING), '|', s)))))""")
 
@@ -48,13 +48,14 @@ object TextFunctions {
     * group-sum — yields identical votes), then threshold. Bit j of a
     * shingle = bit (3 - j%4) of hex nibble j/4 of md5(shingle).
     */
-  def simhash64(sh: String): Column =
+  def simhash64Sql(sh: String): Column =
     expr(s"""array_join(transform(
-        aggregate($sh, transform(sequence(0, 63), j -> 0),
-          (acc, s) -> zip_with(acc,
+        aggregate(transform($sh, s -> substr(md5(s), 1, 16)),
+          transform(sequence(0, 63), j -> 0),
+          (acc, hx) -> zip_with(acc,
             transform(sequence(0, 63), j ->
               CASE WHEN ((instr('0123456789abcdef',
-                  substr(md5(s), 1 + CAST(j DIV 4 AS INT), 1)) - 1)
+                  substr(hx, 1 + CAST(j DIV 4 AS INT), 1)) - 1)
                 DIV (CASE CAST(j % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4
                      WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1 THEN 1 ELSE -1 END),
             (a, b) -> a + b)),

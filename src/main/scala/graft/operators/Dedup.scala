@@ -71,8 +71,9 @@ object Dedup {
     * similarity ≥ 0.5. Signatures map-side; only candidates verified.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
     val sigs = docShingles(spark, dir)
-      .select(col("doc_id"), minhashSignature("sh", 8).as("sig"))
+      .select(col("doc_id"), call_function("graft_minhash8", col("sh")).as("sig"))
     val bands = sigs
       .select(col("doc_id"), col("sig"),
         explode(expr("sequence(0, 3)")).as("band"))
@@ -92,8 +93,9 @@ object Dedup {
 
   /** SimHash (64-bit over shingles) + 4×16-char band LSH, hamming ≤ 6. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
     val sims = docShingles(spark, dir)
-      .select(col("doc_id"), simhash64("sh").as("simhash"))
+      .select(col("doc_id"), call_function("graft_simhash64", col("sh")).as("simhash"))
     val bands = sims
       .select(col("doc_id"), col("simhash"),
         explode(expr("sequence(0, 3)")).as("band"))

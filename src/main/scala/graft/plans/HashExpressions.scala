@@ -1,0 +1,136 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hash-sketch hot paths.
+  *
+  * The SQL-composed twins in TextFunctions (minhashSignatureSql /
+  * simhash64Sql) define the semantics and stay oracle-checkable; these
+  * expressions compute the IDENTICAL bytes with a JVM-native inner loop —
+  * higher-order array functions are interpreted per element (tree-walk per
+  * lambda eval), which at 64 evals × |shingles| × |docs| dominated the
+  * sketch queries ~20:1. HashParitySpec pins native == SQL twin.
+  *
+  * Interpreted `eval` + CodegenFallback is deliberate: one eval call per
+  * DOCUMENT does the whole sketch, so codegen would only save the call
+  * overhead, not the loop.
+  */
+
+/** 64-bit SimHash over an array<string> of features, as a 64-char '0'/'1'
+  * string. Bit j of a feature = bit (3 − j%4) of hex nibble j/4 of
+  * md5(feature) — identical to the hex-char arithmetic of the SQL twin
+  * (hex char q is the high nibble of digest byte q/2 for even q).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 64) {
+        val q = j >> 2
+        val nibble = (d(q >> 1) >> (if ((q & 1) == 0) 4 else 0)) & 0xF
+        val bit = (nibble >> (3 - (j & 3))) & 1
+        votes(j) += (if (bit == 1) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Char](64)
+    var j = 0
+    while (j < 64) { out(j) = if (votes(j) > 0) '1' else '0'; j += 1 }
+    UTF8String.fromString(new String(out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** MinHash signature: k lexicographic-minimum md5 hex strings of
+  * ("<h>|" + feature) for h in [0, k). Lowercase-hex lexicographic order
+  * equals unsigned digest-byte order ('0'..'9' < 'a'..'f' monotonically),
+  * so mins are tracked on raw digests and hex-encoded once at the end.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  // containsNull: an empty feature array yields null signature entries,
+  // matching the SQL twin's array_min-of-empty → NULL.
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xFF; val y = b(i) & 0xFF
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = MessageDigest.getInstance("MD5")
+    val mins = new Array[Array[Byte]](k)
+    var i = 0
+    while (i < arr.numElements()) {
+      val feature = arr.getUTF8String(i).getBytes
+      var h = 0
+      while (h < k) {
+        val seed = (h.toString + "|").getBytes("UTF-8")
+        md.update(seed)
+        md.update(feature)
+        val d = md.digest()
+        if (mins(h) == null || unsignedLess(d, mins(h))) mins(h) = d
+        h += 1
+      }
+      i += 1
+    }
+    val hex = "0123456789abcdef".toCharArray
+    val out = new Array[Any](k)
+    var h = 0
+    while (h < k) {
+      val d = mins(h)
+      if (d == null) out(h) = null
+      else {
+        val cs = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          cs(2 * b) = hex((d(b) >> 4) & 0xF); cs(2 * b + 1) = hex(d(b) & 0xF)
+          b += 1
+        }
+        out(h) = UTF8String.fromString(new String(cs))
+      }
+      h += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** Session registration for the custom expressions (idempotent). */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash8", exprs => MinHashSig(exprs.head, 8), "built-in")
+  }
+}

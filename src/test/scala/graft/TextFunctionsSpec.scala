@@ -35,7 +35,7 @@ class TextFunctionsSpec extends AnyFunSuite {
     val df = Seq("a b c d e", "e d c b a").toDF("text")
       .withColumn("w", tokens(col("text")))
       .withColumn("sh", array_distinct(shingles3("w")))
-      .select(minhashSignature("sh", 4).as("sig"))
+      .select(minhashSignatureSql("sh", 4).as("sig"))
     val sigs = df.collect().map(_.getSeq[String](0).toSeq)
     assert(sigs.forall(_.length == 4))
     // different shingle sets → (almost surely) different signatures
@@ -46,7 +46,7 @@ class TextFunctionsSpec extends AnyFunSuite {
     val df = Seq("x y z w v u", "x y z w v u").toDF("text")
       .withColumn("w", tokens(col("text")))
       .withColumn("sh", array_distinct(shingles3("w")))
-      .select(minhashSignature("sh", 8).as("sig"), simhash64("sh").as("sim"))
+      .select(minhashSignatureSql("sh", 8).as("sig"), simhash64Sql("sh").as("sim"))
     val rows = df.collect()
     assert(rows(0).getSeq[String](0).toSeq == rows(1).getSeq[String](0).toSeq)
     assert(rows(0).getAs[String]("sim") == rows(1).getAs[String]("sim"))
