@@ -112,16 +112,23 @@ object Relational {
 
   /** Standings over any (home, away, hs, as_) matches relation — the
     * reusable pipeline (also property-tested in StandingsSpec).
+    *
+    * `keys` adds grouping/rank-partition columns (e.g. league): the rank
+    * window is then partitioned — D2's 6-league fan-out becomes ONE plan
+    * whose window never concentrates more than a league's clubs on a task.
     */
-  def standingsOf(m: DataFrame): DataFrame = {
-    val home = m.select(col("home").as("club"), col("hs").as("gf"), col("as_").as("ga"))
-    val away = m.select(col("away").as("club"), col("as_").as("gf"), col("hs").as("ga"))
+  def standingsOf(m: DataFrame, keys: Seq[String] = Nil): DataFrame = {
+    val keyCols = keys.map(col)
+    val home = m.select(keyCols ++ Seq(col("home").as("club"),
+      col("hs").as("gf"), col("as_").as("ga")): _*)
+    val away = m.select(keyCols ++ Seq(col("away").as("club"),
+      col("as_").as("gf"), col("hs").as("ga")): _*)
     // Null scores (unplayed matches) are excluded explicitly — the
     // reference only survives them by accident of filter order
     // (SURVEY §7.4 risk 5).
     val u = home.unionByName(away)
       .filter(col("gf").isNotNull && col("ga").isNotNull)
-    val agg = u.groupBy(col("club")).agg(
+    val agg = u.groupBy(keyCols :+ col("club"): _*).agg(
       count(lit(1)).as("match"),
       sum(when(col("gf") > col("ga"), 1).otherwise(0)).as("win"),
       sum(when(col("gf") === col("ga"), 1).otherwise(0)).as("draw"),
@@ -136,13 +143,13 @@ object Relational {
     val withDiff = agg.withColumn("goal_diff", col("goal_for") - col("goal_against"))
     // O1 multi-key desc sort + O2 dense 1..N id, tiebreak club asc
     // (SURVEY §2 determinism contract (c)).
-    val rankW = Window.orderBy(
+    val rankW = Window.partitionBy(keys.map(col): _*).orderBy(
       col("points").desc, col("goal_for").desc, col("goal_against").desc,
       col("win").desc, col("draw").desc, col("loss").desc, col("club").asc)
     withDiff
       .withColumn("id", row_number().over(rankW))
-      .select("id", "club", "points", "match", "win", "draw", "loss",
-        "goal_for", "goal_against", "goal_diff")
+      .select(keys ++ Seq("id", "club", "points", "match", "win", "draw",
+        "loss", "goal_for", "goal_against", "goal_diff") map col: _*)
   }
 
   /** J1 — full-outer equi-join of two aggregated sides with coalesced key and
