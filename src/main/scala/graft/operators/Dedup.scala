@@ -33,6 +33,12 @@ object Dedup {
     */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
+      // The test files are single-row-group parquet → a 1-task scan; the
+      // sketch computation downstream is the expensive part, so spread it
+      // across all cores first (the shuffled payload is just (id, text)).
+      // On a real multi-row-group layout this repartition is a no-op
+      // cost-wise relative to the sketch work it parallelizes.
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), array_distinct(shingles3("w")).as("sh"))
 

@@ -226,6 +226,44 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .limit(10)
 
+  /** O4 — general window-function surface (lag/lead/running sum) the
+    * engine exposes beyond the reference's rank-only usage (SURVEY §2.6
+    * notes `Window.partitionBy.orderBy.rowsBetween` as the surface).
+    * Running sum in exact cents so frame accumulation is engine-agnostic.
+    */
+  def o4WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("order_seq", row_number().over(w))
+      .withColumn("running_spend",
+        (sum(round(col("o_totalprice") * 100).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / 100.0))
+      .drop("o_orderdate")
+  }
+
+  /** U2/U3 — intersect / except (engine built-ins; SURVEY §2.7 note). */
+  def u2Intersect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  def u3Except(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(t(spark, dir, "supplier").filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("nationkey")))
+
+  /** A5 — distinct aggregation (engine note in SURVEY §2.5). */
+  def a5DistinctCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_group_count" -> (a1GroupCount _),
     "a2_group_sum" -> (a2GroupSum _),
@@ -238,6 +276,10 @@ object Relational {
     "o1_multikey_sort" -> (o1MultiKeySort _),
     "o2_rank_id" -> (o2RankId _),
     "o3_topk_limit" -> (o3TopKLimit _),
+    "o4_window_funcs" -> (o4WindowFuncs _),
+    "u2_intersect" -> (u2Intersect _),
+    "u3_except" -> (u3Except _),
+    "a5_distinct_count" -> (a5DistinctCount _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -320,5 +362,29 @@ object Relational {
     "o3_topk_limit" -> """
       SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "o4_window_funcs" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        lag(o_totalprice, 1) OVER w AS prev_price,
+        lead(o_totalprice, 1) OVER w AS next_price,
+        CAST(row_number() OVER w AS INT) AS order_seq,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+          AS running_spend
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+    "u2_intersect" -> """
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier""",
+    "u3_except" -> """
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000""",
+    "a5_distinct_count" -> """
+      SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+             count(DISTINCT l_suppkey) AS n_suppliers
+      FROM lineitem GROUP BY 1""",
   )
 }

@@ -1,11 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+
+case class Ev(user_id: Long, ts: Timestamp, value: Double)
+case class Session(user_id: Long, session_start: Timestamp,
+  session_end: Timestamp, n_events: Long, total_value: Double)
+case class SessionState(start: Timestamp, end: Timestamp, n: Long,
+  total: Double)
 
 /** ST3 — the reference's declared-but-absent Kafka consumer
   * (Makefile:173-179; kafka jars at docker/Dockerfile.spark:8-10),
@@ -63,8 +72,93 @@ object EventConsumer {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  // ------------------------------------------------------- sessionization
+
+  /** Gap-based sessionization (30-minute inactivity), BATCH form: flag
+    * session starts via lag() over the per-user event sequence, number
+    * sessions with a running sum, aggregate. This is the oracle-checkable
+    * twin of the stateful streaming version below — both implement the
+    * same session definition.
+    *
+    * Scale notes: one shuffle on user_id; the window never holds more than
+    * one user's events per task.
+    */
+  def batchSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+  }
+
+  private val gapMs = 30L * 60 * 1000
+
+  /** STREAMING sessionization: custom keyed state via
+    * flatMapGroupsWithState (SURVEY §2.8 / builder brief's
+    * KeyValueGroupedDataset surface). A session closes — and is emitted
+    * exactly once — when the event-time watermark passes its end + gap.
+    * State per user is one fixed-size record; the watermark bounds it.
+    */
+  def sessionizeStream(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          // Timestamps are kept at full (micro/nano) precision in state —
+          // Timestamp.getTime truncates to millis and would diverge from
+          // the batch twin's min/max(ts); getTime is used only for the
+          // gap comparison, where sub-millisecond slack is irrelevant.
+          def emit(s: SessionState): Session =
+            Session(user, s.start, s.end, s.n, math.rint(s.total * 100) / 100)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(s))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
+                  val end = if (e.ts.after(s.end)) e.ts else s.end
+                  cur = Some(SessionState(s.start, end, s.n + 1,
+                    s.total + e.value))
+                case Some(s) => // gap inside the batch → close the old one
+                  closed ::= emit(s)
+                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end.getTime + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st3_window_agg" -> (batchWindowAgg _),
+    "st4_sessionize" -> (batchSessionize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -73,5 +167,24 @@ object EventConsumer {
              event_type, count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2""",
+    "st4_sessionize" -> """
+      WITH d AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      s AS (
+        SELECT user_id, ts, value,
+          CAST(sum(new_s) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_id
+        FROM d)
+      SELECT user_id, session_id, min(ts) AS session_start,
+             max(ts) AS session_end, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM s GROUP BY 1, 2""",
   )
 }

@@ -50,6 +50,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionization: sessions close on gap or watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[graft.streaming.Ev]
+    val q = EventConsumer.sessionizeStream(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_test").start()
+    try {
+      // user 7: three events within gaps; user 9: far-future event drives
+      // the watermark past user 7's session end + gap
+      mem.addData(
+        graft.streaming.Ev(7L, ts("2024-01-01 00:00:00"), 1.5),
+        graft.streaming.Ev(7L, ts("2024-01-01 00:10:00"), 2.0),
+        graft.streaming.Ev(7L, ts("2024-01-01 00:20:00"), 0.5))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").count() == 0) // still open
+      mem.addData(graft.streaming.Ev(9L, ts("2024-01-02 00:00:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData(graft.streaming.Ev(9L, ts("2024-01-03 00:00:00"), 1.0))
+      q.processAllAvailable() // extra batch lets the timeout fire
+      val sessions = spark.table("sess_test").as[graft.streaming.Session]
+        .collect().sortBy(_.user_id)
+      // user 9's first session also closes once the watermark passes it
+      assert(sessions.map(_.user_id).toSeq == Seq(7L, 9L))
+      val s = sessions.head
+      assert(s.session_start == ts("2024-01-01 00:00:00"))
+      assert(s.session_end == ts("2024-01-01 00:20:00"))
+      assert(s.n_events == 3 && s.total_value == 4.0)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization agrees with the batch twin on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.t(spark, dir, "events")
+      .select($"user_id", $"ts", $"value").as[graft.streaming.Ev]
+      .collect().sortBy(e => (e.ts.getTime, e.user_id))
+    val mem = MemoryStream[graft.streaming.Ev]
+    val q = EventConsumer.sessionizeStream(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_events").start()
+    try {
+      mem.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      // close remaining sessions by pushing the watermark far forward
+      mem.addData(graft.streaming.Ev(-1L, ts("2030-01-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData(graft.streaming.Ev(-1L, ts("2031-01-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_events")
+        .filter($"user_id" >= 0)
+        .select($"user_id", $"session_start", $"session_end", $"n_events",
+          $"total_value")
+      val batch = EventConsumer.batchSessionize(spark, dir)
+        .select($"user_id", $"session_start", $"session_end", $"n_events",
+          $"total_value")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming file-source agg matches the batch replay") {
     val dir = "/root/testdata/sf0.001"
     // file streaming source wants a directory; stage the events file alone
