@@ -264,7 +264,36 @@ object Relational {
       .agg(countDistinct(col("l_orderkey")).as("n_orders"),
         countDistinct(col("l_suppkey")).as("n_suppliers"))
 
+  /** Q5-shape star join — the multi-join pattern that decides 100 TB
+    * viability: dimension tables (region/nation/supplier) are explicitly
+    * broadcast so the only shuffles are the orders⋈lineitem equi-join and
+    * the final low-cardinality aggregation; filters and pruned columns
+    * reach every scan. Revenue in exact cents.
+    */
+  def q5StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(spark, dir, "nation")
+    val supplier = t(spark, dir, "supplier")
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val lineitem = t(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(centSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q5_star_join" -> (q5StarJoin _),
     "a1_group_count" -> (a1GroupCount _),
     "a2_group_sum" -> (a2GroupSum _),
     "a4_postagg_derived" -> (a4PostAggDerived _),
@@ -283,6 +312,21 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q5_star_join" -> """
+      SELECT n_name,
+        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+          AS DOUBLE) / 100.0 AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1""",
     "a1_group_count" ->
       "SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY 1",
     "a2_group_sum" -> """

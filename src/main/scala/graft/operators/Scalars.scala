@@ -127,7 +127,17 @@ object Scalars {
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_shipdate")).as("first_ship"))
 
+  /** X14 — JSON field extraction from the events `props` column (the
+    * engine's semi-structured surface; the reference stores only flat
+    * columns but a warehouse user gets this via get_json_object).
+    */
+  def x14JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x14_json_extract" -> (x14JsonExtract _),
     "x1_split" -> (x1Split _),
     "x2_split_cast" -> (x2SplitCast _),
     "x3_trim" -> (x3Trim _),
@@ -144,6 +154,9 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "x14_json_extract" -> """
+      SELECT event_id, json_extract_string(props, '$.k')::INT AS k
+      FROM events""",
     "x1_split" ->
       "SELECT c_custkey, split_part(c_name, '#', 1) AS name_prefix FROM customer",
     "x2_split_cast" ->
