@@ -86,6 +86,35 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Multi-probe LSH ANN: each query probes its own bucket plus every
+    * bucket at hamming distance 1 (5 of 16 buckets with 4 sign bits) —
+    * the standard recall/cost dial for sign-LSH: candidate volume rises
+    * ~5×, recall rises far more (a near neighbor differs in at most a few
+    * sign bits). Probe keys are computed map-side on the (tiny) query
+    * side only; the candidate side is untouched.
+    */
+  def simLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(spark, dir, "embeddings"))
+      .withColumn("bucket", expr(bucketExpr))
+    val q = emb.filter(col("vec_id") < 10)
+      .withColumn("probe", explode(expr(
+        """concat(array(bucket), transform(sequence(0, 3), i ->
+           concat(substr(bucket, 1, i),
+             CASE WHEN substr(bucket, i + 1, 1) = '1' THEN '0' ELSE '1' END,
+             substr(bucket, i + 2, 4))))""")))
+    val scored = q.as("a").join(emb.as("b"),
+        col("a.probe") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", expr(dotAB) / (col("a.nrm") * col("b.nrm")))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"), col("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Per-label centroid via the custom typed Aggregator, unpivoted to
     * (label, dim, val) rows for the oracle.
     */
@@ -101,6 +130,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
+    "sim_lsh_multiprobe" -> (simLshMultiprobe _),
     "sim_centroid" -> (simCentroid _),
   )
 
@@ -136,6 +166,30 @@ object Similarity {
       scored AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id, $cosAB AS cos
                  FROM bk a JOIN bk b ON a.bucket = b.bucket
                    AND a.vec_id < 10 AND a.vec_id <> b.vec_id)
+      SELECT qid, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim
+      FROM (SELECT qid, vec_id, cos, row_number() OVER
+              (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
+    "sim_lsh_multiprobe" -> s"""
+      WITH $normCte,
+      bk AS (SELECT vec_id, embedding, nrm,
+               array_to_string(list_transform(generate_series(0, 3), p ->
+                 CASE WHEN list_sum(list_transform(generate_series(0, 63),
+                     d -> embedding[d + 1]::DOUBLE
+                          * ((p * 97 + d * 31 + 13) % 17 - 8)::DOUBLE)) > 0
+                 THEN '1' ELSE '0' END), '') AS bucket
+             FROM n),
+      probes AS (SELECT vec_id, embedding, nrm, unnest(
+                   [bucket] || list_transform(generate_series(0, 3), i ->
+                     substr(bucket, 1, i)
+                     || (CASE WHEN substr(bucket, i + 1, 1) = '1'
+                         THEN '0' ELSE '1' END)
+                     || substr(bucket, i + 2, 4))) AS probe
+                 FROM bk WHERE vec_id < 10),
+      scored AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id, $cosAB AS cos
+                 FROM probes a JOIN bk b ON a.probe = b.bucket
+                   AND a.vec_id <> b.vec_id)
       SELECT qid, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim
       FROM (SELECT qid, vec_id, cos, row_number() OVER
               (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank

@@ -29,6 +29,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe lsh strictly improves recall over single-probe") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val bf = pairs(Similarity.simTopkBruteforce(spark, dir))
+    val sp = pairs(Similarity.simLshAnn(spark, dir))
+    val mp = pairs(Similarity.simLshMultiprobe(spark, dir))
+    val rSp = (bf & sp).size.toDouble / bf.size
+    val rMp = (bf & mp).size.toDouble / bf.size
+    assert(rMp >= rSp, s"multiprobe $rMp < singleprobe $rSp")
+    assert(sp.subsetOf(mp) || rMp > rSp) // more probes never lose candidates
+  }
+
   test("centroid aggregator: per-label element-wise mean, 64 dims") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
