@@ -1,0 +1,62 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.BatchPipeline
+import graft.sources.Sources
+
+/** CLI entry point (SURVEY §7.1's `Main`): run the reference-equivalent
+  * daily pipeline with an injectable clock.
+  *
+  * Usage:
+  *   runMain graft.Main --out /tmp/warehouse \
+  *     [--as-of 2025-02-24] [--run-ts "2025-02-24 02:00:00"] \
+  *     [--raw <matches_raw parquet/csv path>] [--league england]
+  *
+  * Without --raw, the bundled HTML fixture is parsed (S1) into the
+  * matches_raw shape — the network fetch is a seam, not a dependency.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val out = opts.getOrElse("out",
+      sys.error("--out <dir> is required"))
+    val asOf = LocalDate.parse(opts.getOrElse("as-of", "2025-02-24"))
+    val runTs = opts.getOrElse("run-ts", s"$asOf 00:00:00")
+    val league = opts.getOrElse("league", "england")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val raw = opts.get("raw") match {
+      case Some(path) if path.endsWith(".csv") =>
+        spark.read.option("header", "true")
+          .schema(Tables.matchesRawSchema).csv(path)
+      case Some(path) => spark.read.parquet(path)
+      case None =>
+        val rows = Sources.parseHtmlTableRows(Sources.htmlFixture)
+          .filter(_.length >= 4).zipWithIndex
+          .map { case (r, i) => Row(i + 1, r(0), r(1), r(2), r(3), league) }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), Tables.matchesRawSchema)
+    }
+
+    val res = BatchPipeline.run(spark, raw, asOf, runTs, out)
+    println(s"matches=${res.matches.count()} standings=${res.standings.count()}")
+    res.standings.orderBy(col("league"), col("id")).show(50, truncate = false)
+    spark.stop()
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -292,8 +292,93 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** A6 — salted two-phase aggregation: the skew-mitigation pattern for
+    * hot keys. Phase 1 groups on (key, salt) so a hot key's rows spread
+    * over `salts` reducers; phase 2 merges the partials. Results are
+    * EXACTLY a plain GROUP BY (the oracle runs one) — the salt is
+    * internal. `spark.sql.shuffle.partitions`-sized salts would be the
+    * production default; 16 here. (AQE skew-join handles the join-side
+    * equivalent automatically; this is the aggregation-side technique.)
+    */
+  def a6SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .withColumn("salt", pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(dec(col("l_quantity"))).as("pq"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pn")).as("n_items"),
+        sum(col("pq")).cast("double").as("sum_qty"))
+
+  /** J3 — bucket-co-located join: both fact tables written bucketed by the
+    * join key, so the join needs NO shuffle of either side (the physical
+    * plan has no Exchange above the scans). At 100 TB this is the
+    * difference between re-shuffling petabytes per join and reading
+    * co-located buckets; the write-side cost is paid once at ingest.
+    */
+  def j3BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    // default warehouse dir (spark-warehouse under CWD) — warehouse.dir is
+    // a static conf and cannot move per-query. The in-memory catalog is
+    // per-JVM but table locations persist on disk: drop both explicitly
+    // or a rerun hits LOCATION_ALREADY_EXISTS.
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bk")
+    Seq("lineitem_b", "orders_b").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_bk.$tbl")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:") + s"/graft_bk.db/$tbl")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bk.lineitem_b")
+    t(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bk.orders_b")
+    val li = spark.table("graft_bk.lineitem_b")
+    val o = spark.table("graft_bk.orders_b")
+    // merge hint: at test scale AQE would broadcast the small side and
+    // never touch the bucket layout; forcing sort-merge shows the real
+    // plan shape — bucketed scans, ZERO exchanges under the join.
+    li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(centSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** A7 — exact percentiles (oracle-able: Spark `percentile` and DuckDB
+    * `quantile_cont` share the interpolated definition) plus approximate
+    * sketch aggregates (approx_count_distinct / approx_percentile —
+    * engine-specific sketches, so rows-only checked; the scale story is
+    * that they are single-pass and mergeable).
+    */
+  def a7Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
+        expr("round(percentile(o_totalprice, 0.9), 4)").as("p90"))
+
+  def a8ApproxAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_star_join" -> (q5StarJoin _),
+    "a6_salted_agg" -> (a6SaltedAgg _),
+    "j3_bucketed_join" -> (j3BucketedJoin _),
+    "a7_percentiles" -> (a7Percentiles _),
+    "a8_approx_agg" -> (a8ApproxAgg _),
     "a1_group_count" -> (a1GroupCount _),
     "a2_group_sum" -> (a2GroupSum _),
     "a4_postagg_derived" -> (a4PostAggDerived _),
@@ -311,7 +396,25 @@ object Relational {
     "a5_distinct_count" -> (a5DistinctCount _),
   )
 
+  // a8_approx_agg intentionally has NO oracle entry: HLL/KLL sketches are
+  // engine-specific; the driver records a rows-only check.
   val oracle: Map[String, String] = Map(
+    "a6_salted_agg" -> """
+      SELECT l_returnflag, count(*) AS n_items,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1""",
+    "j3_bucketed_join" -> """
+      SELECT o_orderpriority,
+        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+          AS DOUBLE) / 100.0 AS revenue,
+        count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1""",
+    "a7_percentiles" -> """
+      SELECT o_orderstatus,
+        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      FROM orders GROUP BY 1""",
     "q5_star_join" -> """
       SELECT n_name,
         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
