@@ -134,3 +134,23 @@ object GraftFunctions {
       "graft_minhash8", exprs => MinHashSig(exprs.head, 8), "built-in")
   }
 }
+
+/** SparkSessionExtensions hook — the idiomatic installation path:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`) makes the sketch
+  * functions available to every session, including pure-SQL users. The
+  * per-query `GraftFunctions.register` remains as a fallback for
+  * sessions built without it.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    e.injectFunction((FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_minhash8"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash8"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head, 8)))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 realization of the S1 HTML-table scan — the "clean seam"
+  * SURVEY §2.1 marks: `spark.read.format("graft.sources.HtmlTableProvider")
+  * .option("path", f).load()` scans `<tr>/<td>` rows of HTML files as
+  * rows of string columns (c0..cN per the `columns` option, default 4).
+  *
+  * Scale notes: one input partition per file — HTML pages are small and
+  * per-page parse is row-local; a 100 TB crawl is millions of files, so
+  * parallelism comes from file count, the same shape Spark's text sources
+  * use. Parsing runs in the reader (executor-side), not the driver —
+  * unlike the reference's driver-side scrape loop.
+  */
+class HtmlTableProvider extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HtmlTableProvider.schemaFor(options.getInt("columns", 4))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new HtmlTable(schema, properties.asScala.toMap)
+}
+
+object HtmlTableProvider {
+  def schemaFor(n: Int): StructType =
+    StructType((0 until n).map(i => StructField(s"c$i", StringType)))
+}
+
+private class HtmlTable(schema0: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"html(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new HtmlScanBuilder(schema0, options.get("path"))
+}
+
+private class HtmlScanBuilder(schema: StructType, path: String)
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val f = new java.io.File(path)
+    val files = if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.getPath)
+                else Array(path)
+    files.sorted.map(p => HtmlInputPartition(p): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HtmlReaderFactory(schema.length)
+}
+
+private case class HtmlInputPartition(path: String) extends InputPartition
+
+private class HtmlReaderFactory(nCols: Int) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val path = p.asInstanceOf[HtmlInputPartition].path
+    new PartitionReader[InternalRow] {
+      private val rows = Sources.parseHtmlTableRows(
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), "UTF-8"))
+        .filter(_.length >= nCols).iterator
+      private var cur: Seq[String] = _
+      override def next(): Boolean = { val h = rows.hasNext; if (h) cur = rows.next(); h }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(cur.take(nCols).map(UTF8String.fromString))
+      override def close(): Unit = ()
+    }
+  }
+}

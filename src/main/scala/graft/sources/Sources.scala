@@ -76,6 +76,25 @@ object Sources {
       .drop("score")
   }
 
+  /** S1 via the DataSource V2 provider (HtmlTableProvider): the same scan
+    * as `s1HtmlTableScan`, but parsing runs executor-side inside a real
+    * Spark source instead of on the driver.
+    */
+  def s1bHtmlDsv2(spark: SparkSession, dir: String): DataFrame = {
+    val f = Files.createTempDirectory("graft_html")
+    Files.writeString(f.resolve("page.html"), htmlFixture)
+    spark.read.format("graft.sources.HtmlTableProvider")
+      .option("path", f.toString).option("columns", "4").load()
+      .toDF("date", "home_team", "score", "away_team")
+      .filter(!col("date").isin("Averages", "Percentages") &&
+        col("home_team") =!= "Totals")
+      .withColumn("home_score",
+        element_at(split(col("score"), " - "), 1).cast("int"))
+      .withColumn("away_score",
+        element_at(split(col("score"), " - "), 2).cast("int"))
+      .drop("score")
+  }
+
   // ----------------------------------------------------------- S2/S5 CSV
 
   /** S2 — CSV scan with header + explicit schema (ref sql/ingest-retail.sql:1
@@ -167,6 +186,7 @@ object Sources {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_html_table_scan" -> (s1HtmlTableScan _),
+    "s1b_html_dsv2" -> (s1bHtmlDsv2 _),
     "s2_csv_scan" -> (s2CsvScan _),
     "s3_rows_table" -> (s3RowsTable _),
     "s5_csv_sink" -> (s5CsvSink _),
@@ -175,6 +195,13 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "s1b_html_dsv2" -> """
+      SELECT * FROM (VALUES
+        ('Sa 15 Feb', 'Arsenal', 'Chelsea', 2, 1),
+        ('Su 16 Feb', 'Leeds', 'Fulham', 0, 0),
+        ('Mo 17 Feb', 'Spurs', 'Everton', 1, 3),
+        ('Tu 18 Feb', 'Wolves', 'Brighton', 2, 2))
+      AS t(date, home_team, away_team, home_score, away_score)""",
     "s1_html_table_scan" -> """
       SELECT * FROM (VALUES
         ('Sa 15 Feb', 'Arsenal', 'Chelsea', 2, 1),
