@@ -72,6 +72,30 @@ object EventConsumer {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Kafka flavors of the same consumer (ST1/ST2 surface). The sandbox
+    * image ships no kafka connector jar (mirroring the reference, whose
+    * consumer scripts are absent — Makefile:173-179), so these builders
+    * configure the real production source/sink without starting it; the
+    * transform they feed is byte-identical to the file/batch paths.
+    */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .selectExpr("CAST(value AS STRING) AS json")
+      .select(from_json(col("json"), Tables.eventsRawSchema).as("e"))
+      .select(col("e.*"))
+
+  def kafkaSink(df: DataFrame, bootstrap: String, topic: String,
+      checkpoint: String) =
+    df.selectExpr("to_json(struct(*)) AS value").writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
   // ------------------------------------------------------- sessionization
 
   /** Gap-based sessionization (30-minute inactivity), BATCH form: flag
