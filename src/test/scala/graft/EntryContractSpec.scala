@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract: every declared query must run on the small
+  * testdata, every oracle key must name a real query, and the bench
+  * headline must reference existing keys. Catches a broken queries-map
+  * entry before the driver's verify round does.
+  */
+class EntryContractSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("oracleSql keys are a subset of queries keys") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("queries without an oracle are the documented rows-only set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("a8_approx_agg"), s"undocumented rows-only: $rowsOnly")
+  }
+
+  test("bench headline names existing queries") {
+    val missing = Bench.headline.toSet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"headline without query: $missing")
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs at sf0.001 and yields a schema") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val df = fn(spark, dir)
+          assert(df.schema.nonEmpty)
+          df.count() // force full execution
+          None
+        } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
