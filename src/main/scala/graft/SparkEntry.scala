@@ -17,6 +17,7 @@ object SparkEntry {
     (operators.Dedup.queries, operators.Dedup.oracle),
     (operators.Similarity.queries, operators.Similarity.oracle),
     (operators.Multimodal.queries, operators.Multimodal.oracle),
+    (operators.CorpusPipeline.queries, operators.CorpusPipeline.oracle),
     (streaming.EventConsumer.queries, streaming.EventConsumer.oracle),
   )
 

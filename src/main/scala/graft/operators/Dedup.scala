@@ -146,7 +146,7 @@ object Dedup {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
   )
 
-  private val shinglesCte = """
+  private[operators] val shinglesCte = """
     tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     shn AS (SELECT doc_id,
               CASE WHEN len(w) >= 3
