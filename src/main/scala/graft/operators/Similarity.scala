@@ -115,6 +115,22 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Similarity join through the declarative `graft_lsh_match` operator:
+    * the user writes one predicate; the LshJoinRewrite optimizer rule
+    * (plans/LshJoin.scala) turns the nested-loop join it would imply into
+    * a bucket-keyed hash join with a cosine refinement — same rows,
+    * O(n²) → O(n) plan. SimJoinRuleSpec pins plan-shape + result equality.
+    */
+  def simLshJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark) // functions + rewrite rule
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    emb.as("a").join(emb.as("b"),
+        expr("graft_lsh_match(a.embedding, b.embedding, 0.2D)") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(expr("graft_cosine(a.embedding, b.embedding)"), 6).as("cos_sim"))
+  }
+
   /** Per-label centroid via the custom typed Aggregator, unpivoted to
     * (label, dim, val) rows for the oracle.
     */
@@ -131,6 +147,7 @@ object Similarity {
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_lsh_multiprobe" -> (simLshMultiprobe _),
+    "sim_lsh_join" -> (simLshJoin _),
     "sim_centroid" -> (simCentroid _),
   )
 
@@ -195,6 +212,24 @@ object Similarity {
               (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
             FROM scored)
       WHERE rank <= 5""",
+    "sim_lsh_join" -> """
+      WITH bk AS (SELECT vec_id, embedding,
+               array_to_string(list_transform(generate_series(0, 3), p ->
+                 CASE WHEN list_sum(list_transform(generate_series(0, 63),
+                     d -> embedding[d + 1]::DOUBLE
+                          * ((p * 97 + d * 31 + 13) % 17 - 8)::DOUBLE)) > 0
+                 THEN '1' ELSE '0' END), '') AS bucket,
+               sqrt(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE))) AS nrm
+             FROM embeddings)
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+        round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          / (a.nrm * b.nrm) >= 0.2""",
     "sim_centroid" -> """
       SELECT label, CAST(i AS INT) AS dim,
              round(avg(embedding[i + 1]::DOUBLE), 6) AS val

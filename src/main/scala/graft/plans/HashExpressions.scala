@@ -132,6 +132,15 @@ object GraftFunctions {
       "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_minhash8", exprs => MinHashSig(exprs.head, 8), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_lsh_match", exprs => LshMatch(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    // the rewrite rule is idempotent; adding it twice is harmless
+    if (!spark.experimental.extraOptimizations.contains(LshJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LshJoinRewrite
   }
 }
 
@@ -152,5 +161,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_minhash8"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash8"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head, 8)))
+    e.injectFunction((FunctionIdentifier("graft_lsh_match"),
+      new ExpressionInfo(classOf[LshMatch].getName, "graft_lsh_match"),
+      (exprs: Seq[Expression]) => LshMatch(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => LshJoinRewrite)
   }
 }

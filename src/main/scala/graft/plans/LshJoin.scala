@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The LSH similarity-join operator as a Catalyst expression + optimizer
+  * rule (the §2.10/§4 custom-surface: Expression + Rule[LogicalPlan],
+  * injected via GraftExtensions or `spark.experimental.extraOptimizations`).
+  *
+  * `graft_lsh_match(a, b, t)` is TRUE iff a and b fall in the same
+  * 4-bit sign-hyperplane bucket AND cosine(a, b) >= t. It is an ordinary
+  * boolean expression — evaluable per row pair, so a query using it is
+  * CORRECT on any Spark — but as a bare join condition it forces a
+  * nested-loop join (no equi-keys). LshJoinRewrite rewrites it into
+  *   bucket(a) = bucket(b) AND cosine(a, b) >= t
+  * which is semantically IDENTICAL (bucket equality is exactly what the
+  * match tests first) and lets ExtractEquiJoinKeys plan a hash/sort-merge
+  * join on the bucket key: O(n²) → O(n) + per-bucket refinement. That is
+  * the entire 100 TB story of this operator in one rule.
+  */
+object LshVectors {
+  /** Deterministic hyperplane weight (shared with Similarity's SQL oracle):
+    * plane p, dim d → ((p·97 + d·31 + 13) mod 17) − 8.
+    */
+  @inline def weight(p: Int, d: Int): Double = (p * 97 + d * 31 + 13) % 17 - 8
+
+  def bucketOf(v: ArrayData): UTF8String = {
+    val n = v.numElements()
+    val bits = new Array[Char](4)
+    var p = 0
+    while (p < 4) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) { dot += v.getFloat(d).toDouble * weight(p, d); d += 1 }
+      bits(p) = if (dot > 0) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromString(new String(bits))
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** 4-bit sign-LSH bucket key of an array<float> column. */
+case class LshBucket(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    LshVectors.bucketOf(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): LshBucket =
+    copy(child = c)
+}
+
+/** cosine(a, b) over two array<float> columns. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LshVectors.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** Marker predicate: same bucket AND cosine >= threshold. Row-wise
+  * evaluable (correct everywhere); the rewrite rule makes it fast.
+  */
+case class LshMatch(left: Expression, right: Expression, threshold: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = threshold
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(a: Any, b: Any, t: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]; val bv = b.asInstanceOf[ArrayData]
+    LshVectors.bucketOf(av) == LshVectors.bucketOf(bv) &&
+      LshVectors.cosine(av, bv) >= t.asInstanceOf[Double]
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): LshMatch = copy(left = f, right = s, threshold = t)
+}
+
+/** Rewrite `graft_lsh_match(a, b, t)` →
+  * `LshBucket(a) = LshBucket(b) AND CosineSim(a, b) >= t`.
+  * Runs in the optimizer, before join planning: the equality conjunct has
+  * one side referencing each join child, so ExtractEquiJoinKeys turns the
+  * nested-loop join into a hash/sort-merge join keyed on the bucket.
+  */
+object LshJoinRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case LshMatch(l, r, t) =>
+        And(EqualTo(LshBucket(l), LshBucket(r)),
+          GreaterThanOrEqual(CosineSim(l, r), t))
+    }
+}
