@@ -17,7 +17,7 @@ object Bench {
     * baselines), similarity, and per-row text ops.
     */
   val headline: Seq[String] = Seq(
-    "q5_star_join", "st4_sessionize", "o4_window_funcs",
+    "q5_star_join", "q6_selective_agg", "st4_sessionize", "o4_window_funcs",
     "a2_group_sum", "a3_standings", "j1_full_outer", "j2_semi_exists",
     "o3_topk_limit", "st3_window_agg", "f3_date_window", "x7_date_parse",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "corpus_clean",

@@ -373,8 +373,21 @@ object Relational {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"))
 
+  /** Q6-shape selective aggregate: every predicate reaches the parquet
+    * scan (PushedFilters), only 3 columns are read, and the whole plan is
+    * scan → partial agg → single-row final agg — the minimal-IO shape.
+    */
+  def q6SelectiveAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(centSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_star_join" -> (q5StarJoin _),
+    "q6_selective_agg" -> (q6SelectiveAgg _),
     "a6_salted_agg" -> (a6SaltedAgg _),
     "j3_bucketed_join" -> (j3BucketedJoin _),
     "a7_percentiles" -> (a7Percentiles _),
@@ -399,6 +412,15 @@ object Relational {
   // a8_approx_agg intentionally has NO oracle entry: HLL/KLL sketches are
   // engine-specific; the driver records a rows-only check.
   val oracle: Map[String, String] = Map(
+    "q6_selective_agg" -> """
+      SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+               AS DOUBLE) / 100.0 AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""",
     "a6_salted_agg" -> """
       SELECT l_returnflag, count(*) AS n_items,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
