@@ -67,7 +67,7 @@ object Multimodal {
 
   /** Decode metadata — Column-expression twin of `fakeDecode` (same md5
     * arithmetic, so the SQL oracle and the mapPartitions path agree;
-    * DecodeParitySpec asserts the latter).
+    * SimilaritySpec's decode-parity test asserts the latter).
     */
   def mmDecodeMeta(spark: SparkSession, dir: String): DataFrame =
     withPayload(spark, dir)
