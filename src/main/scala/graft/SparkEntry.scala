@@ -18,6 +18,7 @@ object SparkEntry {
     (operators.Similarity.queries, operators.Similarity.oracle),
     (operators.Multimodal.queries, operators.Multimodal.oracle),
     (operators.CorpusPipeline.queries, operators.CorpusPipeline.oracle),
+    (operators.AsOfJoin.queries, operators.AsOfJoin.oracle),
     (streaming.EventConsumer.queries, streaming.EventConsumer.oracle),
   )
 
