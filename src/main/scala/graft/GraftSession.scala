@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's session-configuration contract, applied ONCE at session
+  * construction. graft query functions never mutate session conf themselves
+  * (a per-query `spark.conf.set` is an ambient, order-dependent side effect
+  * on a shared session); instead every session that runs graft queries is
+  * passed through `tune` by whoever owns the builder (Bench / Verify /
+  * Main / the test harness — and `SparkEntry.entry` defensively, since the
+  * driver owns that session).
+  *
+  * The two confs and why they are required:
+  *
+  *  - `spark.sql.ansi.enabled=false` — the reference's cleaning semantics
+  *    are null-on-failure end to end (try/except date-parse drop at
+  *    dags/projectde_dag.py:89-93, dict.get day default at :68-76,
+  *    null-safe score split at :100-102). Spark 4's ANSI default would
+  *    throw on the same inputs (to_date parse, map element_at miss,
+  *    short-array index, bad casts).
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true` — the events table is
+  *    physically TIMESTAMP(NANOS) parquet, which vanilla Spark rejects
+  *    ([PARQUET_TYPE_ILLEGAL]); Tables.t reads nanos as long and rebuilds
+  *    a microsecond timestamp with integer arithmetic.
+  */
+object GraftSession {
+
+  /** Apply the library conf contract to an existing session (idempotent). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  /** Standard local session for the library's own mains. */
+  def local(appName: String, cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    tune(s)
+  }
+}

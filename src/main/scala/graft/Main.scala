@@ -30,7 +30,7 @@ object Main {
     val runTs = opts.getOrElse("run-ts", s"$asOf 00:00:00")
     val league = opts.getOrElse("league", "england")
 
-    val spark = SparkSession.builder()
+    val spark = GraftSession.tune(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-pipeline")
       .config("spark.sql.shuffle.partitions",
@@ -38,7 +38,7 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
     val raw = opts.get("raw") match {

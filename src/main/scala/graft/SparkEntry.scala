@@ -22,9 +22,13 @@ object SparkEntry {
     (streaming.EventConsumer.queries, streaming.EventConsumer.oracle),
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The driver owns this session, so the GraftSession conf contract is
+    * applied here (once — the only entry point not constructed by us).
+    */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.a3Standings(spark, "/root/testdata/sf0.001")
+    operators.Relational.a3Standings(GraftSession.tune(spark),
+      "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -19,13 +19,13 @@ object Tables {
     * Catalyst prunes columns + pushes filters into the scan.
     *
     * The `events` table stores TIMESTAMP(NANOS) which vanilla Spark rejects
-    * ([PARQUET_TYPE_ILLEGAL]); we read nanos as long and rebuild a
-    * microsecond timestamp with integer arithmetic (`div`, not `/` — nanos
-    * since epoch exceed double's 2^53 integer range).
+    * ([PARQUET_TYPE_ILLEGAL]); under the GraftSession contract
+    * (`nanosAsLong=true`, set at session construction) we read nanos as
+    * long and rebuild a microsecond timestamp with integer arithmetic
+    * (`div`, not `/` — nanos since epoch exceed double's 2^53 range).
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -26,12 +26,11 @@ object Scalars {
   /** X2 — split + index + cast, null on missing part
     * (ref dags/projectde_dag.py:100-102; spark-project.py:86-87).
     */
-  def x2SplitCast(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+  def x2SplitCast(spark: SparkSession, dir: String): DataFrame =
+    // null-on-missing-part requires the GraftSession non-ANSI contract
     t(spark, dir, "customer")
       .select(col("c_custkey"),
         element_at(split(col("c_name"), "#"), 2).cast("long").as("cust_num"))
-  }
 
   /** X3 — trim (ref dags/projectde_dag.py:40-43,79). */
   def x3Trim(spark: SparkSession, dir: String): DataFrame =
@@ -44,7 +43,7 @@ object Scalars {
     * The map literal constant-folds (SURVEY §4).
     */
   def x4MapLookupDefault(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    // map-miss → null requires the GraftSession non-ANSI contract
     val m = typedLit(Map("AFRICA" -> "AF", "AMERICA" -> "AM", "ASIA" -> "AS"))
     t(spark, dir, "region")
       .select(col("r_regionkey"), col("r_name"),

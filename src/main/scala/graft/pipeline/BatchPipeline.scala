@@ -32,9 +32,9 @@ object BatchPipeline {
     */
   def run(spark: SparkSession, rawMatches: DataFrame, asOf: LocalDate,
       runTs: String, outDir: String): Result = {
-    // Spark 4 defaults to ANSI; the reference's cleaning semantics are
-    // null-on-failure (try/except → skip), matching non-ANSI eval.
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    // Requires the GraftSession non-ANSI contract (reference cleaning is
+    // null-on-failure; see GraftSession scaladoc) — set at session
+    // construction, never mutated here.
     val matches = MatchExprs.clean(rawMatches, asOf, runTs)
     matches.write.mode(SaveMode.Overwrite)
       .partitionBy("league").parquet(s"$outDir/matches")

@@ -51,7 +51,7 @@ object EventConsumer {
     * 10 minutes of lateness, then state is dropped (append mode).
     */
   def streamingWindowAgg(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanos parquet → GraftSession contract (nanosAsLong at construction)
     windowAgg(
       Tables.normalizeEventTs(
         spark.readStream

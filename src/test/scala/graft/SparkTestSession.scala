@@ -13,6 +13,6 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    GraftSession.tune(s)
   }
 }
