@@ -38,9 +38,9 @@ object MatchExprs {
     */
   def clean(raw: DataFrame, asOf: LocalDate, runTs: String): DataFrame = {
     // The reference's cleaning is null-on-failure end to end (try/except
-    // drop, None scores, dict.get defaults); Spark 4's ANSI default would
-    // throw on the same inputs (date parse, map miss, short arrays).
-    raw.sparkSession.conf.set("spark.sql.ansi.enabled", "false")
+    // drop, None scores, dict.get defaults); the session must carry the
+    // GraftSession non-ANSI contract — Spark 4's ANSI default would throw
+    // on the same inputs (date parse, map miss, short arrays).
     val sp = split(col("date"), " ", 2)
     val dayTok = element_at(sp, 1)
     val rest = element_at(sp, 2) // "15 Feb"
@@ -59,8 +59,11 @@ object MatchExprs {
         to_date(concat_ws(" ", trim(rest), year), "d MMM yyyy"))
       // F5 unparseable-date drop (ref try/except at :89-93)
       .filter(col("match_date").isNotNull)
-      // F3 keep strictly before yesterday (ref :63-64, 96-97)
-      .filter(col("match_date") < lit(asOf.minusDays(1)))
+      // F3 drop today and future, KEEP yesterday (ref :63-64, 96-97: the
+      // daily 09:00 run drops match_date >= now-1day, and yesterday's
+      // date-at-midnight sorts before yesterday-09:00 — so the most recent
+      // full day stays in). `< asOf`, not `< asOf-1day`.
+      .filter(col("match_date") < lit(asOf))
       // X2 null-safe score split (ref :100-102)
       .withColumn("home_score",
         when(size(scoreArr) >= 2, expr("try_cast(trim(split(score, ' - ')[0]) AS INT)")))

@@ -53,13 +53,15 @@ object Projections {
 
   /** F3 — date-window filter with injectable as-of (ref
     * dags/projectde_dag.py:63-64,96-97; determinism contract (a): the wall
-    * clock is a parameter, fixed here for the oracle).
+    * clock is a parameter, fixed here for the oracle). The upper bound is
+    * `< asOf` — the reference's daily 09:00 run drops rows dated
+    * `>= now-1day`, which KEEPS yesterday's date-at-midnight; `< asOf-1day`
+    * would silently omit the most recent full day.
     */
   def f3DateWindow(spark: SparkSession, dir: String,
       asOf: String = "1996-01-01"): DataFrame =
     t(spark, dir, "lineitem")
-      .filter(col("l_shipdate") < date_sub(lit(asOf).cast("date"), 1)
-        .cast("timestamp") &&
+      .filter(col("l_shipdate") < lit(asOf).cast("timestamp") &&
         col("l_shipdate") >= lit("1995-06-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
 
@@ -76,7 +78,7 @@ object Projections {
     * drops them — the declarative form of the reference's try/except.
     */
   def f5ParseGuard(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    // to_date null-on-failure requires the GraftSession non-ANSI contract
     t(spark, dir, "orders")
       .withColumn("date_str",
         when(col("o_orderkey") % 2 === 0,
@@ -116,7 +118,7 @@ object Projections {
       WHERE regexp_matches(p_name, '^(red|blue) ')""",
     "f3_date_window" -> """
       SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
-      WHERE l_shipdate < (DATE '1996-01-01' - INTERVAL '1 day')
+      WHERE l_shipdate < TIMESTAMP '1996-01-01'
         AND l_shipdate >= TIMESTAMP '1995-06-01'""",
     "f4_arity_guard" -> """
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents

@@ -34,6 +34,7 @@ class PipelineSpec extends AnyFunSuite {
       (6, "We 26 Feb", "Chelsea", "", "Leeds", "england"), // future (F3)
       (7, "Sa 10 Aug", "Chelsea", "-", "Arsenal", "england"), // malformed score (X2)
       (8, "Xx 20 Dec", "Lyon", "3 - 2", "Nice", "france"), // unknown day abbrev (X4)
+      (9, "Su 23 Feb", "Nice", "2 - 2", "Lyon", "france"), // YESTERDAY — kept (F3)
     ).toDF("ordinal", "date", "home_team", "score", "away_team", "league")
       .selectExpr("ordinal", "date", "home_team", "score", "away_team", "league")
   }
@@ -41,8 +42,11 @@ class PipelineSpec extends AnyFunSuite {
   test("clean: golden rows across every branch") {
     val out = MatchExprs.clean(rawFixture, asOf, runTs)
       .orderBy("league", "id").collect()
-    // 8 raw − 2 junk − 1 bad date − 1 future = 4 surviving matches
-    assert(out.length == 4)
+    // 9 raw − 2 junk − 1 bad date − 1 future = 5 surviving matches
+    assert(out.length == 5)
+    // F3: a match dated exactly yesterday (asOf-1) is KEPT — the daily
+    // 09:00 pipeline must not omit the most recent day's results.
+    assert(out.exists(_.getAs[java.sql.Date]("date").toString == "2025-02-23"))
     val arsenal = out(0)
     assert(arsenal.getAs[Int]("id") == 1)
     assert(arsenal.getAs[String]("day") == "Saturday")
