@@ -1,7 +1,10 @@
 package graft.operators
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** The end-to-end training-data preparation pipeline — the composition the
   * individual operator families exist for: quality-score every document,
@@ -9,27 +12,39 @@ import org.apache.spark.sql.functions._
   * clusters keep their lowest doc_id). Output is the cleaned corpus.
   *
   * Scale shape: quality scoring is per-row map-side; near-dup candidate
-  * pairs come from the LSH bucket join (never all-pairs); the removal is
-  * a broadcastable left-anti join against the (small) loser set. Nothing
-  * in this plan is quadratic in corpus size.
+  * pairs come from Dedup's memoized signature index (never all-pairs, and
+  * the sketch is never recomputed here); the removal is a broadcastable
+  * left-anti join against the (small) loser set. Nothing in this plan is
+  * quadratic in corpus size. The cleaned corpus itself is memoized per
+  * (session, corpus, threshold) so downstream consumers — the summary
+  * report here, sharding/tokenization in production — read it instead of
+  * re-running the pipeline.
   */
 object CorpusPipeline {
 
+  private val cleanCache = TrieMap.empty[(Int, String, Double), DataFrame]
+
   def corpusClean(spark: SparkSession, dir: String,
-      minQuality: Double = 0.7): DataFrame = {
-    val quality = TextAnalysis.textQuality(spark, dir)
-      .select(col("doc_id"), col("quality"))
-    val losers = Dedup.dedupMinhashLsh(spark, dir)
-      .select(col("db").as("doc_id")).distinct()
-    graft.Tables.t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"))
-      .join(quality, "doc_id")
-      .filter(col("quality") >= minQuality)
-      .join(losers, Seq("doc_id"), "left_anti")
-  }
+      minQuality: Double = 0.7): DataFrame =
+    cleanCache.getOrElseUpdate((System.identityHashCode(spark), dir, minQuality), {
+      val quality = TextAnalysis.textQuality(spark, dir)
+        .select(col("doc_id"), col("quality"))
+      val losers = Dedup.minhashPairs(spark, dir)
+        .filter(col("sim_est") >= 0.5)
+        .select(col("db").as("doc_id")).distinct()
+      val cleaned = graft.Tables.t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .join(quality, "doc_id")
+        .filter(col("quality") >= minQuality)
+        .join(losers, Seq("doc_id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cleaned.count() // materialize once per (session, corpus, threshold)
+      cleaned
+    })
 
   /** Per-language summary of the cleaned corpus (the report a pipeline
-    * operator watches).
+    * operator watches) — reads the memoized cleaned corpus, does not
+    * re-run the pipeline.
     */
   def corpusCleanSummary(spark: SparkSession, dir: String): DataFrame =
     corpusClean(spark, dir)

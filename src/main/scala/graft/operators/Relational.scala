@@ -192,18 +192,64 @@ object Relational {
       .select(col("c_custkey"), col("c_nationkey"))
   }
 
+  /** Dense global row_number over an arbitrary base relation WITHOUT a
+    * single-partition window (`Window.orderBy` with no partitionBy funnels
+    * the whole table through one task — the classic non-scalable rank).
+    *
+    * Two-phase rank: (1) bucket rows by driver-estimated quantile
+    * boundaries of the leading sort column — the boundaries become plan
+    * LITERALS, so every subtree sees the same assignment and the result
+    * is deterministic regardless of how the estimate sampled; rows tied
+    * on the leading column share a bucket, so bucket order composes with
+    * the full tiebreak ordering. (2) row_number within each bucket (the
+    * window is partitioned — parallel), then add broadcast per-bucket
+    * offsets (a prefix sum over ≤`buckets` rows). Costs one extra
+    * column-pruned pass for the quantile estimate and one for the counts;
+    * no stage ever holds more than ~1/buckets of the data.
+    *
+    * Requires a non-null numeric leading column. Degenerates to a single
+    * bucket (the old global window) only if the column is constant.
+    */
+  private[operators] def scalableRowNumber(df: DataFrame, leading: String,
+      descending: Boolean, sortCols: Seq[Column], outCol: String,
+      buckets: Int = 32): DataFrame = {
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bs = df.stat.approxQuantile(leading, probs, 0.001).distinct.sorted
+    val bucketed =
+      if (bs.isEmpty) df.withColumn("__bk", lit(0))
+      else {
+        val arr = array(bs.toSeq.map(lit): _*)
+        val bk = if (descending) size(filter(arr, _ > col(leading)))
+                 else size(filter(arr, _ < col(leading)))
+        df.withColumn("__bk", bk)
+      }
+    val local = bucketed.withColumn("__lp",
+      row_number().over(Window.partitionBy(col("__bk")).orderBy(sortCols: _*)))
+    val counts = bucketed.groupBy(col("__bk")).agg(count(lit(1)).as("__cnt"))
+    // prefix-sum window over ≤`buckets` aggregated rows — never base data
+    val offs = counts.withColumn("__off",
+      coalesce(sum(col("__cnt")).over(Window.orderBy(col("__bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bk"), col("__off"))
+    local.join(broadcast(offs), "__bk")
+      .withColumn(outCol, (col("__lp") + col("__off")).cast("int"))
+      .drop("__bk", "__lp", "__off")
+  }
+
   /** O1 — multi-key desc sort with total-order tiebreak, position made
     * explicit via row_number so the result content encodes the order
-    * (ref dags/projectde_dag.py:224-225). Small (post-filter) relation.
+    * (ref dags/projectde_dag.py:224-225). Ranked over the FULL base table,
+    * so it uses the two-phase rank — no single-partition WindowExec.
     */
-  def o1MultiKeySort(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("s_acctbal").desc, col("s_nationkey").asc,
-      col("s_suppkey").asc)
-    t(spark, dir, "supplier")
-      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
-        col("s_acctbal"))
-      .withColumn("pos", row_number().over(w))
-  }
+  def o1MultiKeySort(spark: SparkSession, dir: String): DataFrame =
+    scalableRowNumber(
+      t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal")),
+      leading = "s_acctbal", descending = true,
+      sortCols = Seq(col("s_acctbal").desc, col("s_nationkey").asc,
+        col("s_suppkey").asc),
+      outCol = "pos")
 
   /** O2 — dense sequential rank id over an aggregated relation
     * (ref dags/projectde_dag.py:228).
@@ -310,37 +356,54 @@ object Relational {
       .agg(sum(col("pn")).as("n_items"),
         sum(col("pq")).cast("double").as("sum_qty"))
 
-  /** J3 — bucket-co-located join: both fact tables written bucketed by the
-    * join key, so the join needs NO shuffle of either side (the physical
-    * plan has no Exchange above the scans). At 100 TB this is the
-    * difference between re-shuffling petabytes per join and reading
-    * co-located buckets; the write-side cost is paid once at ingest.
+  /** One-time bucketed INGEST for J3, memoized per (application, source
+    * dir): the write-side cost of a bucketed layout is paid once at
+    * ingest, not per query — mixing it into the join query both
+    * misattributes the cost in benchmarks and re-does driver-side
+    * filesystem work on every invocation.
     */
-  def j3BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    // default warehouse dir (spark-warehouse under CWD) — warehouse.dir is
-    // a static conf and cannot move per-query. The in-memory catalog is
-    // per-JVM but table locations persist on disk: drop both explicitly
-    // or a rerun hits LOCATION_ALREADY_EXISTS.
-    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bk")
-    Seq("lineitem_b", "orders_b").foreach { tbl =>
-      spark.sql(s"DROP TABLE IF EXISTS graft_bk.$tbl")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:") + s"/graft_bk.db/$tbl")
-      if (loc.exists()) {
-        import scala.reflect.io.Directory
-        new Directory(loc).deleteRecursively()
+  private val j3Lock = new Object
+  private var j3Ingested: Option[(String, String)] = None
+  private def ensureBucketedTables(spark: SparkSession, dir: String): Unit =
+    j3Lock.synchronized {
+      val key = (spark.sparkContext.applicationId, dir)
+      if (!j3Ingested.contains(key)) {
+        // default warehouse dir (spark-warehouse under CWD) — warehouse.dir
+        // is a static conf and cannot move per-query. The in-memory catalog
+        // is per-JVM but table locations persist on disk: drop both
+        // explicitly or a rerun hits LOCATION_ALREADY_EXISTS.
+        spark.sql("CREATE DATABASE IF NOT EXISTS graft_bk")
+        Seq("lineitem_b", "orders_b").foreach { tbl =>
+          spark.sql(s"DROP TABLE IF EXISTS graft_bk.$tbl")
+          val loc = new java.io.File(
+            spark.conf.get("spark.sql.warehouse.dir")
+              .stripPrefix("file:") + s"/graft_bk.db/$tbl")
+          if (loc.exists()) {
+            import scala.reflect.io.Directory
+            new Directory(loc).deleteRecursively()
+          }
+        }
+        t(spark, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_bk.lineitem_b")
+        t(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_bk.orders_b")
+        j3Ingested = Some(key)
       }
     }
-    t(spark, dir, "lineitem")
-      .select("l_orderkey", "l_extendedprice", "l_discount")
-      .write.mode(SaveMode.Overwrite).format("parquet")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_bk.lineitem_b")
-    t(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
-      .write.mode(SaveMode.Overwrite).format("parquet")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_bk.orders_b")
+
+  /** J3 — bucket-co-located join: both fact tables written bucketed by the
+    * join key (once, at ingest — see ensureBucketedTables), so the join
+    * needs NO shuffle of either side (the physical plan has no Exchange
+    * above the scans). At 100 TB this is the difference between
+    * re-shuffling petabytes per join and reading co-located buckets.
+    */
+  def j3BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    ensureBucketedTables(spark, dir)
     val li = spark.table("graft_bk.lineitem_b")
     val o = spark.table("graft_bk.orders_b")
     // merge hint: at test scale AQE would broadcast the small side and
