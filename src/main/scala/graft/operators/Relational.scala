@@ -429,12 +429,32 @@ object Relational {
         expr("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
         expr("round(percentile(o_totalprice, 0.9), 4)").as("p90"))
 
-  def a8ApproxAgg(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  /** A8 — approximate sketch aggregates WITH a checkable error contract.
+    * HLL / KLL sketch values are engine-specific (DuckDB cannot reproduce
+    * Spark's registers), so the query publishes the CONTRACT instead of
+    * the raw estimates: per group, the exact distinct count plus booleans
+    * asserting the sketches land within 5% relative error of the exact
+    * answers — which the oracle can check (`TRUE AS hll_ok`). The exact
+    * subquery exists only to evaluate the contract; the production path
+    * is the approx frame alone (single-pass, mergeable, no
+    * count-distinct expansion).
+    */
+  def a8ApproxAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val approx = li.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
         expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+    approx.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) /
+          col("exact_orders") <= 0.05).as("hll_ok"),
+        (abs(col("approx_p50") - col("exact_p50")) /
+          col("exact_p50") <= 0.05).as("p50_ok"))
+  }
 
   /** Q6-shape selective aggregate: every predicate reaches the parquet
     * scan (PushedFilters), only 3 columns are read, and the whole plan is
@@ -472,9 +492,14 @@ object Relational {
     "a5_distinct_count" -> (a5DistinctCount _),
   )
 
-  // a8_approx_agg intentionally has NO oracle entry: HLL/KLL sketches are
-  // engine-specific; the driver records a rows-only check.
   val oracle: Map[String, String] = Map(
+    // a8's raw sketch values are engine-specific; the query outputs the
+    // error CONTRACT (exact count + within-5% booleans), which IS exact.
+    "a8_approx_agg" -> """
+      SELECT l_returnflag,
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        TRUE AS hll_ok, TRUE AS p50_ok
+      FROM lineitem GROUP BY 1""",
     "q6_selective_agg" -> """
       SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
                AS DOUBLE) / 100.0 AS revenue,
