@@ -184,11 +184,41 @@ object Sources {
       .option("truncate", "false") // full drop+recreate like the reference
       .mode(SaveMode.Overwrite)
 
+  /** S4 e2e — live JDBC round-trip through an embedded Derby database (the
+    * Derby jars ship with Spark's Hive-metastore dependency, so this runs
+    * offline; in production the same writer points at the warehouse URL,
+    * ref dags/projectde_dag.py:144-150, 240-245).
+    *
+    * The overwrite CONTRACT is asserted by construction: a stale decoy
+    * table with a different schema and junk rows is written first, then
+    * overwritten with the real relation. If overwrite were append or
+    * truncate-keep-schema, the read-back would carry the decoy's schema or
+    * rows and the oracle hash would mismatch — a hash-green run proves
+    * drop+recreate end to end.
+    */
+  def s4JdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    // keep derby.log out of the repo working dir
+    System.setProperty("derby.system.home",
+      System.getProperty("java.io.tmpdir"))
+    val url = "jdbc:derby:memory:graft_s4;create=true"
+    val decoy = t(spark, dir, "nation").limit(3)
+      .select(col("n_nationkey"), lit("stale").as("junk"))
+    jdbcOverwriteWriter(decoy, url, "graft_nation").save()
+    val src = t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    jdbcOverwriteWriter(src, url, "graft_nation").save()
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", "graft_nation")
+      .load()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_html_table_scan" -> (s1HtmlTableScan _),
     "s1b_html_dsv2" -> (s1bHtmlDsv2 _),
     "s2_csv_scan" -> (s2CsvScan _),
     "s3_rows_table" -> (s3RowsTable _),
+    "s4_jdbc_roundtrip" -> (s4JdbcRoundtrip _),
     "s5_csv_sink" -> (s5CsvSink _),
     "s8_limit_preview" -> (s8LimitPreview _),
     "s9_ddl_catalog" -> (s9DdlCatalog _),
@@ -215,6 +245,8 @@ object Sources {
         ('Mo', 'Monday'), ('Tu', 'Tuesday'), ('We', 'Wednesday'),
         ('Th', 'Thursday'), ('Fr', 'Friday'), ('Sa', 'Saturday'),
         ('Su', 'Sunday')) AS t(day_abbrev, day_name)""",
+    "s4_jdbc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s5_csv_sink" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s8_limit_preview" -> "SELECT * FROM customer ORDER BY c_custkey LIMIT 5",
     "s9_ddl_catalog" ->

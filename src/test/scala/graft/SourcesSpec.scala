@@ -39,9 +39,20 @@ class SourcesSpec extends AnyFunSuite {
       Seq((1, "x")).toDF("id", "v"),
       "jdbc:postgresql://localhost:5432/warehouse", "matches_england",
       "user", "pw")
-    // no live database in the sandbox: the save() path is exercised against
-    // parquet elsewhere; here the writer must at least be fully configured
+    // no live postgres in the sandbox: the live e2e runs through embedded
+    // Derby below; here the writer must at least be fully configured
     val err = intercept[Exception](w.save())
     assert(err.getMessage != null)
+  }
+
+  test("s4 jdbc round-trip: overwrite drops the decoy and returns nation") {
+    val got = Sources.s4JdbcRoundtrip(spark, "/root/testdata/sf0.001")
+    // decoy schema (n_nationkey, junk) must be gone — full drop+recreate
+    assert(got.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    val src = graft.Tables.t(spark, "/root/testdata/sf0.001", "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet == src)
+    assert(src.size == 25)
   }
 }
