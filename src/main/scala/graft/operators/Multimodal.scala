@@ -45,16 +45,38 @@ object Multimodal {
       })
   }
 
+  /** REAL DECODER — JDK-builtin `javax.imageio`, no external libs. Width
+    * and height come from actually parsing the image bytes; the format is
+    * sniffed from the payload's magic number. Single-frame stills only
+    * (n_frames = 1) — a video codec plugs in through the same signature.
+    */
+  def imageioDecode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable payload for doc $docId")
+    val fmt =
+      if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+      else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8) "jpeg"
+      else "unknown"
+    MediaMeta(docId, bytes.length, img.getWidth, img.getHeight, 1, fmt)
+  }
+
   /** The real plumbing: binary column → typed partition transform →
     * decoded metadata Dataset. Iterator-to-iterator (lazy) so a partition
-    * of large blobs never materializes in memory.
+    * of large blobs never materializes in memory. The decode kernel is a
+    * parameter: `imageioDecode` for real stills, `fakeDecode` for the
+    * md5-twin oracle path.
     */
-  def decodePartitions(binDf: DataFrame): Dataset[MediaMeta] = {
+  def decodePartitions(binDf: DataFrame,
+      decoder: (Long, Array[Byte]) => MediaMeta = fakeDecode _)
+      : Dataset[MediaMeta] = {
     val spark = binDf.sparkSession
     import spark.implicits._
     binDf.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decoder(id, bytes) })
   }
 
   /** Documents table with a synthesized binary payload column (the corpus
@@ -64,6 +86,41 @@ object Multimodal {
   def withPayload(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Encode a deterministic tiny PNG (executor-side; JDK ImageIO only). */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((seed * 31 + y * width + x) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Documents with a REAL image payload: a tiny PNG rendered per row,
+    * executor-side, whose dimensions are pure functions of doc_id —
+    * width = 1 + doc_id % 16, height = 1 + (doc_id / 16) % 16. That makes
+    * the real decode oracle-checkable: any SQL engine can predict the
+    * dimensions without decoding.
+    */
+  def withPngPayload(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 1 + (id % 16).toInt
+        val h = 1 + ((id / 16) % 16).toInt
+        (id, encodePng(w, h, id))
+      })
+      .toDF("doc_id", "payload")
+  }
 
   /** Decode metadata — Column-expression twin of `fakeDecode` (same md5
     * arithmetic, so the SQL oracle and the mapPartitions path agree;
@@ -94,8 +151,19 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         round(col("frame_idx") / 25.0, 6).as("frame_ts"))
 
+  /** REAL end-to-end decode: render PNG bytes per document, parse them
+    * back with javax.imageio on the executors, return the decoded
+    * dimensions. The oracle predicts them arithmetically from doc_id —
+    * a hash-match proves the bytes round-tripped through a real codec.
+    */
+  def mmDecodeReal(spark: SparkSession, dir: String): DataFrame =
+    decodePartitions(withPngPayload(spark, dir), imageioDecode _)
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("fmt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> (mmDecodeMeta _),
+    "mm_decode_real" -> (mmDecodeReal _),
     "mm_frame_sample" -> (mmFrameSample _),
   )
 
@@ -110,6 +178,12 @@ object Multimodal {
         CASE ascii(substr(hex, 4, 1)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
           ELSE 'webp' END AS fmt
       FROM h""",
+    "mm_decode_real" -> """
+      SELECT doc_id,
+        CAST(1 + doc_id % 16 AS INT) AS width,
+        CAST(1 + (doc_id // 16) % 16 AS INT) AS height,
+        'png' AS fmt
+      FROM documents""",
     "mm_frame_sample" -> """
       WITH h AS (SELECT doc_id, 1 + ascii(substr(md5(text), 3, 1)) % 8
                    AS n_frames

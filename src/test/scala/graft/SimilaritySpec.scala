@@ -62,6 +62,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mpSide.count() > 0)
   }
 
+  test("real PNG decode: imageio-parsed dims equal the generator's intent") {
+    val rows = Multimodal.mmDecodeReal(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") == 1 + (id % 16).toInt)
+      assert(r.getAs[Int]("height") == 1 + ((id / 16) % 16).toInt)
+      assert(r.getAs[String]("fmt") == "png")
+    }
+  }
+
   test("frame sample: every 2nd frame, ts = idx/25") {
     val rows = Multimodal.mmFrameSample(spark, dir).collect()
     assert(rows.forall(_.getAs[Int]("frame_idx") % 2 == 0))
