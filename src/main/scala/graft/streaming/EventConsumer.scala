@@ -13,8 +13,14 @@ import graft.Tables
 case class Ev(user_id: Long, ts: Timestamp, value: Double)
 case class Session(user_id: Long, session_start: Timestamp,
   session_end: Timestamp, n_events: Long, total_value: Double)
+/** `cents` accumulates each event's value rounded to integer cents —
+  * the same half-up-per-value rounding as the batch twin's
+  * DECIMAL(18,2) cast, so the two paths agree for any input precision
+  * (a double running sum rounded once at emit diverges on >2-decimal
+  * values and .005 halves).
+  */
 case class SessionState(start: Timestamp, end: Timestamp, n: Long,
-  total: Double)
+  cents: Long)
 
 /** ST3 — the reference's declared-but-absent Kafka consumer
   * (Makefile:173-179; kafka jars at docker/Dockerfile.spark:8-10),
@@ -149,7 +155,7 @@ object EventConsumer {
           // the batch twin's min/max(ts); getTime is used only for the
           // gap comparison, where sub-millisecond slack is irrelevant.
           def emit(s: SessionState): Session =
-            Session(user, s.start, s.end, s.n, math.rint(s.total * 100) / 100)
+            Session(user, s.start, s.end, s.n, s.cents / 100.0)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
@@ -163,12 +169,14 @@ object EventConsumer {
                 case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
                   val end = if (e.ts.after(s.end)) e.ts else s.end
                   cur = Some(SessionState(s.start, end, s.n + 1,
-                    s.total + e.value))
+                    s.cents + math.round(e.value * 100)))
                 case Some(s) => // gap inside the batch → close the old one
                   closed ::= emit(s)
-                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+                  cur = Some(SessionState(e.ts, e.ts, 1,
+                    math.round(e.value * 100)))
                 case None =>
-                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+                  cur = Some(SessionState(e.ts, e.ts, 1,
+                    math.round(e.value * 100)))
               }
             }
             cur.foreach { s =>
