@@ -16,9 +16,9 @@ class EntryContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
-  test("queries without an oracle are the documented rows-only set") {
+  test("every query has an oracle (no rows-only checks left)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("a8_approx_agg"), s"undocumented rows-only: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"undocumented rows-only: $rowsOnly")
   }
 
   test("bench headline names existing queries") {
