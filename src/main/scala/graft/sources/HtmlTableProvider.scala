@@ -40,40 +40,63 @@ object HtmlTableProvider {
 
 private class HtmlTable(schema0: StructType, props: Map[String, String])
     extends Table with SupportsRead {
-  override def name(): String = s"html(${props.getOrElse("path", "?")})"
+  override def name(): String =
+    s"html(${props.getOrElse("url", props.getOrElse("path", "?"))})"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new HtmlScanBuilder(schema0, options.get("path"))
+    new HtmlScanBuilder(schema0, Option(options.get("path")),
+      Option(options.get("url")))
 }
 
-private class HtmlScanBuilder(schema: StructType, path: String)
-    extends ScanBuilder with Scan with Batch {
+/** `path`: local file or directory of files. `url`: comma-separated list
+  * of URLs fetched IN THE READER (executor-side, one partition per URL) —
+  * the scale-out realization of the reference's driver-side
+  * `requests.get` (dags/projectde_dag.py:33). `file://` URLs exercise the
+  * same code path offline; http(s) is the production case.
+  */
+private class HtmlScanBuilder(schema: StructType, path: Option[String],
+    urls: Option[String]) extends ScanBuilder with Scan with Batch {
   override def build(): Scan = this
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new java.io.File(path)
-    val files = if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.getPath)
-                else Array(path)
-    files.sorted.map(p => HtmlInputPartition(p): InputPartition)
+    val sources = urls match {
+      case Some(u) => u.split(",").map(_.trim).filter(_.nonEmpty)
+      case None =>
+        val p = path.getOrElse(
+          throw new IllegalArgumentException("html source needs path or url"))
+        val f = new java.io.File(p)
+        if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.getPath)
+        else Array(p)
+    }
+    sources.sorted.map(s => HtmlInputPartition(s): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new HtmlReaderFactory(schema.length)
 }
 
-private case class HtmlInputPartition(path: String) extends InputPartition
+private case class HtmlInputPartition(src: String) extends InputPartition
 
 private class HtmlReaderFactory(nCols: Int) extends PartitionReaderFactory {
+
+  private def fetch(src: String): String =
+    if (src.contains("://")) {
+      val conn = new java.net.URI(src).toURL.openConnection()
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    } else new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(src)), "UTF-8")
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val path = p.asInstanceOf[HtmlInputPartition].path
+    val src = p.asInstanceOf[HtmlInputPartition].src
     new PartitionReader[InternalRow] {
-      private val rows = Sources.parseHtmlTableRows(
-          new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(path)), "UTF-8"))
+      private val rows = Sources.parseHtmlTableRows(fetch(src))
         .filter(_.length >= nCols).iterator
       private var cur: Seq[String] = _
       override def next(): Boolean = { val h = rows.hasNext; if (h) cur = rows.next(); h }

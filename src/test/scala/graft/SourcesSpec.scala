@@ -45,6 +45,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }
 
+  test("html dsv2: url option fetches in the reader (file:// offline twin)") {
+    val f = java.nio.file.Files.createTempFile("graft-html", ".html")
+    java.nio.file.Files.write(f, Sources.htmlFixture.getBytes("UTF-8"))
+    val df = spark.read.format("graft.sources.HtmlTableProvider")
+      .option("url", f.toUri.toString)
+      .load()
+    assert(df.count() == 5) // 4 matches + the junk totals row
+    assert(df.columns.toSeq == Seq("c0", "c1", "c2", "c3"))
+    assert(df.rdd.getNumPartitions == 1) // one partition per URL
+  }
+
   test("s4 jdbc round-trip: overwrite drops the decoy and returns nation") {
     val got = Sources.s4JdbcRoundtrip(spark, "/root/testdata/sf0.001")
     // decoy schema (n_nationkey, junk) must be gone — full drop+recreate
