@@ -456,6 +456,22 @@ object Relational {
           col("exact_p50") <= 0.05).as("p50_ok"))
   }
 
+  /** O5 — top-3 orders per priority via the NATIVE TopKPerKey operator
+    * (plans/TopK.scala: marker Expression → TopKRewrite → TopKPerKey
+    * logical node → TopKStrategy → two-phase TopKPerKeyExec). Unlike the
+    * window idiom (row_number over a per-key sort of every row), the
+    * physical plan is partial bounded-heaps → exchange carrying ≤ k rows
+    * per (partition, key) → final heaps — no sort anywhere.
+    */
+  def o5TopKPerKey(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .filter(call_function("graft_topk", lit(3),
+        col("o_totalprice").cast("double"), col("o_orderkey").cast("long"),
+        col("o_orderpriority")))
+  }
+
   /** Q6-shape selective aggregate: every predicate reaches the parquet
     * scan (PushedFilters), only 3 columns are read, and the whole plan is
     * scan → partial agg → single-row final agg — the minimal-IO shape.
@@ -487,12 +503,19 @@ object Relational {
     "o2_rank_id" -> (o2RankId _),
     "o3_topk_limit" -> (o3TopKLimit _),
     "o4_window_funcs" -> (o4WindowFuncs _),
+    "o5_topk_per_key" -> (o5TopKPerKey _),
     "u2_intersect" -> (u2Intersect _),
     "u3_except" -> (u3Except _),
     "a5_distinct_count" -> (a5DistinctCount _),
   )
 
   val oracle: Map[String, String] = Map(
+    "o5_topk_per_key" -> """
+      SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3""",
     // a8's raw sketch values are engine-specific; the query outputs the
     // error CONTRACT (exact count + within-5% booleans), which IS exact.
     "a8_approx_agg" -> """

@@ -137,10 +137,18 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
-    // the rewrite rule is idempotent; adding it twice is harmless
+    reg.createOrReplaceTempFunction(
+      "graft_topk", exprs => TopKMarker(exprs), "built-in")
+    // the rewrite rules are idempotent; adding twice is harmless
     if (!spark.experimental.extraOptimizations.contains(LshJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LshJoinRewrite
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
   }
 }
 
@@ -167,6 +175,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKMarker].getName, "graft_topk"),
+      (exprs: Seq[Expression]) => TopKMarker(exprs)))
     e.injectOptimizerRule(_ => LshJoinRewrite)
+    e.injectOptimizerRule(_ => TopKRewrite)
+    e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
