@@ -65,13 +65,13 @@ object Dedup {
   private[operators] def sketches(spark: SparkSession, dir: String): DataFrame =
     sketchCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
       graft.plans.GraftFunctions.register(spark)
-      val df = docShingles(spark, dir)
+      // no eager count: the first consumer's own map stage computes and
+      // caches the partitions (one pass — saves a whole extra action)
+      docShingles(spark, dir)
         .select(col("doc_id"),
           call_function("graft_minhash8", col("sh")).as("sig"),
           call_function("graft_simhash64", col("sh")).as("simhash"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
     })
 
   /** Candidate pairs from a banded signature relation, with a hot-bucket
