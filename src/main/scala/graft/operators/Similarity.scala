@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -115,6 +115,76 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** IVF-FLAT ANN — the inverted-file scale path next to sign-LSH. The
+    * coarse quantizer here is SEEDED (centroids = the 16 vectors with
+    * vec_id < 16) so the whole structure is deterministic and
+    * oracle-checkable; production would train it with k-means over
+    * CentroidAggregator — quantizer quality moves RECALL, never
+    * correctness of the in-list search.
+    *
+    * Scale shape: the codebook is collected once (16 rows — the same
+    * driver hop a broadcast does) and burned into plan literals, so LIST
+    * ASSIGNMENT IS MAP-SIDE (one HOF expression per row, argmax over 16
+    * rounded cosines, zero shuffle — this is the step that touches all
+    * N vectors). Queries probe their top-4 centroid lists; the probe
+    * relation (queries × 4) broadcasts into an equi-join against the
+    * assigned corpus, and only in-list candidates are scored exactly.
+    * Cosines are rounded to 6 dp BEFORE every argmax/rank so the discrete
+    * choices (list membership, probe set) cannot flip on engine ulp
+    * differences.
+    */
+  def simIvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(spark, dir, "embeddings"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect()
+      .sortBy(_.getAs[Long]("vec_id"))
+    val cVecs = typedLit(cents.map(r =>
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toSeq).toSeq)
+    val cNrms = typedLit(cents.map(_.getAs[Double]("nrm")).toSeq)
+
+    def distsOf(e: Column, n: Column): Column =
+      transform(sequence(lit(0), lit(15)), p =>
+        round(
+          aggregate(
+            zip_with(e, element_at(cVecs, p + 1),
+              (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, v) => acc + v) /
+            (n * element_at(cNrms, p + 1)), 6))
+
+    val assigned = emb
+      .withColumn("dists", distsOf(col("embedding"), col("nrm")))
+      .withColumn("cid",
+        (array_position(col("dists"), array_max(col("dists"))) - 1)
+          .cast("int"))
+      .drop("dists")
+    // probe the 4 nearest centroids (rounded cos desc, cid asc)
+    val probes = assigned.filter(col("vec_id") < 10)
+      .withColumn("dists", distsOf(col("embedding"), col("nrm")))
+      .withColumn("probe", explode(transform(
+        slice(array_sort(transform(sequence(lit(0), lit(15)), p =>
+          struct((-element_at(col("dists"), p + 1)).as("nd"),
+            p.cast("int").as("p")))), 1, 4),
+        s => s.getField("p"))))
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("probe"))
+    val scored = broadcast(probes).as("a")
+      .join(assigned.as("b"),
+        col("a.probe") === col("b.cid") && col("a.qid") =!= col("b.vec_id"))
+      .withColumn("cos", round(expr(
+        """aggregate(zip_with(a.q_emb, b.embedding,
+           (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v)""") /
+        (col("a.q_nrm") * col("b.nrm")), 6))
+      .select(col("a.qid"), col("b.vec_id"), col("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        col("cos").as("cos_sim"))
+  }
+
   /** Similarity join through the declarative `graft_lsh_match` operator:
     * the user writes one predicate; the LshJoinRewrite optimizer rule
     * (plans/LshJoin.scala) turns the nested-loop join it would imply into
@@ -147,6 +217,7 @@ object Similarity {
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_lsh_multiprobe" -> (simLshMultiprobe _),
+    "sim_ivf_ann" -> (simIvfAnn _),
     "sim_lsh_join" -> (simLshJoin _),
     "sim_centroid" -> (simCentroid _),
   )
@@ -208,6 +279,35 @@ object Similarity {
                  FROM probes a JOIN bk b ON a.probe = b.bucket
                    AND a.vec_id <> b.vec_id)
       SELECT qid, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim
+      FROM (SELECT qid, vec_id, cos, row_number() OVER
+              (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
+    "sim_ivf_ann" -> s"""
+      WITH $normCte,
+      c AS (SELECT vec_id AS cid, embedding, nrm FROM n WHERE vec_id < 16),
+      ad AS (SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+               round(list_sum(list_transform(generate_series(1, len(v.embedding)),
+                 i -> v.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                 / (v.nrm * c.nrm), 6) AS d
+             FROM n v CROSS JOIN c),
+      assign AS (SELECT vec_id, embedding, nrm, cid FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d DESC, cid ASC) AS rn FROM ad)
+                 WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, embedding AS q_emb, nrm AS q_nrm,
+                        cid AS probe FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d DESC, cid ASC) AS rn
+                    FROM ad WHERE vec_id < 10)
+                 WHERE rn <= 4),
+      scored AS (SELECT a.qid, b.vec_id,
+                   round(list_sum(list_transform(generate_series(1, len(a.q_emb)),
+                     i -> a.q_emb[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                     / (a.q_nrm * b.nrm), 6) AS cos
+                 FROM probes a JOIN assign b
+                   ON a.probe = b.cid AND a.qid <> b.vec_id)
+      SELECT qid, CAST(rank AS INT) AS rank, vec_id, cos AS cos_sim
       FROM (SELECT qid, vec_id, cos, row_number() OVER
               (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
             FROM scored)

@@ -62,6 +62,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mpSide.count() > 0)
   }
 
+  test("ivf ann: 4 probe lists per query, candidates only from those lists") {
+    val ivf = Similarity.simIvfAnn(spark, dir).collect()
+    assert(ivf.nonEmpty)
+    // ≤5 ranked results per query, ranks contiguous from 1
+    ivf.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.size))
+    }
+    // recall vs brute force: probing 4/16 lists must recover a usable
+    // fraction of the true top-5 (corpus is near-orthogonal → hard)
+    val brute = Similarity.simTopkBruteforce(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val got = ivf.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(s"ivf recall vs brute force: $recall")
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
   test("real PNG decode: imageio-parsed dims equal the generator's intent") {
     val rows = Multimodal.mmDecodeReal(spark, dir).collect()
     assert(rows.nonEmpty)
