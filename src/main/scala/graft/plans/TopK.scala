@@ -118,6 +118,20 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
     tie: Expression, k: Int, partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
 
+  /** Partial-phase memory guard: when the per-partition heap map exceeds
+    * this many distinct keys, the partial FLUSHES its current heaps
+    * downstream and starts fresh. Correctness is unaffected — the final
+    * phase merges every flushed fragment (top-k is a semigroup); the only
+    * cost is extra exchange rows for super-high-cardinality keys. The
+    * final phase never flushes: clustered by key, it holds exactly
+    * (#keys-in-its-partition × k) rows, the hash-aggregate bound.
+    * Tunable via `graft.topk.partialFlushKeys` (TopKSpec drives it to 4
+    * to exercise the flush path).
+    */
+  private def flushKeys: Int =
+    session.conf.getOption("graft.topk.partialFlushKeys")
+      .map(_.toInt).getOrElse(1 << 17)
+
   override def output: Seq[Attribute] = child.output
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -132,6 +146,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
     val ordExpr = ord
     val tieExpr = tie
     val kk = k
+    val isPartial = partial
+    val flushAt = flushKeys
     val childOutput = child.output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -144,30 +160,47 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
           if (c != 0) c else java.lang.Long.compare(a._2, b._2)
         }
       }
-      val heaps =
-        mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, Long, InternalRow)]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val ot = ordProj(row)
-        if (!ot.isNullAt(0)) {
-          val o = ot.getDouble(0)
-          val t = if (ot.isNullAt(1)) 0L else ot.getLong(1)
-          val key = keyProj(row)
-          val heap = heaps.get(key) match {
-            case Some(h) => h
-            case None =>
-              val h = mutable.PriorityQueue.empty[(Double, Long, InternalRow)](worstFirst)
-              heaps.put(key.copy(), h)
-              h
-          }
-          if (heap.size < kk) heap.enqueue((o, t, row.copy()))
-          else if (worstFirst.compare((o, t, null), heap.head) < 0) {
-            heap.dequeue()
-            heap.enqueue((o, t, row.copy()))
-          }
+      new Iterator[InternalRow] {
+        private val heaps =
+          mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, Long, InternalRow)]]
+        private var out: Iterator[InternalRow] = Iterator.empty
+
+        private def drain(): Iterator[InternalRow] = {
+          val it = heaps.values.toArray.iterator.flatMap(_.iterator.map(_._3))
+          heaps.clear()
+          it
         }
+
+        private def fill(): Unit = {
+          while (out.isEmpty && iter.hasNext) {
+            val row = iter.next()
+            val ot = ordProj(row)
+            if (!ot.isNullAt(0)) {
+              val o = ot.getDouble(0)
+              val t = if (ot.isNullAt(1)) 0L else ot.getLong(1)
+              val key = keyProj(row)
+              val heap = heaps.get(key) match {
+                case Some(h) => h
+                case None =>
+                  val h = mutable.PriorityQueue
+                    .empty[(Double, Long, InternalRow)](worstFirst)
+                  heaps.put(key.copy(), h)
+                  h
+              }
+              if (heap.size < kk) heap.enqueue((o, t, row.copy()))
+              else if (worstFirst.compare((o, t, null), heap.head) < 0) {
+                heap.dequeue()
+                heap.enqueue((o, t, row.copy()))
+              }
+              if (isPartial && heaps.size >= flushAt) out = drain()
+            }
+          }
+          if (out.isEmpty && heaps.nonEmpty) out = drain()
+        }
+
+        override def hasNext: Boolean = { if (out.isEmpty) fill(); out.hasNext }
+        override def next(): InternalRow = { if (out.isEmpty) fill(); out.next() }
       }
-      heaps.iterator.flatMap(_._2.iterator.map(_._3))
     }
   }
 }

@@ -56,6 +56,24 @@ class TopKSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[String]("o_orderpriority") != "1-URGENT"))
   }
 
+  test("partial flush guard: result unchanged when heaps flush every 4 keys") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    def run(): Set[Seq[Any]] = (1L to 2000L).toDF("id").repartition(4)
+      .select((col("id") % 100).cast("string").as("key"), col("id"),
+        (col("id") % 37).cast("double").as("score"))
+      .filter(call_function("graft_topk", lit(3),
+        col("score"), col("id"), col("key")))
+      .collect().map(_.toSeq).toSet
+    val unflushed = run()
+    spark.conf.set("graft.topk.partialFlushKeys", "4")
+    try {
+      val flushed = run() // 100 keys per partition → many flushes
+      assert(flushed == unflushed)
+      assert(flushed.size == 300) // 100 keys × 3
+    } finally spark.conf.unset("graft.topk.partialFlushKeys")
+  }
+
   test("partial phase caps shuffle rows at k per (partition, key)") {
     // a 1000-row single-key relation across many partitions: the exchange
     // input is the partial survivors (≤ k per partition), not 1000 rows
