@@ -25,10 +25,15 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply the library conf contract to an existing session (idempotent). */
+  /** Apply the library conf contract to an existing session (idempotent),
+    * and install the graft function/rule/strategy registry so SQL users
+    * get `graft_*` functions and the custom operators without a separate
+    * registration call.
+    */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.GraftFunctions.register(spark)
     spark
   }
 
