@@ -44,6 +44,16 @@ class TopKSpec extends AnyFunSuite {
     assert(flat.contains("Exchange"), s"missing exchange:\n$flat")
   }
 
+  test("pure-SQL path: graft_topk works in a WHERE clause via spark.sql") {
+    graft.Tables.t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    val got = spark.sql("""
+      SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders_v
+      WHERE graft_topk(3, CAST(o_totalprice AS DOUBLE),
+        CAST(o_orderkey AS BIGINT), o_orderpriority)""")
+      .collect().map(_.toSeq).toSet
+    assert(got == native.collect().map(_.toSeq).toSet)
+  }
+
   test("residual predicates combined with the marker still apply") {
     graft.plans.GraftFunctions.register(spark)
     val got = graft.Tables.t(spark, dir, "orders")
