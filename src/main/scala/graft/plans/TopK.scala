@@ -4,12 +4,15 @@ import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, NumericType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** TOP-K PER KEY as a first-class operator — the full custom-operator
   * stack (marker Expression → Rule[LogicalPlan] → custom LogicalPlan →
@@ -32,24 +35,110 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   * strictly less than the window idiom's full-partition sort buffer.
   *
   * Usage (installed by GraftFunctions.register / GraftExtensions):
+  *
+  *   -- single ordering column, descending (the classic form):
+  *   df.filter(call_function("graft_topk", lit(k), ord, tie, key1, ...))
+  *
+  *   -- explicit / multi-column ordering ('asc' | 'desc' literal after
+  *   -- each ordering column):
   *   df.filter(call_function("graft_topk", lit(k),
-  *     ord.cast("double"), tie.cast("long"), key1, ...))
-  * Ranking is ord DESC with tie ASC as the total-order tiebreak (tie must
-  * be unique per row for deterministic results). Rows with NULL ord are
-  * dropped (they rank below everything, matching the window idiom where
-  * NULLS LAST puts them past rank k for k < group size).
+  *     ord1, lit("desc"), ord2, lit("asc"), tie, key1, ...))
+  *
+  * With NO key columns the operator computes a GLOBAL top-k (final phase
+  * gathers the ≤ k-per-partition partial survivors into one partition).
+  * Ordering columns and the tie column take any numeric type — the
+  * rewrite inserts the double/long casts (ties compare as ascending
+  * long; tie must be unique per row for deterministic results). Rows
+  * with a NULL in any ordering column are dropped (they rank below
+  * everything, matching the window idiom where NULLS LAST puts them past
+  * rank k for k < group size).
+  *
+  * Predicate-interaction contract (pinned by TopKSpec): conjuncts in the
+  * SAME filter condition as the marker apply BEFORE ranking (they
+  * constrain the ranked relation); separate `.filter` calls keep query
+  * order — a filter applied after the top-k filter stays above it. The
+  * marker reports `deterministic = false` precisely so the optimizer
+  * cannot merge a later filter into the marker's (CombineFilters) or
+  * push the marker below a Project/Join (PushDownPredicates) — either
+  * would silently re-order ranking vs filtering.
   */
 case class TopKMarker(children: Seq[Expression]) extends Expression
     with Unevaluable {
-  // children = k (int literal), ord (double), tie (long), keys...
+  // children = k (int literal), then either
+  //   ord, tie, keys...                          (legacy: ord DESC), or
+  //   (ord, 'asc'|'desc')..., tie, keys...       (explicit directions)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
+
+  /** Nondeterministic BY DECLARATION (evaluation is a pure marker): stops
+    * CombineFilters from merging later filters into this one and
+    * PushDownPredicates from moving it below Project/Join — both legal
+    * for deterministic predicates and both semantics-changing here.
+    */
+  override lazy val deterministic: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TopKMarker.parse(children) match {
+      case scala.util.Left(msg) => TypeCheckFailure(msg)
+      case scala.util.Right(spec) =>
+        spec.k match {
+          case Literal(_: Int, IntegerType) =>
+          case other => return TypeCheckFailure(
+            s"graft_topk: k must be an INT literal, got ${other.sql}")
+        }
+        spec.ords.map(_._1).find(e => !e.dataType.isInstanceOf[NumericType])
+          .foreach { e => return TypeCheckFailure(
+            s"graft_topk: ordering column ${e.sql} has type " +
+              s"${e.dataType.simpleString}; numeric required") }
+        if (!spec.tie.dataType.isInstanceOf[NumericType])
+          return TypeCheckFailure(
+            s"graft_topk: tie column ${spec.tie.sql} has type " +
+              s"${spec.tie.dataType.simpleString}; numeric required")
+        TypeCheckSuccess
+    }
+
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): TopKMarker = copy(children = cs)
 }
 
+object TopKMarker {
+  /** Parsed argument structure: ords carry (expr, descending?). */
+  final case class Spec(k: Expression, ords: Seq[(Expression, Boolean)],
+      tie: Expression, keys: Seq[Expression])
+
+  private def dirOf(e: Expression): Option[Boolean] = e match {
+    case Literal(s: UTF8String, t) if t.isInstanceOf[StringType] =>
+      s.toString.toLowerCase match {
+        case "desc" => Some(true)
+        case "asc" => Some(false)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Arity/structure guard with descriptive messages (ADVICE: a bad call
+    * must die at analysis, not with an opaque planner require).
+    */
+  def parse(children: Seq[Expression]): Either[String, Spec] = {
+    if (children.length < 3)
+      return scala.util.Left("graft_topk needs at least (k, ord, tie [, keys...]); " +
+        s"got ${children.length} argument(s)")
+    val ords = mutable.Buffer.empty[(Expression, Boolean)]
+    var i = 1
+    while (i + 1 < children.length && dirOf(children(i + 1)).isDefined) {
+      ords += ((children(i), dirOf(children(i + 1)).get))
+      i += 2
+    }
+    if (ords.isEmpty) { ords += ((children(1), true)); i = 2 }
+    if (i >= children.length)
+      return scala.util.Left("graft_topk: missing tie column after the " +
+        "(ord, 'asc'|'desc') pairs")
+    scala.util.Right(Spec(children.head, ords.toSeq, children(i), children.drop(i + 1)))
+  }
+}
+
 /** Logical top-k-per-key. Preserves the child's output unchanged. */
-case class TopKPerKey(keys: Seq[Expression], ord: Expression,
+case class TopKPerKey(keys: Seq[Expression], ords: Seq[(Expression, Boolean)],
     tie: Expression, k: Int, child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
@@ -57,11 +146,13 @@ case class TopKPerKey(keys: Seq[Expression], ord: Expression,
 }
 
 /** Rewrite `Filter(graft_topk(...), child)` → `TopKPerKey(child)`.
-  * Runs in extraOptimizations (after the main batches), so the marker may
-  * have been conjoined with other predicates by CombineFilters — the rule
-  * splits the conjunction and keeps the residual as a real Filter UNDER
-  * the top-k (predicates combined into one Filter node would have
-  * filtered before ranking in the original query order).
+  *
+  * Conjuncts sharing the marker's filter condition become a Filter UNDER
+  * the top-k (same-condition conjuncts constrain the ranked input — the
+  * documented contract). Cross-filter reordering cannot happen because
+  * the marker is nondeterministic (see TopKMarker). After the rewrite,
+  * any marker still left in the plan (under OR/NOT, in a projection, …)
+  * fails with a descriptive error instead of dying later as Unevaluable.
   */
 object TopKRewrite extends Rule[LogicalPlan] {
 
@@ -77,22 +168,45 @@ object TopKRewrite extends Rule[LogicalPlan] {
     (markers.headOption.map(_.asInstanceOf[TopKMarker]), rest)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
-      split(cond) match {
-        case (Some(m), rest) =>
-          val base =
-            if (rest.isEmpty) child
-            else org.apache.spark.sql.catalyst.plans.logical.Filter(
-              rest.reduce(And), child)
-          val k = m.children.head match {
-            case Literal(v: Int, _) => v
-            case other => throw new IllegalArgumentException(
-              s"graft_topk k must be an int literal, got $other")
-          }
-          TopKPerKey(m.children.drop(3), m.children(1), m.children(2), k, base)
-        case _ => f
+  private def asDouble(e: Expression): Expression =
+    if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val rewritten = plan.transform {
+      case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+        split(cond) match {
+          case (Some(m), rest) =>
+            val base =
+              if (rest.isEmpty) child
+              else org.apache.spark.sql.catalyst.plans.logical.Filter(
+                rest.reduce(And), child)
+            val spec = TopKMarker.parse(m.children) match {
+              case scala.util.Right(s) => s
+              case scala.util.Left(msg) => throw new IllegalArgumentException(msg)
+            }
+            val k = spec.k match {
+              case Literal(v: Int, IntegerType) => v
+              case other => throw new IllegalArgumentException(
+                s"graft_topk: k must be an INT literal, got $other")
+            }
+            TopKPerKey(spec.keys,
+              spec.ords.map { case (e, desc) => (asDouble(e), desc) },
+              asLong(spec.tie), k, base)
+          case _ => f
+        }
+    }
+    rewritten.foreach { node =>
+      node.expressions.foreach { e =>
+        if (e.exists(_.isInstanceOf[TopKMarker]))
+          throw new IllegalArgumentException(
+            "graft_topk must appear as a top-level conjunct of a filter " +
+              "condition (WHERE a AND graft_topk(...)); it cannot sit " +
+              "under OR/NOT or inside a projection: " + e.sql)
       }
+    }
+    rewritten
   }
 }
 
@@ -101,10 +215,10 @@ object TopKRewrite extends Rule[LogicalPlan] {
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, ord, tie, k, child) =>
-      val partial = TopKPerKeyExec(keys, ord, tie, k, partial = true,
+    case TopKPerKey(keys, ords, tie, k, child) =>
+      val partial = TopKPerKeyExec(keys, ords, tie, k, partial = true,
         planLater(child))
-      TopKPerKeyExec(keys, ord, tie, k, partial = false, partial) :: Nil
+      TopKPerKeyExec(keys, ords, tie, k, partial = false, partial) :: Nil
     case _ => Nil
   }
 }
@@ -112,10 +226,13 @@ object TopKStrategy extends SparkStrategy {
 /** Bounded-heap top-k per key. Partial phase runs on whatever partitioning
   * the child has (map-side cap); final phase requires clustering by the
   * keys — EnsureRequirements inserts the hash exchange, which then only
-  * carries the partial survivors.
+  * carries the partial survivors. With NO keys the final phase requires
+  * AllTuples (one partition): global top-k over the ≤ k-per-partition
+  * partial survivors, never over the full table.
   */
-case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
-    tie: Expression, k: Int, partial: Boolean, child: SparkPlan)
+case class TopKPerKeyExec(keys: Seq[Expression],
+    ords: Seq[(Expression, Boolean)], tie: Expression, k: Int,
+    partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
 
   /** Partial-phase memory guard: when the per-partition heap map exceeds
@@ -136,6 +253,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    else if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
@@ -143,7 +261,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
-    val ordExpr = ord
+    val ordExprs = ords.map(_._1)
+    val descDirs = ords.map(_._2).toArray
+    val nOrd = descDirs.length
     val tieExpr = tie
     val kk = k
     val isPartial = partial
@@ -151,18 +271,25 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
     val childOutput = child.output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ordProj = UnsafeProjection.create(Seq(ordExpr, tieExpr), childOutput)
-      // dequeue yields the WORST kept row: smaller ord first, then larger tie
-      val worstFirst = new Ordering[(Double, Long, InternalRow)] {
-        override def compare(a: (Double, Long, InternalRow),
-            b: (Double, Long, InternalRow)): Int = {
-          val c = java.lang.Double.compare(b._1, a._1)
-          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      val ordProj = UnsafeProjection.create(ordExprs :+ tieExpr, childOutput)
+      // dequeue yields the WORST kept row: per ordering column, desc means
+      // larger-is-better (so smaller sorts toward the head), asc the
+      // reverse; ties break toward the larger tie value being worse.
+      val worstFirst = new Ordering[(Array[Double], Long, InternalRow)] {
+        override def compare(a: (Array[Double], Long, InternalRow),
+            b: (Array[Double], Long, InternalRow)): Int = {
+          var i = 0
+          while (i < nOrd) {
+            val c = java.lang.Double.compare(a._1(i), b._1(i))
+            if (c != 0) return if (descDirs(i)) -c else c
+            i += 1
+          }
+          java.lang.Long.compare(a._2, b._2)
         }
       }
       new Iterator[InternalRow] {
         private val heaps =
-          mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, Long, InternalRow)]]
+          mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Array[Double], Long, InternalRow)]]
         private var out: Iterator[InternalRow] = Iterator.empty
 
         private def drain(): Iterator[InternalRow] = {
@@ -175,15 +302,20 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression,
           while (out.isEmpty && iter.hasNext) {
             val row = iter.next()
             val ot = ordProj(row)
-            if (!ot.isNullAt(0)) {
-              val o = ot.getDouble(0)
-              val t = if (ot.isNullAt(1)) 0L else ot.getLong(1)
+            var anyNull = false
+            var i = 0
+            while (i < nOrd) { if (ot.isNullAt(i)) anyNull = true; i += 1 }
+            if (!anyNull) {
+              val o = new Array[Double](nOrd)
+              i = 0
+              while (i < nOrd) { o(i) = ot.getDouble(i); i += 1 }
+              val t = if (ot.isNullAt(nOrd)) 0L else ot.getLong(nOrd)
               val key = keyProj(row)
               val heap = heaps.get(key) match {
                 case Some(h) => h
                 case None =>
                   val h = mutable.PriorityQueue
-                    .empty[(Double, Long, InternalRow)](worstFirst)
+                    .empty[(Array[Double], Long, InternalRow)](worstFirst)
                   heaps.put(key.copy(), h)
                   h
               }

@@ -84,6 +84,130 @@ class TopKSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.topk.partialFlushKeys")
   }
 
+  test("ASC ordering: explicit 'asc' direction matches the window idiom") {
+    graft.plans.GraftFunctions.register(spark)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val expected = graft.Tables.t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(_.toSeq).toSet
+    val got = graft.Tables.t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .filter(call_function("graft_topk", lit(3),
+        col("o_totalprice"), lit("asc"), col("o_orderkey"),
+        col("o_orderpriority")))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.size == 15)
+  }
+
+  test("multi-column ordering: (status desc, totalprice asc) matches window") {
+    graft.plans.GraftFunctions.register(spark)
+    val orders = graft.Tables.t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        (col("o_custkey") % 7).as("cust_band"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cust_band").desc, col("o_totalprice").asc,
+        col("o_orderkey").asc)
+    val expected = orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4).drop("rn")
+      .collect().map(_.toSeq).toSet
+    val got = orders
+      .filter(call_function("graft_topk", lit(4),
+        col("cust_band"), lit("desc"), col("o_totalprice"), lit("asc"),
+        col("o_orderkey"), col("o_orderpriority")))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
+  test("global top-k: no key columns gathers partial survivors, no sort") {
+    graft.plans.GraftFunctions.register(spark)
+    val df = graft.Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .filter(call_function("graft_topk", lit(7),
+        col("o_totalprice"), col("o_orderkey")))
+    val got = df.collect().map(_.toSeq).toSet
+    val expected = graft.Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(7).collect().map(_.toSeq).toSet
+    assert(got == expected)
+    val flat = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(flat.split("\n").count(_.contains("TopKPerKey ")) == 2)
+    assert(!flat.contains("Sort"), s"sort leaked into plan:\n$flat")
+  }
+
+  test("auto-cast: decimal/int ord and tie work without explicit CASTs") {
+    graft.Tables.t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    // o_totalprice is not double, o_orderkey not long in the raw call —
+    // TopKRewrite inserts the casts (ADVICE: un-cast SQL calls must not
+    // silently read wrong bits)
+    val got = spark.sql("""
+      SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders_v
+      WHERE graft_topk(3, o_totalprice, o_orderkey, o_orderpriority)""")
+      .collect().map(_.toSeq).toSet
+    assert(got == native.collect().map(_.toSeq).toSet)
+  }
+
+  test("rank-then-filter: a later .filter stays ABOVE the top-k") {
+    graft.plans.GraftFunctions.register(spark)
+    val base = graft.Tables.t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    // query order: rank first (top-3 per priority), THEN filter the ranked
+    // rows. A deterministic marker would let CombineFilters merge the
+    // second filter into the first and the rewrite would rank the
+    // pre-filtered rows instead (silently different result).
+    val got = base
+      .filter(call_function("graft_topk", lit(3),
+        col("o_totalprice").cast("double"), col("o_orderkey").cast("long"),
+        col("o_orderpriority")))
+      .filter(col("o_orderkey") % 2 === 0)
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val expected = base
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .filter(col("o_orderkey") % 2 === 0)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
+  test("analysis/planning errors are descriptive") {
+    graft.Tables.t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    // arity
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM orders_v WHERE graft_topk(3, o_totalprice)")
+        .collect()
+    }
+    assert(e1.getMessage.contains("graft_topk"), e1.getMessage)
+    // non-numeric ord
+    val e2 = intercept[Exception] {
+      spark.sql("""SELECT * FROM orders_v
+        WHERE graft_topk(3, o_orderpriority, o_orderkey)""").collect()
+    }
+    assert(e2.getMessage.contains("graft_topk") ||
+      e2.getMessage.contains("numeric"), e2.getMessage)
+    // k not a literal
+    val e3 = intercept[Exception] {
+      spark.sql("""SELECT * FROM orders_v
+        WHERE graft_topk(o_shippriority, o_totalprice, o_orderkey)""")
+        .collect()
+    }
+    assert(e3.getMessage.contains("graft_topk"), e3.getMessage)
+    // marker under OR: descriptive, not Unevaluable
+    val e4 = intercept[Exception] {
+      spark.sql("""SELECT * FROM orders_v
+        WHERE graft_topk(3, o_totalprice, o_orderkey, o_orderpriority)
+           OR o_orderkey = 1""").collect()
+    }
+    assert(e4.getMessage.contains("top-level conjunct"), e4.getMessage)
+  }
+
   test("partial phase caps shuffle rows at k per (partition, key)") {
     // a 1000-row single-key relation across many partitions: the exchange
     // input is the partial survivors (≤ k per partition), not 1000 rows
