@@ -48,10 +48,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * gathers the ≤ k-per-partition partial survivors into one partition).
   * Ordering columns and the tie column take any numeric type — the
   * rewrite inserts the double/long casts (ties compare as ascending
-  * long; tie must be unique per row for deterministic results). Rows
-  * with a NULL in any ordering column are dropped (they rank below
-  * everything, matching the window idiom where NULLS LAST puts them past
-  * rank k for k < group size).
+  * long; tie must be unique per row for deterministic results).
+  *
+  * NULL ordering contract: every ordering column compares NULLS LAST —
+  * a NULL ranks below every non-NULL value in ITS OWN column, and
+  * lower-priority columns still break ties among NULLs. This is
+  * per-column (a row with a high first column and NULL second column
+  * ranks on the first column as usual), matching
+  * `desc_nulls_last`/`asc_nulls_last` window ordering exactly — rows are
+  * never silently dropped, so a group with fewer than k non-NULL rows
+  * still returns k rows when it has them. Pinned by TopKSpec against the
+  * window idiom on a nullable secondary column. (Implementation note:
+  * NULL is ranked via a ±Infinity sentinel, so an actual ±Infinity value
+  * in an ordering column ties with NULL instead of ordering before it —
+  * the one deliberate divergence, irrelevant for finite data.)
   *
   * Predicate-interaction contract (pinned by TopKSpec): conjuncts in the
   * SAME filter condition as the marker apply BEFORE ranking (they
@@ -118,6 +128,13 @@ object TopKMarker {
 
   /** Arity/structure guard with descriptive messages (ADVICE: a bad call
     * must die at analysis, not with an opaque planner require).
+    *
+    * Multi-column ordering REQUIRES a direction literal after EVERY
+    * ordering column — `graft_topk(3, ord1, ord2, tie, key)` without
+    * directions would silently parse as legacy single-ord (ord2 becomes
+    * the tie, tie a key). Guard: a direction literal found anywhere past
+    * the (ord, dir) prefix means a misplaced/omitted direction and fails
+    * the call instead of reinterpreting it.
     */
   def parse(children: Seq[Expression]): Either[String, Spec] = {
     if (children.length < 3)
@@ -133,13 +150,33 @@ object TopKMarker {
     if (i >= children.length)
       return scala.util.Left("graft_topk: missing tie column after the " +
         "(ord, 'asc'|'desc') pairs")
-    scala.util.Right(Spec(children.head, ords.toSeq, children(i), children.drop(i + 1)))
+    val rest = children.drop(i)
+    if (rest.exists(e => dirOf(e).isDefined))
+      return scala.util.Left("graft_topk: found an 'asc'/'desc' literal in " +
+        "a tie/key position — multi-column ordering requires a direction " +
+        "literal after EVERY ordering column, e.g. graft_topk(k, ord1, " +
+        "'desc', ord2, 'asc', tie, keys...)")
+    scala.util.Right(Spec(children.head, ords.toSeq, rest.head, rest.tail))
   }
 }
 
-/** Logical top-k-per-key. Preserves the child's output unchanged. */
-case class TopKPerKey(keys: Seq[Expression], ords: Seq[(Expression, Boolean)],
-    tie: Expression, k: Int, child: LogicalPlan) extends UnaryNode {
+/** Logical top-k-per-key. Preserves the child's output unchanged.
+  *
+  * Ordering is modeled as PARALLEL fields (`ordExprs` + `ordDescending`),
+  * never `Seq[(Expression, Boolean)]`: QueryPlan.expressions only
+  * traverses product elements that are Expressions or Seqs of them —
+  * tuples hide their contents, so with tupled ordering the node's
+  * `references` would miss the ordering columns and ColumnPruning
+  * (which runs in the SAME fixed-point batch as this node's rewrite via
+  * the GraftExtensions injectOptimizerRule path) would prune them from
+  * the child whenever the query doesn't project them. TopKSpec pins
+  * expression visibility and the pruning behavior.
+  */
+case class TopKPerKey(keys: Seq[Expression], ordExprs: Seq[Expression],
+    ordDescending: Seq[Boolean], tie: Expression, k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(ordExprs.length == ordDescending.length,
+    "ordExprs and ordDescending must be parallel")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
     copy(child = c)
@@ -165,6 +202,15 @@ object TopKRewrite extends Rule[LogicalPlan] {
       flat(cond)
     }
     val (markers, rest) = conjuncts.partition(_.isInstanceOf[TopKMarker])
+    // Two markers ANDed in ONE condition have no defined composition
+    // order (which top-k ranks first?) — and silently dropping the
+    // second (the old headOption) returned wrong results with no error.
+    // Sequential top-ks belong in separate .filter calls, which stack.
+    if (markers.length > 1)
+      throw new IllegalArgumentException(
+        "graft_topk: multiple graft_topk markers in one filter condition " +
+          "are ambiguous — chain separate .filter(...) calls instead " +
+          "(each ranks the previous result)")
     (markers.headOption.map(_.asInstanceOf[TopKMarker]), rest)
   }
 
@@ -191,9 +237,8 @@ object TopKRewrite extends Rule[LogicalPlan] {
               case other => throw new IllegalArgumentException(
                 s"graft_topk: k must be an INT literal, got $other")
             }
-            TopKPerKey(spec.keys,
-              spec.ords.map { case (e, desc) => (asDouble(e), desc) },
-              asLong(spec.tie), k, base)
+            TopKPerKey(spec.keys, spec.ords.map(p => asDouble(p._1)),
+              spec.ords.map(_._2), asLong(spec.tie), k, base)
           case _ => f
         }
     }
@@ -215,10 +260,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, ords, tie, k, child) =>
-      val partial = TopKPerKeyExec(keys, ords, tie, k, partial = true,
-        planLater(child))
-      TopKPerKeyExec(keys, ords, tie, k, partial = false, partial) :: Nil
+    case TopKPerKey(keys, ordExprs, ordDesc, tie, k, child) =>
+      val partial = TopKPerKeyExec(keys, ordExprs, ordDesc, tie, k,
+        partial = true, planLater(child))
+      TopKPerKeyExec(keys, ordExprs, ordDesc, tie, k, partial = false,
+        partial) :: Nil
     case _ => Nil
   }
 }
@@ -230,8 +276,8 @@ object TopKStrategy extends SparkStrategy {
   * AllTuples (one partition): global top-k over the ≤ k-per-partition
   * partial survivors, never over the full table.
   */
-case class TopKPerKeyExec(keys: Seq[Expression],
-    ords: Seq[(Expression, Boolean)], tie: Expression, k: Int,
+case class TopKPerKeyExec(keys: Seq[Expression], ordExprs: Seq[Expression],
+    ordDescending: Seq[Boolean], tie: Expression, k: Int,
     partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
 
@@ -261,8 +307,8 @@ case class TopKPerKeyExec(keys: Seq[Expression],
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
-    val ordExprs = ords.map(_._1)
-    val descDirs = ords.map(_._2).toArray
+    val ordExprList = ordExprs
+    val descDirs = ordDescending.toArray
     val nOrd = descDirs.length
     val tieExpr = tie
     val kk = k
@@ -271,7 +317,7 @@ case class TopKPerKeyExec(keys: Seq[Expression],
     val childOutput = child.output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ordProj = UnsafeProjection.create(ordExprs :+ tieExpr, childOutput)
+      val ordProj = UnsafeProjection.create(ordExprList :+ tieExpr, childOutput)
       // dequeue yields the WORST kept row: per ordering column, desc means
       // larger-is-better (so smaller sorts toward the head), asc the
       // reverse; ties break toward the larger tie value being worse.
@@ -302,30 +348,38 @@ case class TopKPerKeyExec(keys: Seq[Expression],
           while (out.isEmpty && iter.hasNext) {
             val row = iter.next()
             val ot = ordProj(row)
-            var anyNull = false
+            // NULLS LAST per column: a NULL ranks below every non-NULL
+            // value of its column, encoded as the "worst" sentinel for
+            // the column's direction (desc: -Inf, asc: +Inf). Rows are
+            // never dropped — ties among NULLs fall through to the
+            // remaining columns and the tie, matching
+            // desc_nulls_last/asc_nulls_last window ordering.
+            val o = new Array[Double](nOrd)
             var i = 0
-            while (i < nOrd) { if (ot.isNullAt(i)) anyNull = true; i += 1 }
-            if (!anyNull) {
-              val o = new Array[Double](nOrd)
-              i = 0
-              while (i < nOrd) { o(i) = ot.getDouble(i); i += 1 }
-              val t = if (ot.isNullAt(nOrd)) 0L else ot.getLong(nOrd)
-              val key = keyProj(row)
-              val heap = heaps.get(key) match {
-                case Some(h) => h
-                case None =>
-                  val h = mutable.PriorityQueue
-                    .empty[(Array[Double], Long, InternalRow)](worstFirst)
-                  heaps.put(key.copy(), h)
-                  h
-              }
-              if (heap.size < kk) heap.enqueue((o, t, row.copy()))
-              else if (worstFirst.compare((o, t, null), heap.head) < 0) {
-                heap.dequeue()
-                heap.enqueue((o, t, row.copy()))
-              }
-              if (isPartial && heaps.size >= flushAt) out = drain()
+            while (i < nOrd) {
+              o(i) =
+                if (ot.isNullAt(i)) {
+                  if (descDirs(i)) Double.NegativeInfinity
+                  else Double.PositiveInfinity
+                } else ot.getDouble(i)
+              i += 1
             }
+            val t = if (ot.isNullAt(nOrd)) 0L else ot.getLong(nOrd)
+            val key = keyProj(row)
+            val heap = heaps.get(key) match {
+              case Some(h) => h
+              case None =>
+                val h = mutable.PriorityQueue
+                  .empty[(Array[Double], Long, InternalRow)](worstFirst)
+                heaps.put(key.copy(), h)
+                h
+            }
+            if (heap.size < kk) heap.enqueue((o, t, row.copy()))
+            else if (worstFirst.compare((o, t, null), heap.head) < 0) {
+              heap.dequeue()
+              heap.enqueue((o, t, row.copy()))
+            }
+            if (isPartial && heaps.size >= flushAt) out = drain()
           }
           if (out.isEmpty && heaps.nonEmpty) out = drain()
         }

@@ -208,6 +208,133 @@ class TopKSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("top-level conjunct"), e4.getMessage)
   }
 
+  test("TopKPerKey exposes ordering expressions to QueryPlan") {
+    // ADVICE (high): Seq[(Expression, Boolean)] tuples are INVISIBLE to
+    // QueryPlan.expressions/references — ColumnPruning (same fixed-point
+    // batch as TopKRewrite on the extensions path) would prune the
+    // ordering columns from the child. Ordering is modeled as parallel
+    // Seq fields precisely so this holds:
+    val child = graft.Tables.t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .queryExecution.analyzed
+    val ord = child.output.find(_.name == "o_totalprice").get
+    val tie = child.output.find(_.name == "o_orderkey").get
+    val key = child.output.find(_.name == "o_orderpriority").get
+    val node = graft.plans.TopKPerKey(Seq(key), Seq(ord), Seq(true), tie, 3, child)
+    assert(node.expressions.exists(_.semanticEquals(ord)),
+      s"ordering expr missing from expressions: ${node.expressions}")
+    assert(node.references.contains(ord),
+      s"ordering attr missing from references: ${node.references}")
+  }
+
+  test("extensions path: projection that drops ordering columns still ranks") {
+    // The end-to-end form of the ADVICE bug: via GraftExtensions the
+    // rewrite runs INSIDE the operator-optimization batch with
+    // ColumnPruning; the query projects only o_orderkey, so pruning
+    // would strip the ordering/tie/key columns below TopKPerKey if the
+    // node hid them.
+    val base = SparkTestSession.spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.plans.GraftExtensions())
+      .getOrCreate()
+    try {
+      val got = graft.Tables.t(s2, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .filter(call_function("graft_topk", lit(3),
+          col("o_totalprice"), col("o_orderkey"), col("o_orderpriority")))
+        .select(col("o_orderkey"))
+        .collect().map(_.getLong(0)).toSet
+      val expected = native.collect().map(_.getAs[Long]("o_orderkey")).toSet
+      assert(got == expected)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("NULLS LAST: null in a SECONDARY ordering column still ranks the row") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // id7 is the ADVICE scenario: best ord1 in its key but NULL ord2 —
+    // the old drop-any-null semantics silently lost it; NULLS LAST ranks
+    // it first on ord1.
+    val df = Seq(
+      ("a", Some(10.0), Some(5.0), 1L), ("a", Some(10.0), None, 2L),
+      ("a", Some(10.0), Some(1.0), 3L), ("a", Some(9.0), Some(9.0), 4L),
+      ("b", Some(1.0), None, 5L), ("b", Some(1.0), Some(2.0), 6L),
+      ("b", Some(2.0), None, 7L),
+    ).toDF("key", "ord1", "ord2", "id")
+    val got = df.filter(call_function("graft_topk", lit(2),
+        col("ord1"), lit("desc"), col("ord2"), lit("asc"),
+        col("id"), col("key")))
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy(col("key")).orderBy(
+      col("ord1").desc_nulls_last, col("ord2").asc_nulls_last, col("id").asc)
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.exists(_(3) == 7L), "row with NULL secondary ord must rank")
+  }
+
+  test("NULLS LAST: null in the FIRST ordering column ranks last, not dropped") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val df = Seq(
+      ("a", Some(5.0), 1L), ("a", None: Option[Double], 2L),
+      ("a", None: Option[Double], 3L), ("a", Some(7.0), 4L),
+    ).toDF("key", "ord", "id")
+    // k=3 > 2 non-null rows: window NULLS LAST fills rank 3 with the
+    // lowest-tie NULL row; the operator must match, not return 2 rows
+    val got = df.filter(call_function("graft_topk", lit(3),
+        col("ord"), col("id"), col("key")))
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ord").desc_nulls_last, col("id").asc)
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.size == 3)
+    assert(got.exists(_(2) == 2L), "NULL-ord row with lowest tie takes rank 3")
+  }
+
+  test("misplaced direction literal in tie/key position fails descriptively") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val df = Seq(("a", 1.0, 2.0, 1L)).toDF("key", "ord1", "ord2", "id")
+    // direction AFTER the second ord instead of after every ord — the
+    // greedy parse would otherwise read ord2 as the tie and 'desc' as a key
+    val e = intercept[Exception] {
+      df.filter(call_function("graft_topk", lit(2),
+          col("ord1"), col("ord2"), lit("desc"), col("id"), col("key")))
+        .collect()
+    }
+    assert(e.getMessage.contains("direction literal after EVERY ordering"),
+      e.getMessage)
+  }
+
+  test("two markers ANDed in one condition fail descriptively") {
+    graft.plans.GraftFunctions.register(spark)
+    val base = graft.Tables.t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val e = intercept[Exception] {
+      base.filter(
+        call_function("graft_topk", lit(3), col("o_totalprice").cast("double"),
+          col("o_orderkey").cast("long"), col("o_orderpriority")) &&
+        call_function("graft_topk", lit(2), col("o_totalprice").cast("double"),
+          col("o_orderkey").cast("long"), col("o_orderpriority")))
+        .collect()
+    }
+    assert(e.getMessage.contains("multiple graft_topk"), e.getMessage)
+  }
+
   test("partial phase caps shuffle rows at k per (partition, key)") {
     // a 1000-row single-key relation across many partitions: the exchange
     // input is the partial survivors (≤ k per partition), not 1000 rows
