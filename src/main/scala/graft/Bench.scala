@@ -3,12 +3,28 @@ package graft
 /** Benchmark main (driver contract): runs the headline queries on
   * SPARK_GRAFT_SF_DIR at local[N], prints ONE JSON line.
   *
-  * Measurement notes: results go to the `noop` sink — full materialization
-  * of every column (a bare .count() would let Catalyst prune the work to a
-  * row count). One tiny warmup action absorbs session/codegen start-up so
-  * per-query numbers measure the queries. A failed query is emitted as -1
-  * and listed in "failed" (never summed into total) — a broken query must
-  * not read as a fast pass.
+  * Measurement notes:
+  *  - Results go to the `noop` sink — full materialization of every
+  *    column (a bare .count() would let Catalyst prune the work to a
+  *    row count). One tiny warmup action absorbs session/codegen
+  *    start-up.
+  *  - LOAD ROBUSTNESS: every query runs REPS (default 3) times and the
+  *    reported per-query number is the MEDIAN; all samples are emitted
+  *    under "samples". Three same-commit single-shot runs have spanned
+  *    3× on a loaded machine — a single sample is weather, the median
+  *    of three survives one bad interval.
+  *  - The Dedup signature/candidate index build is ingest-time cost,
+  *    not query cost, so it is timed ONCE as its own "index_build" row
+  *    and the dedup query rows measure post-index query time.
+  *  - Queries that memoize their own result (corpus_clean) get that
+  *    memo evicted before every rep — each rep measures the pipeline,
+  *    not a cache read (the upstream signature index stays, it has its
+  *    own row).
+  *  - A failed rep is emitted as -1 in samples; a query with any failed
+  *    rep reports -1 and is listed in "failed" (never summed into
+  *    total) — a broken query must not read as a fast pass.
+  *  - "rss_mb" (driver VmRSS) and "gc_ms" (cumulative JVM GC time) are
+  *    emitted so a load-poisoned run is diagnosable from the artifact.
   *
   * When tools/oracle_times.json carries DuckDB wall-times for this sf
   * (recorded on the same host via tools/time_oracle.py), the line also
@@ -44,30 +60,79 @@ object Bench {
     } catch { case _: Exception => Map.empty }
   }
 
+  private def rssMb: Long =
+    try {
+      scala.io.Source.fromFile("/proc/self/status").getLines()
+        .find(_.startsWith("VmRSS:"))
+        .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
+    } catch { case _: Exception => -1L }
+
+  private def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.local("graft-bench", cpus)
 
     spark.read.parquet(s"$sfDir/region.parquet").count() // warmup
 
-    val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // ingest-time cost, timed once, its own row
+    val indexBuild =
+      try time(graft.operators.Dedup.buildIndexes(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] index_build failed: ${e.getMessage}")
+        -1.0
+      }
+
+    // per-rep eviction for queries that memoize their own result
+    val resetBeforeRep: Map[String, () => Unit] = Map(
+      "corpus_clean" -> (() =>
+        graft.operators.CorpusPipeline.release(spark, Some(sfDir))),
+    )
+
+    val results: Seq[(String, Seq[Double])] = headline.map { name =>
+      val fn = SparkEntry.queries(name)
+      val samples = (1 to reps).map { _ =>
+        resetBeforeRep.get(name).foreach(_.apply())
+        try time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          -1.0
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, samples)
     }
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v else -1)
-    }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+    def fmt(v: Double): String = (math.round(v * 1e6) / 1e6).toString
+
+    val medians = results.map { case (name, samples) =>
+      name -> (if (samples.contains(-1.0)) -1.0 else median(samples))
+    }
+    val qs = (medians :+ ("index_build" -> indexBuild))
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val samplesJson = results
+      .map { case (k, ss) => "\"" + k + "\":" + ss.map(fmt).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val failed = (medians.collect { case (k, -1.0) => "\"" + k + "\"" } ++
+      (if (indexBuild == -1.0) Seq("\"index_build\"") else Nil))
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = medians.collect { case (_, v) if v >= 0 => v }.sum +
+      math.max(0.0, indexBuild)
     val oracle = oracleTimes(sfDir)
     val ratioPart =
       if (oracle.isEmpty) ""
@@ -75,12 +140,13 @@ object Bench {
         val o = oracle.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
-        val r = results.collect { case (k, v, true) if oracle.contains(k) =>
+        val r = medians.collect { case (k, v) if v >= 0 && oracle.contains(k) =>
           "\"" + k + "\":" + math.round(v / oracle(k) * 1000) / 1000.0
         }.mkString("{", ",", "}")
         s""","oracle":$o,"spark_vs_duckdb":$r"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$ratioPart,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$samplesJson,"reps":$reps,"failed":$failed,"rss_mb":$rssMb,"gc_ms":$gcMs$ratioPart,"sf":"$sfDir"}""")
+    GraftSession.release(spark) // unpin operator caches before teardown
     spark.stop()
   }
 }

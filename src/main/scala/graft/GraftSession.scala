@@ -25,6 +25,39 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Stable per-session identity for the operator caches' keys.
+    * `System.identityHashCode(spark)` (the old key) can COLLIDE: after a
+    * session is GC'd its hash value can be reissued to a new session,
+    * which would then silently read the dead session's cache entries.
+    * A weak-keyed UUID map cannot collide, and its entries vanish with
+    * the session instead of pinning it. (SparkSession itself exposes no
+    * UUID in the classic API — this is the library's substitute.)
+    */
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+
+  private[graft] def sessionId(spark: SparkSession): String =
+    sessionIds.synchronized {
+      Option(sessionIds.get(spark)).getOrElse {
+        val id = java.util.UUID.randomUUID().toString
+        sessionIds.put(spark, id)
+        id
+      }
+    }
+
+  /** Release every frame the graft operator caches have pinned for
+    * `spark` — the Dedup signature index + candidate-pair indexes and the
+    * CorpusPipeline cleaned corpus: unpersists their storage blocks
+    * (blocking, so executor memory is free on return) and evicts the
+    * cache entries. Pass `dir` to release a single corpus only. Queries
+    * stay valid afterwards — the next consumer rebuilds the index.
+    * Bench and Verify call this at teardown; long-lived sessions should
+    * call it between corpora.
+    */
+  def release(spark: SparkSession, dir: Option[String] = None): Unit = {
+    graft.operators.Dedup.release(spark, dir)
+    graft.operators.CorpusPipeline.release(spark, dir)
+  }
+
   /** Apply the library conf contract to an existing session (idempotent),
     * and install the graft function/rule/strategy registry so SQL users
     * get `graft_*` functions and the custom operators without a separate

@@ -30,6 +30,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    GraftSession.release(spark) // unpin operator caches before teardown
     spark.stop()
   }
 }

@@ -22,11 +22,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object CorpusPipeline {
 
-  private val cleanCache = TrieMap.empty[(Int, String, Double), DataFrame]
+  private val cleanCache = TrieMap.empty[(String, String, Double), DataFrame]
+
+  /** Unpersist + evict this session's cleaned-corpus frames (all corpora,
+    * or just `dir`). Called via GraftSession.release.
+    */
+  private[graft] def release(spark: SparkSession, dir: Option[String]): Unit = {
+    val sid = graft.GraftSession.sessionId(spark)
+    cleanCache.keys.toSeq
+      .filter { case (s, d, _) => s == sid && dir.forall(_ == d) }
+      .foreach(cleanCache.remove(_).foreach(_.unpersist(blocking = true)))
+  }
 
   def corpusClean(spark: SparkSession, dir: String,
       minQuality: Double = 0.7): DataFrame =
-    cleanCache.getOrElseUpdate((System.identityHashCode(spark), dir, minQuality), {
+    cleanCache.getOrElseUpdate((graft.GraftSession.sessionId(spark), dir, minQuality), {
       val quality = TextAnalysis.textQuality(spark, dir)
         .select(col("doc_id"), col("quality"))
       val losers = Dedup.minhashPairs(spark, dir)

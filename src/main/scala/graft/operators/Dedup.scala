@@ -41,11 +41,11 @@ object Dedup {
     * recomputing the sketch subtree on both sides of the band self-join.
     * Frames are O(candidate pairs), far smaller than the corpus.
     */
-  private val pairCache = TrieMap.empty[(Int, String, String), DataFrame]
+  private val pairCache = TrieMap.empty[(String, String, String), DataFrame]
 
   private def cachedIndex(spark: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame =
-    pairCache.getOrElseUpdate((System.identityHashCode(spark), dir, kind), {
+    pairCache.getOrElseUpdate((graft.GraftSession.sessionId(spark), dir, kind), {
       val p = build.persist(StorageLevel.MEMORY_AND_DISK)
       p.count() // materialize: the candidate join runs exactly once
       p
@@ -60,10 +60,35 @@ object Dedup {
     * run. In a production deployment this frame is the bucketed signature
     * TABLE written at ingest; the session cache is its in-process twin.
     */
-  private val sketchCache = TrieMap.empty[(Int, String), DataFrame]
+  private val sketchCache = TrieMap.empty[(String, String), DataFrame]
+
+  /** Unpersist + evict this session's cached indexes (all corpora, or
+    * just `dir`). Called via GraftSession.release.
+    */
+  private[graft] def release(spark: SparkSession, dir: Option[String]): Unit = {
+    val sid = graft.GraftSession.sessionId(spark)
+    pairCache.keys.toSeq
+      .filter { case (s, d, _) => s == sid && dir.forall(_ == d) }
+      .foreach(pairCache.remove(_).foreach(_.unpersist(blocking = true)))
+    sketchCache.keys.toSeq
+      .filter { case (s, d) => s == sid && dir.forall(_ == d) }
+      .foreach(sketchCache.remove(_).foreach(_.unpersist(blocking = true)))
+  }
+
+  /** Materialize the session's signature sketch + both candidate-pair
+    * indexes for `dir`. In production this is INGEST-time cost (the
+    * signature table is written once, when documents arrive), so Bench
+    * times it as its own `index_build` row — the dedup query rows then
+    * measure query cost against a built index, which is what a user of a
+    * long-lived corpus actually observes.
+    */
+  def buildIndexes(spark: SparkSession, dir: String): Unit = {
+    minhashPairs(spark, dir).count() // materializes sketches internally
+    simhashPairs(spark, dir).count()
+  }
 
   private[operators] def sketches(spark: SparkSession, dir: String): DataFrame =
-    sketchCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+    sketchCache.getOrElseUpdate((graft.GraftSession.sessionId(spark), dir), {
       graft.plans.GraftFunctions.register(spark)
       // no eager count: the first consumer's own map stage computes and
       // caches the partitions (one pass — saves a whole extra action)

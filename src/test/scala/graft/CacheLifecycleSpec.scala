@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusPipeline, Dedup}
+
+/** GraftSession.release: the session-scoped operator caches (Dedup
+  * signature/pair indexes, CorpusPipeline cleaned corpus) must unpersist
+  * their storage blocks and evict their entries on release — a long-lived
+  * session must not pin executor memory forever — and every query must
+  * still be correct afterwards (the next consumer rebuilds).
+  */
+class CacheLifecycleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("release unpersists and evicts all graft-pinned blocks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+
+    val pairsBefore = Dedup.dedupMinhashLsh(spark, dir)
+      .collect().map(_.toSeq).toSet
+    Dedup.dedupSimhash(spark, dir).count()
+    CorpusPipeline.corpusClean(spark, dir).count()
+
+    val during = sc.getPersistentRDDs.keySet
+    assert((during -- before).nonEmpty,
+      "building the indexes must pin storage blocks")
+
+    GraftSession.release(spark)
+    val after = sc.getPersistentRDDs.keySet
+    assert(after.intersect(during -- before).isEmpty,
+      s"graft blocks survived release: ${after.intersect(during -- before)}")
+
+    // releasing twice is a no-op, and queries rebuild correctly
+    GraftSession.release(spark)
+    val pairsAfter = Dedup.dedupMinhashLsh(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(pairsAfter == pairsBefore)
+    GraftSession.release(spark)
+  }
+
+  test("release(dir) leaves other corpora's caches pinned") {
+    val sc = spark.sparkContext
+    GraftSession.release(spark) // clean slate
+    val base = sc.getPersistentRDDs.keySet
+    Dedup.dedupMinhashLsh(spark, "/root/testdata/sf0.001").count()
+    val withA = sc.getPersistentRDDs.keySet
+    Dedup.dedupMinhashLsh(spark, "/root/testdata/sf0.01").count()
+    val withBoth = sc.getPersistentRDDs.keySet
+    assert((withBoth -- withA).nonEmpty)
+
+    GraftSession.release(spark, Some("/root/testdata/sf0.01"))
+    val after = sc.getPersistentRDDs.keySet
+    assert(after.intersect(withBoth -- withA).isEmpty,
+      "released corpus blocks must be gone")
+    assert((withA -- base).subsetOf(after),
+      "unreleased corpus blocks must survive")
+    GraftSession.release(spark)
+  }
+
+  test("session ids are stable per session and distinct across sessions") {
+    val a = GraftSession.sessionId(spark)
+    assert(a == GraftSession.sessionId(spark))
+    val s2 = spark.newSession()
+    assert(GraftSession.sessionId(s2) != a)
+  }
+}
