@@ -429,6 +429,38 @@ object Relational {
         expr("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
         expr("round(percentile(o_totalprice, 0.9), 4)").as("p90"))
 
+  /** A7 PRODUCTION SURFACE — approx_percentile, the percentile to run at
+    * 100 TB. Exact `percentile` (a7Percentiles above) buffers EVERY value
+    * of a group in one aggregation buffer — unbounded memory on a large
+    * group, the one aggregate in the library that cannot survive scale.
+    * approx_percentile is a mergeable quantile sketch: bounded memory
+    * (~accuracy entries per group), map-side partials, one pass — the
+    * same execution shape as any hash aggregate. `accuracy = 10000`
+    * bounds rank error at ~n/10000 per group. a7Percentiles remains the
+    * ORACLE TWIN (exact, DuckDB-checkable at test scale); use THIS form
+    * in production. PercentileSpec pins the sketch within 1% relative
+    * error of exact on every group; the oracle checks the same contract
+    * via a7_percentiles_approx.
+    */
+  def a7PercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50_approx"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90_approx"))
+
+  /** Oracle form of the production percentile: sketch values are
+    * engine-specific, so the query publishes the exact percentiles plus
+    * the sketch-within-1%-relative-error CONTRACT booleans (the a8
+    * pattern) — fully hash-checkable by DuckDB.
+    */
+  def a7PercentilesApproxContract(spark: SparkSession, dir: String): DataFrame =
+    a7PercentilesApprox(spark, dir)
+      .join(a7Percentiles(spark, dir), "o_orderstatus")
+      .select(col("o_orderstatus"), col("p50"), col("p90"),
+        (abs(col("p50_approx") - col("p50")) / col("p50") <= 0.01).as("p50_ok"),
+        (abs(col("p90_approx") - col("p90")) / col("p90") <= 0.01).as("p90_ok"))
+
   /** A8 — approximate sketch aggregates WITH a checkable error contract.
     * HLL / KLL sketch values are engine-specific (DuckDB cannot reproduce
     * Spark's registers), so the query publishes the CONTRACT instead of
@@ -490,6 +522,7 @@ object Relational {
     "a6_salted_agg" -> (a6SaltedAgg _),
     "j3_bucketed_join" -> (j3BucketedJoin _),
     "a7_percentiles" -> (a7Percentiles _),
+    "a7_percentiles_approx" -> (a7PercentilesApproxContract _),
     "a8_approx_agg" -> (a8ApproxAgg _),
     "a1_group_count" -> (a1GroupCount _),
     "a2_group_sum" -> (a2GroupSum _),
@@ -547,6 +580,14 @@ object Relational {
       SELECT o_orderstatus,
         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      FROM orders GROUP BY 1""",
+    // the production sketch's values are engine-specific; the query
+    // outputs exact percentiles + the within-1% contract booleans
+    "a7_percentiles_approx" -> """
+      SELECT o_orderstatus,
+        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        TRUE AS p50_ok, TRUE AS p90_ok
       FROM orders GROUP BY 1""",
     "q5_star_join" -> """
       SELECT n_name,

@@ -36,6 +36,40 @@ class HotBucketSpec extends AnyFunSuite {
     assert(pairs.count(_._1 >= 2001L) == 6)
   }
 
+  test("50k-doc corpus with a 10k-copy cluster: linear candidates, bounded time") {
+    // The scale proof, end to end through the REAL minhash pipeline
+    // (tokenize → shingle → signature → bands → guarded candidates):
+    // 10k IDENTICAL documents all land in the same (band, key) bucket in
+    // every band. Unguarded that is ~50M candidate pairs per band; the
+    // guard must keep it at 9,999 star pairs (linear), every member
+    // anchored to the cluster's min doc_id, inside a bounded wall time.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hotbucket50k").toString
+    val cluster = (1L to 10000L).map(id =>
+      (id, "the quick brown fox jumps over the lazy dog again and again"))
+    val unique = (10001L to 50000L).map(id =>
+      (id, s"w${id}a w${id}b w${id}c w${id}d w${id}e w${id}f"))
+    (cluster ++ unique).toDF("doc_id", "text")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val t0 = System.nanoTime()
+      val pairs = Dedup.minhashPairs(spark, tmp, cap = 64)
+        .select("da", "db").as[(Long, Long)].collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // linear: 9,999 star pairs, not C(10000, 2) ≈ 50M
+      assert(pairs.length == 9999, s"candidate count ${pairs.length}")
+      assert(pairs.forall(_._1 == 1L), "every pair anchors at min doc_id")
+      assert(pairs.map(_._2).toSet == (2L to 10000L).toSet,
+        "every cluster member stays connected to the representative")
+      // bounded: the unguarded join at this scale runs for many minutes
+      assert(secs < 180, s"hot-bucket guard too slow: $secs s")
+    } finally {
+      graft.GraftSession.release(spark, Some(tmp))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("guard is a no-op when no bucket exceeds the cap (real corpus)") {
     import spark.implicits._
     val guarded = Dedup.minhashPairs(spark, dir, cap = 64)
