@@ -210,19 +210,28 @@ object Relational {
     * Requires a non-null numeric leading column. Degenerates to a single
     * bucket (the old global window) only if the column is constant.
     */
+  /** Range-bucket assignment for the two-phase rank: approxQuantile cut
+    * points on the leading sort column → a `__bk` column ordered the same
+    * way as the final sort (bucket 0 holds the first rows). Factored out so
+    * the bucket math itself is testable against a real table's skew.
+    */
+  private[operators] def bucketAssign(df: DataFrame, leading: String,
+      descending: Boolean, buckets: Int): DataFrame = {
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bs = df.stat.approxQuantile(leading, probs, 0.001).distinct.sorted
+    if (bs.isEmpty) df.withColumn("__bk", lit(0))
+    else {
+      val arr = array(bs.toSeq.map(lit): _*)
+      val bk = if (descending) size(filter(arr, _ > col(leading)))
+               else size(filter(arr, _ < col(leading)))
+      df.withColumn("__bk", bk)
+    }
+  }
+
   private[operators] def scalableRowNumber(df: DataFrame, leading: String,
       descending: Boolean, sortCols: Seq[Column], outCol: String,
       buckets: Int = 32): DataFrame = {
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bs = df.stat.approxQuantile(leading, probs, 0.001).distinct.sorted
-    val bucketed =
-      if (bs.isEmpty) df.withColumn("__bk", lit(0))
-      else {
-        val arr = array(bs.toSeq.map(lit): _*)
-        val bk = if (descending) size(filter(arr, _ > col(leading)))
-                 else size(filter(arr, _ < col(leading)))
-        df.withColumn("__bk", bk)
-      }
+    val bucketed = bucketAssign(df, leading, descending, buckets)
     val local = bucketed.withColumn("__lp",
       row_number().over(Window.partitionBy(col("__bk")).orderBy(sortCols: _*)))
     val counts = bucketed.groupBy(col("__bk")).agg(count(lit(1)).as("__cnt"))
