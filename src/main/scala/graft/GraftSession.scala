@@ -56,6 +56,7 @@ object GraftSession {
   def release(spark: SparkSession, dir: Option[String] = None): Unit = {
     graft.operators.Dedup.release(spark, dir)
     graft.operators.CorpusPipeline.release(spark, dir)
+    graft.operators.Curation.release(spark, dir)
   }
 
   /** Apply the library conf contract to an existing session (idempotent),

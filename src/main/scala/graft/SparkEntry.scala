@@ -15,6 +15,7 @@ object SparkEntry {
     (operators.Relational.queries, operators.Relational.oracle),
     (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
     (operators.Dedup.queries, operators.Dedup.oracle),
+    (operators.Curation.queries, operators.Curation.oracle),
     (operators.Similarity.queries, operators.Similarity.oracle),
     (operators.Multimodal.queries, operators.Multimodal.oracle),
     (operators.CorpusPipeline.queries, operators.CorpusPipeline.oracle),

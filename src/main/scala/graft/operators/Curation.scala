@@ -1,0 +1,196 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables.t
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators a training-data pipeline runs AFTER the dedup
+  * sketches exist: duplicate-cluster assignment, deterministic stratified
+  * sampling, and benchmark decontamination.
+  *
+  * Scale design:
+  *  - CLUSTERS is hash-min label propagation over the LSH pair set — each
+  *    iteration is one O(E) shuffle join plus an O(components) aggregate;
+  *    it converges in O(graph diameter) rounds. The pair set comes from
+  *    [[Dedup.minhashPairs]], whose hot-bucket anchor-star guard already
+  *    collapses giant clusters into stars (diameter 2), so the diameter is
+  *    bounded by the CHAIN length of genuine near-dup overlaps, not by
+  *    cluster size — planted 10k-copy clusters still converge in ~2 rounds.
+  *  - SAMPLE is pure map-side: a per-row digest decides membership, so the
+  *    sample is deterministic across re-runs, backfills, and engines — no
+  *    RNG state, no seed-per-partition coupling, nothing to coordinate at
+  *    1000 executors.
+  *  - DECONTAMINATE joins train-side shingles against the DISTINCT shingle
+  *    set of the eval source. Eval/benchmark sets are tiny next to a
+  *    100 TB train corpus, so the eval side broadcasts and the join stays
+  *    shuffle-free on the train side.
+  */
+object Curation {
+
+  /** Session-memoized converged cluster labels per (session, corpus) —
+    * the propagation loop runs driver-side actions, so its result is
+    * materialized once and reread by every consumer (same lifecycle as
+    * Dedup's signature index; released via [[graft.GraftSession.release]]).
+    */
+  private val clusterCache = TrieMap.empty[(String, String), DataFrame]
+
+  private[graft] def release(spark: SparkSession, dir: Option[String]): Unit = {
+    val sid = graft.GraftSession.sessionId(spark)
+    clusterCache.keys.toSeq
+      .filter { case (s, d) => s == sid && dir.forall(_ == d) }
+      .foreach(clusterCache.remove(_).foreach(_.unpersist(blocking = true)))
+  }
+
+  /** Converged (doc_id, cluster_id) labels: every document labeled with the
+    * minimum doc_id reachable through the near-dup pair graph
+    * (singletons keep their own id). Hash-min propagation to fixpoint; the
+    * per-iteration convergence check is a count on the persisted join
+    * frame, not a second pass over the graph.
+    */
+  private def clusterLabels(spark: SparkSession, dir: String,
+      maxIter: Int = 20): DataFrame =
+    clusterCache.getOrElseUpdate(
+        (graft.GraftSession.sessionId(spark), dir), {
+      val pairs = Dedup.dedupMinhashLsh(spark, dir).select(col("da"), col("db"))
+      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+        .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      var labels = t(spark, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      labels.count()
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val nbrMin = edges.join(labels, col("src") === col("doc_id"))
+          .groupBy(col("dst")).agg(min(col("cluster_id")).as("nbr_min"))
+        val joined = labels.join(nbrMin,
+            labels("doc_id") === nbrMin("dst"), "left")
+          .select(labels("doc_id"), col("cluster_id"),
+            least(col("cluster_id"),
+              coalesce(col("nbr_min"), col("cluster_id"))).as("next_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val changed = joined.filter(col("next_id") < col("cluster_id")).count()
+        val prev = labels
+        labels = joined.select(col("doc_id"), col("next_id").as("cluster_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        labels.count() // materialize before dropping the frames it read
+        prev.unpersist(blocking = false)
+        joined.unpersist(blocking = false)
+        converged = changed == 0
+        iter += 1
+      }
+      require(converged,
+        s"cluster propagation did not converge in $maxIter iterations — " +
+          "pair graph diameter exceeds the bound; raise maxIter")
+      labels
+    })
+
+  /** Duplicate clustering: (doc_id, cluster_id, cluster_size) for every
+    * document, cluster_id = min doc_id of its connected near-dup component
+    * (ref: the reference dedups row-wise with pandas drop_duplicates —
+    * dags/projectde_dag.py's clean step; component-level identity is the
+    * corpus-scale generalization).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+    // sizes is O(components) ≈ O(docs) — mostly singletons — so it is NOT
+    // broadcastable at corpus scale; both sides shuffle on cluster_id.
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** Deterministic stratified sample: keep a doc iff the first byte of
+    * md5(doc_id) falls under its stratum's rate — 50% for English, 25%
+    * for every other language. Content-addressed membership: the same doc
+    * is in or out on every engine, every re-run, every backfill.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    t(spark, dir, "documents")
+      .filter(hv < when(col("lang") === "en", 128).otherwise(64))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** Benchmark decontamination: flag training documents (source <> the
+    * eval source) whose distinct-3-gram overlap with the ENTIRE eval
+    * source's shingle set is ≥ τ. Returns (doc_id, n_shared, overlap) —
+    * the removal list a pipeline anti-joins against.
+    */
+  def decontaminate(spark: SparkSession, dir: String,
+      evalSource: String = "src0", tau: Double = 0.2): DataFrame = {
+    val sh = t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shingles3("w"))).as("s"))
+    val evalShingles = sh.filter(col("source") === evalSource)
+      .select(col("s")).distinct()
+    val train = sh.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), col("s"))
+    // per-doc totals are O(train docs) — shuffled join, not broadcast; the
+    // hit side after the eval filter is tiny so AQE localizes it anyway
+    val counts = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    train.join(broadcast(evalShingles), "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .join(counts, "doc_id")
+      .withColumn("overlap",
+        round(col("n_shared").cast("double") / col("n_sh"), 6))
+      .filter(col("n_shared").cast("double") / col("n_sh") >= tau)
+      .select(col("doc_id"), col("n_shared"), col("overlap"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+    "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
+    "cur_decontaminate" -> ((s, d) => decontaminate(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "cur_dedup_clusters" -> s"""
+      WITH RECURSIVE ${Dedup.minhashPairsCte},
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION SELECT db, da FROM pairs),
+      walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+      SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
+             CAST(count(*) OVER (PARTITION BY min(label)) AS BIGINT)
+               AS cluster_size
+      FROM walk GROUP BY node""",
+    "cur_sample_stratified" -> """
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE (strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+          < CASE WHEN lang = 'en' THEN 128 ELSE 64 END""",
+    "cur_decontaminate" -> """
+      WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                   FROM documents),
+      shn AS (SELECT doc_id, source,
+                CASE WHEN len(w) >= 3
+                  THEN list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [] END AS sh
+              FROM tok),
+      sh AS (SELECT DISTINCT doc_id, source, unnest(sh) AS s FROM shn),
+      evs AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+      tr  AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY 1),
+      hit AS (SELECT t.doc_id, count(*) AS n_shared
+              FROM tr t JOIN evs e ON t.s = e.s GROUP BY 1)
+      SELECT h.doc_id, CAST(h.n_shared AS BIGINT) AS n_shared,
+             round(CAST(h.n_shared AS DOUBLE) / c.n_sh, 6) AS overlap
+      FROM hit h JOIN cnt c ON h.doc_id = c.doc_id
+      WHERE CAST(h.n_shared AS DOUBLE) / c.n_sh >= 0.2""",
+  )
+}

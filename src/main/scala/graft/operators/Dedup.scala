@@ -284,6 +284,27 @@ object Dedup {
             FROM tok),
     sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shn)"""
 
+  /** The full minhash→bands→candidates→estimate pipeline as DuckDB CTEs,
+    * ending in `pairs(da, db)` with sim_est ≥ 0.5 — shared by the
+    * dedup_minhash_lsh oracle and Curation's clustering oracle.
+    */
+  private[operators] val minhashPairsCte = s"""$shinglesCte,
+      sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || '|' || s)) AS v
+              FROM sh, UNNEST(generate_series(0, 7)) AS g(h) GROUP BY 1, 2),
+      band AS (SELECT doc_id, h // 2 AS band, string_agg(v, '' ORDER BY h) AS key
+               FROM sig GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+               WHERE a.doc_id < b.doc_id),
+      est AS (SELECT da, db,
+                CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 8
+                  AS sim_est
+              FROM cand
+              JOIN sig sa ON sa.doc_id = da
+              JOIN sig sb ON sb.doc_id = db AND sa.h = sb.h
+              GROUP BY 1, 2),
+      pairs AS (SELECT da, db, sim_est FROM est WHERE sim_est >= 0.5)"""
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
@@ -299,22 +320,8 @@ object Dedup {
       FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
       WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.8""",
     "dedup_minhash_lsh" -> s"""
-      WITH $shinglesCte,
-      sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || '|' || s)) AS v
-              FROM sh, UNNEST(generate_series(0, 7)) AS g(h) GROUP BY 1, 2),
-      band AS (SELECT doc_id, h // 2 AS band, string_agg(v, '' ORDER BY h) AS key
-               FROM sig GROUP BY 1, 2),
-      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-               FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
-               WHERE a.doc_id < b.doc_id),
-      est AS (SELECT da, db,
-                CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 8
-                  AS sim_est
-              FROM cand
-              JOIN sig sa ON sa.doc_id = da
-              JOIN sig sb ON sb.doc_id = db AND sa.h = sb.h
-              GROUP BY 1, 2)
-      SELECT da, db, sim_est FROM est WHERE sim_est >= 0.5""",
+      WITH $minhashPairsCte
+      SELECT da, db, sim_est FROM pairs""",
     "dedup_simhash" -> s"""
       WITH $shinglesCte,
       th AS (SELECT doc_id, substr(md5(s), 1, 16) AS hx FROM sh),
