@@ -137,11 +137,12 @@ object Curation {
     */
   def decontaminate(spark: SparkSession, dir: String,
       evalSource: String = "src0", tau: Double = 0.8): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
     val sh = t(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(shingles3("w"))).as("s"))
+        explode(call_function("graft_shingles3", col("w"))).as("s"))
     val evalShingles = sh.filter(col("source") === evalSource)
       .select(col("s")).distinct()
     val train = sh.filter(col("source") =!= evalSource)

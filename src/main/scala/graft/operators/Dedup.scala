@@ -83,8 +83,9 @@ object Dedup {
     * long-lived corpus actually observes.
     */
   def buildIndexes(spark: SparkSession, dir: String): Unit = {
-    minhashPairs(spark, dir).count() // materializes sketches internally
-    simhashPairs(spark, dir).count()
+    minhashPairs(spark, dir) // cachedIndex materializes on build
+    simhashPairs(spark, dir)
+    ()
   }
 
   private[operators] def sketches(spark: SparkSession, dir: String): DataFrame =
@@ -155,7 +156,8 @@ object Dedup {
     * arrays (set semantics — SimHash votes and Jaccard are defined over the
     * shingle set, not the multiset).
     */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
     t(spark, dir, "documents")
       // The test files are single-row-group parquet → a 1-task scan; the
       // sketch computation downstream is the expensive part, so spread it
@@ -164,7 +166,8 @@ object Dedup {
       // cost-wise relative to the sketch work it parallelizes.
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), array_distinct(shingles3("w")).as("sh"))
+      .select(col("doc_id"), call_function("graft_shingles3", col("w")).as("sh"))
+  }
 
   /** Exact dedup: canonical representative + copy count per distinct text,
     * keyed by digest so the shuffle never carries document bodies.

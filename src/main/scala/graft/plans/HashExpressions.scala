@@ -124,6 +124,38 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Distinct word-level 3-gram shingles from a token array, first-occurrence
+  * order — the native twin of `array_distinct(shingles3(w))`
+  * (TextFunctions.scala:28): one JVM loop + hash set per document instead
+  * of an interpreted transform→concat_ws→array_distinct chain (a lambda
+  * tree-walk per shingle). Feeds SimHash64/MinHashSig, so the whole
+  * text→sketch path is native. HashParitySpec pins native == SQL twin.
+  */
+case class Shingles3Distinct(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i < n - 2) {
+      seen.add(UTF8String.concatWs(space,
+        arr.getUTF8String(i), arr.getUTF8String(i + 1),
+        arr.getUTF8String(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Shingles3Distinct =
+    copy(child = c)
+}
+
 /** Session registration for the custom expressions (idempotent). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -132,6 +164,8 @@ object GraftFunctions {
       "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_minhash8", exprs => MinHashSig(exprs.head, 8), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_shingles3", exprs => Shingles3Distinct(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_lsh_match", exprs => LshMatch(exprs(0), exprs(1), exprs(2)),
       "built-in")
@@ -169,6 +203,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_minhash8"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash8"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head, 8)))
+    e.injectFunction((FunctionIdentifier("graft_shingles3"),
+      new ExpressionInfo(classOf[Shingles3Distinct].getName, "graft_shingles3"),
+      (exprs: Seq[Expression]) => Shingles3Distinct(exprs.head)))
     e.injectFunction((FunctionIdentifier("graft_lsh_match"),
       new ExpressionInfo(classOf[LshMatch].getName, "graft_lsh_match"),
       (exprs: Seq[Expression]) => LshMatch(exprs(0), exprs(1), exprs(2))))

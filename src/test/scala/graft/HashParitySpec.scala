@@ -35,4 +35,24 @@ class HashParitySpec extends AnyFunSuite {
       .filter(to_json(col("native")) =!= to_json(col("sql")))
     assert(diff.count() == 0)
   }
+
+  test("native Shingles3Distinct == SQL twin on all 500 docs + edge cases") {
+    GraftFunctions.register(spark)
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val diff = docs.select(
+      call_function("graft_shingles3", col("w")).as("native"),
+      array_distinct(shingles3("w")).as("sql"))
+      .filter(to_json(col("native")) =!= to_json(col("sql")))
+    assert(diff.count() == 0)
+    // short docs (0/1/2 tokens) and a doc with repeated shingles
+    import spark.implicits._
+    val edge = Seq("", "one", "one two", "a b c a b c a b c", "x y z")
+      .toDF("text").select(tokens(col("text")).as("w"))
+    val ediff = edge.select(
+      call_function("graft_shingles3", col("w")).as("native"),
+      array_distinct(shingles3("w")).as("sql"))
+      .filter(to_json(col("native")) =!= to_json(col("sql")))
+    assert(ediff.count() == 0)
+  }
 }
