@@ -45,7 +45,8 @@ object Bench {
     "o3_topk_limit", "o5_topk_per_key", "st3_window_agg", "f3_date_window",
     "x7_date_parse",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "corpus_clean",
-    "sim_topk_bruteforce", "sim_lsh_ann", "sim_ivf_ann", "text_quality",
+    "sim_topk_bruteforce", "sim_lsh_ann", "sim_ivf_ann", "sim_ivf_kmeans",
+    "text_quality",
     "text_fingerprint",
     "cur_dedup_clusters", "cur_sample_stratified", "cur_decontaminate",
   )

@@ -133,18 +133,26 @@ object Similarity {
     * choices (list membership, probe set) cannot flip on engine ulp
     * differences.
     */
-  def simIvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(t(spark, dir, "embeddings"))
-    val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id"), col("embedding"), col("nrm"))
-      .collect()
-      .sortBy(_.getAs[Long]("vec_id"))
-    val cVecs = typedLit(cents.map(r =>
-      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toSeq).toSeq)
-    val cNrms = typedLit(cents.map(_.getAs[Double]("nrm")).toSeq)
+  /** Driver-held coarse codebook: (cid, centroid as doubles, L2 norm) —
+    * tens of rows, burned into plan literals (broadcast-equivalent).
+    */
+  private type Codebook = Seq[(Long, Seq[Double], Double)]
+
+  /** The IVF search stage over a given codebook: map-side list assignment
+    * (argmax of rounded cosine, ties to the lowest cid), 4-list probing
+    * for queries vec_id < 10, exact rerank within probed lists. Rounding
+    * BEFORE every argmax/rank keeps discrete choices stable across
+    * engines. Shared by the seeded and k-means-trained variants.
+    */
+  private def ivfSearch(emb: DataFrame, code: Codebook): DataFrame = {
+    val sorted = code.sortBy(_._1)
+    val k = sorted.length
+    val cVecs = typedLit(sorted.map(_._2))
+    val cNrms = typedLit(sorted.map(_._3))
+    val cIds = typedLit(sorted.map(_._1))
 
     def distsOf(e: Column, n: Column): Column =
-      transform(sequence(lit(0), lit(15)), p =>
+      transform(sequence(lit(0), lit(k - 1)), p =>
         round(
           aggregate(
             zip_with(e, element_at(cVecs, p + 1),
@@ -154,18 +162,17 @@ object Similarity {
 
     val assigned = emb
       .withColumn("dists", distsOf(col("embedding"), col("nrm")))
-      .withColumn("cid",
-        (array_position(col("dists"), array_max(col("dists"))) - 1)
-          .cast("int"))
+      .withColumn("cid", element_at(cIds,
+        array_position(col("dists"), array_max(col("dists"))).cast("int")))
       .drop("dists")
     // probe the 4 nearest centroids (rounded cos desc, cid asc)
     val probes = assigned.filter(col("vec_id") < 10)
       .withColumn("dists", distsOf(col("embedding"), col("nrm")))
       .withColumn("probe", explode(transform(
-        slice(array_sort(transform(sequence(lit(0), lit(15)), p =>
+        slice(array_sort(transform(sequence(lit(0), lit(k - 1)), p =>
           struct((-element_at(col("dists"), p + 1)).as("nd"),
             p.cast("int").as("p")))), 1, 4),
-        s => s.getField("p"))))
+        s => element_at(cIds, s.getField("p") + 1))))
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("probe"))
     val scored = broadcast(probes).as("a")
@@ -183,6 +190,66 @@ object Similarity {
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("vec_id"),
         col("cos").as("cos_sim"))
+  }
+
+  /** The 16-vector seeded codebook (vec_id < 16), collected once. */
+  private def seededCodebook(emb: DataFrame): Codebook =
+    emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect()
+      .sortBy(_.getAs[Long]("vec_id"))
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toSeq,
+        r.getAs[Double]("nrm")))
+      .toSeq
+
+  def simIvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(spark, dir, "embeddings"))
+    ivfSearch(emb, seededCodebook(emb))
+  }
+
+  /** IVF with a k-means-TRAINED codebook: `iters` Lloyd rounds from the
+    * seeded init. Per round, one distributed pass assigns every vector to
+    * its nearest centroid (map-side against plan literals, same as search)
+    * and per-dimension means stream back as k×dim tiny rows — the only
+    * driver traffic is the codebook itself, exactly like production IVF
+    * training where the coarse quantizer is small by construction. Means
+    * are rounded to 6 decimals so the trained codebook (and therefore
+    * every downstream discrete choice) is bit-reproducible across engines
+    * and partitionings; empty lists drop out, matching the oracle's
+    * GROUP BY. Cosine k-means (argmax of rounded cos) with plain
+    * coordinate means — the standard spherical-ish simplification.
+    */
+  def simIvfKmeansAnn(spark: SparkSession, dir: String,
+      iters: Int = 2): DataFrame = {
+    val emb = withNorm(t(spark, dir, "embeddings"))
+    var code = seededCodebook(emb)
+    for (_ <- 1 to iters) {
+      val sorted = code.sortBy(_._1)
+      val cVecs = typedLit(sorted.map(_._2))
+      val cNrms = typedLit(sorted.map(_._3))
+      val cIds = typedLit(sorted.map(_._1))
+      val k = sorted.length
+      val dists = transform(sequence(lit(0), lit(k - 1)), p =>
+        round(
+          aggregate(
+            zip_with(col("embedding"), element_at(cVecs, p + 1),
+              (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, v) => acc + v) /
+            (col("nrm") * element_at(cNrms, p + 1)), 6))
+      val means = emb
+        .withColumn("cid", element_at(cIds,
+          array_position(dists, array_max(dists)).cast("int")))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .collect()
+      code = means.groupBy(_.getAs[Long]("cid")).map { case (cid, rows) =>
+        val vec = rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq
+        (cid, vec, math.sqrt(vec.foldLeft(0.0)((a, x) => a + x * x)))
+      }.toSeq
+    }
+    ivfSearch(emb, code)
   }
 
   /** Similarity join through the declarative `graft_lsh_match` operator:
@@ -218,9 +285,31 @@ object Similarity {
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_lsh_multiprobe" -> (simLshMultiprobe _),
     "sim_ivf_ann" -> (simIvfAnn _),
+    "sim_ivf_kmeans" -> ((s, d) => simIvfKmeansAnn(s, d)),
     "sim_lsh_join" -> (simLshJoin _),
     "sim_centroid" -> (simCentroid _),
   )
+
+  /** One Lloyd round as DuckDB CTEs: assign against `prev` (cid, ce, cn),
+    * then per-dim rounded means become c`i` — mirrors simIvfKmeansAnn.
+    */
+  private def lloydCte(prev: String, i: Int): String = s"""
+      ad$i AS (SELECT v.vec_id, c.cid,
+               round(list_sum(list_transform(generate_series(1, 64),
+                 j -> v.emb[j] * c.ce[j])) / (v.nrm * c.cn), 6) AS d
+             FROM e v CROSS JOIN $prev c),
+      a$i AS (SELECT vec_id, cid FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d DESC, cid ASC) AS rn FROM ad$i)
+               WHERE rn = 1),
+      m$i AS (SELECT a$i.cid, j, round(avg(e.emb[j]), 6) AS m
+             FROM a$i JOIN e ON a$i.vec_id = e.vec_id,
+                  UNNEST(generate_series(1, 64)) AS g(j)
+             GROUP BY 1, 2),
+      c$i AS (SELECT cid, list(m ORDER BY j) AS ce,
+                sqrt(list_sum(list_transform(list(m ORDER BY j),
+                  x -> x * x))) AS cn
+             FROM m$i GROUP BY cid)"""
 
   private val normCte = """
     n AS (SELECT vec_id, embedding,
@@ -305,6 +394,39 @@ object Similarity {
                    round(list_sum(list_transform(generate_series(1, len(a.q_emb)),
                      i -> a.q_emb[i]::DOUBLE * b.embedding[i]::DOUBLE))
                      / (a.q_nrm * b.nrm), 6) AS cos
+                 FROM probes a JOIN assign b
+                   ON a.probe = b.cid AND a.qid <> b.vec_id)
+      SELECT qid, CAST(rank AS INT) AS rank, vec_id, cos AS cos_sim
+      FROM (SELECT qid, vec_id, cos, row_number() OVER
+              (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
+    "sim_ivf_kmeans" -> s"""
+      WITH $normCte,
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+                   nrm FROM n),
+      c0 AS (SELECT vec_id AS cid, emb AS ce, nrm AS cn FROM e
+             WHERE vec_id < 16),
+      ${lloydCte("c0", 1)},
+      ${lloydCte("c1", 2)},
+      adf AS (SELECT v.vec_id, v.emb, v.nrm, c.cid,
+               round(list_sum(list_transform(generate_series(1, 64),
+                 j -> v.emb[j] * c.ce[j])) / (v.nrm * c.cn), 6) AS d
+             FROM e v CROSS JOIN c2 c),
+      assign AS (SELECT vec_id, emb, nrm, cid FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d DESC, cid ASC) AS rn FROM adf)
+                 WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, emb AS q_emb, nrm AS q_nrm,
+                        cid AS probe FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d DESC, cid ASC) AS rn
+                    FROM adf WHERE vec_id < 10)
+                 WHERE rn <= 4),
+      scored AS (SELECT a.qid, b.vec_id,
+                   round(list_sum(list_transform(generate_series(1, 64),
+                     j -> a.q_emb[j] * b.emb[j])) / (a.q_nrm * b.nrm), 6)
+                     AS cos
                  FROM probes a JOIN assign b
                    ON a.probe = b.cid AND a.qid <> b.vec_id)
       SELECT qid, CAST(rank AS INT) AS rank, vec_id, cos AS cos_sim

@@ -80,6 +80,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("k-means-trained ivf: Lloyd rounds converge to usable recall") {
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val brute = pairs(Similarity.simTopkBruteforce(spark, dir).collect())
+    val trained = pairs(Similarity.simIvfKmeansAnn(spark, dir).collect())
+    val recall = (brute & trained).size.toDouble / brute.size
+    info(s"trained-ivf recall vs brute force: $recall")
+    // near-orthogonal random corpus: training can't manufacture cluster
+    // structure, but the trained codebook must stay in the seeded range
+    assert(recall >= 0.5, s"recall $recall")
+    // zero Lloyd rounds must reduce to the seeded search exactly
+    val zero = pairs(Similarity.simIvfKmeansAnn(spark, dir, iters = 0).collect())
+    val seeded = pairs(Similarity.simIvfAnn(spark, dir).collect())
+    assert(zero == seeded, "iters=0 must equal the seeded IVF")
+  }
+
   test("real PNG decode: imageio-parsed dims equal the generator's intent") {
     val rows = Multimodal.mmDecodeReal(spark, dir).collect()
     assert(rows.nonEmpty)
