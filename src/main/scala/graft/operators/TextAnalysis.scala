@@ -77,11 +77,30 @@ object TextAnalysis {
         fingerprintMd5(col("w")).as("fp_md5"),
         fingerprintPoly(col("text")).as("fp_poly"))
 
+  /** Repetition ratio: 1 − distinct/total word-3-grams — the boilerplate /
+    * degenerate-generation signal a quality filter thresholds on. Per-row
+    * Column math (native graft_shingles3 for the distinct side), zero
+    * shuffle; docs with < 3 tokens have no shingles → ratio 0.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    t(spark, dir, "documents")
+      .withColumn("w", tokens(col("text")))
+      .select(col("doc_id"),
+        greatest(size(col("w")) - 2, lit(0)).as("n_shingles"),
+        size(call_function("graft_shingles3", col("w"))).as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_shingles"), 6)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_repetition" -> (textRepetition _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -128,5 +147,20 @@ object TextAnalysis {
           i -> ascii(substr(text, i, 1))::BIGINT * (((i-1) * 131) % 9973)::BIGINT))
           AS BIGINT) AS fp_poly
       FROM documents""",
+    "text_repetition" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      shn AS (SELECT doc_id, greatest(len(w) - 2, 0) AS n_shingles,
+                CASE WHEN len(w) >= 3
+                  THEN len(list_distinct(list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+                  ELSE 0 END AS n_distinct
+              FROM tok)
+      SELECT doc_id, CAST(n_shingles AS INT) AS n_shingles,
+             CAST(n_distinct AS INT) AS n_distinct,
+             CASE WHEN n_shingles = 0 THEN 0.0
+                  ELSE round(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 6)
+             END AS rep_ratio
+      FROM shn""",
   )
 }
