@@ -42,7 +42,20 @@ object Curation {
     val sid = graft.GraftSession.sessionId(spark)
     clusterCache.keys.toSeq
       .filter { case (s, d) => s == sid && dir.forall(_ == d) }
-      .foreach(clusterCache.remove(_).foreach(_.unpersist(blocking = true)))
+      .foreach(clusterCache.remove(_).foreach(freeCheckpoint))
+  }
+
+  /** Unpersist a localCheckpoint-backed frame's storage: the blocks live
+    * on the checkpoint RDD inside the LogicalRDD leaf, not in the SQL
+    * cache manager, so DataFrame.unpersist alone leaves them pinned
+    * until GC.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = true)
+    }
+    df.unpersist(blocking = true)
   }
 
   /** Converged (doc_id, cluster_id) labels: every document labeled with the
@@ -69,21 +82,22 @@ object Curation {
       // measured loop went 3-4× slower on pure driver-side planning. On a
       // cluster the same role is played by reliable checkpointing; the
       // blocks are freed by the ContextCleaner when the memo is released.
-      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-        .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-        .localCheckpoint()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
-        .localCheckpoint()
+      val scratch = scala.collection.mutable.Buffer.empty[DataFrame]
+      def ckpt(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(); scratch += c; c
+      }
+      val edges = ckpt(pairs.select(col("da").as("src"), col("db").as("dst"))
+        .union(pairs.select(col("db").as("src"), col("da").as("dst"))))
+      var labels = ckpt(edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")))
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
         val nbrMin = edges.join(labels, col("src") === col("node"))
           .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_min"))
-        val joined = labels.join(nbrMin, labels("node") === nbrMin("dst"))
+        val joined = ckpt(labels.join(nbrMin, labels("node") === nbrMin("dst"))
           .select(labels("node"), col("lbl"),
-            least(col("lbl"), col("nbr_min")).as("nxt"))
-          .localCheckpoint() // materializes; the counts below are trivial
+            least(col("lbl"), col("nbr_min")).as("nxt")))
         val changed = joined.filter(col("nxt") < col("lbl")).count()
         labels = joined.select(col("node"), col("nxt").as("lbl"))
         converged = changed == 0
@@ -94,11 +108,13 @@ object Curation {
           "pair graph diameter exceeds the bound; raise maxIter")
       // Every node in an edge has a neighbor, so the inner join above never
       // drops nodes; singletons get their own id back here.
-      t(spark, dir, "documents").select(col("doc_id"))
+      val memo = t(spark, dir, "documents").select(col("doc_id"))
         .join(labels, col("doc_id") === col("node"), "left")
         .select(col("doc_id"),
           coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: safe to drop the scratch frames now
+      scratch.foreach(freeCheckpoint)
+      memo
     })
 
   /** Duplicate clustering: (doc_id, cluster_id, cluster_size) for every

@@ -59,6 +59,20 @@ class CacheLifecycleSpec extends AnyFunSuite {
     GraftSession.release(spark)
   }
 
+  test("release frees the cluster memo's checkpoint blocks too") {
+    val sc = spark.sparkContext
+    GraftSession.release(spark)
+    val base = sc.getPersistentRDDs.keySet
+    graft.operators.Curation.dedupClusters(spark, dir).count()
+    val during = sc.getPersistentRDDs.keySet
+    assert((during -- base).nonEmpty,
+      "the converged-labels memo must hold storage (checkpoint RDD)")
+    GraftSession.release(spark)
+    val after = sc.getPersistentRDDs.keySet
+    assert(after.intersect(during -- base).isEmpty,
+      s"cluster memo blocks survived release: ${after.intersect(during -- base)}")
+  }
+
   test("session ids are stable per session and distinct across sessions") {
     val a = GraftSession.sessionId(spark)
     assert(a == GraftSession.sessionId(spark))
