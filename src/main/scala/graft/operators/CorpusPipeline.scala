@@ -67,7 +67,7 @@ object CorpusPipeline {
     "corpus_clean_summary" -> (corpusCleanSummary _),
   )
 
-  private val qualityCte = """
+  private[operators] val qualityCte = """
     qual AS (
       SELECT doc_id,
         round(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)

@@ -133,18 +133,24 @@ object Curation {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** The stratum membership predicate: first byte of md5(doc_id) under the
+    * per-language rate — 128/256 for English, 64/256 otherwise.
+    */
+  private def sampleKeep: org.apache.spark.sql.Column = {
+    val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    hv < when(col("lang") === "en", 128).otherwise(64)
+  }
+
   /** Deterministic stratified sample: keep a doc iff the first byte of
     * md5(doc_id) falls under its stratum's rate — 50% for English, 25%
     * for every other language. Content-addressed membership: the same doc
     * is in or out on every engine, every re-run, every backfill.
     */
-  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-      .cast("int")
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .filter(hv < when(col("lang") === "en", 128).otherwise(64))
+      .filter(sampleKeep)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-  }
 
   /** Benchmark decontamination: flag training documents (source <> the
     * eval source) whose distinct-3-gram overlap with the ENTIRE eval
@@ -175,10 +181,40 @@ object Curation {
       .select(col("doc_id"), col("n_shared"), col("overlap"))
   }
 
+  /** The full training-data prep pipeline — what the operator families
+    * compose into at 100 TB: exclude the eval source, keep docs above the
+    * quality floor, drop benchmark-contaminated docs, keep exactly one
+    * representative per near-dup cluster (the min doc_id), then take the
+    * deterministic stratified sample. Every stage is one of this module's
+    * oracle-checked operators; cluster labels come from the session memo,
+    * contamination and quality are computed over the FULL corpus (as their
+    * standalone operators do), and all the row-level predicates are
+    * map-side.
+    */
+  def corpusCurate(spark: SparkSession, dir: String,
+      evalSource: String = "src0", minQuality: Double = 0.7): DataFrame = {
+    val quality = TextAnalysis.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val reps = clusterLabels(spark, dir)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"))
+    val contaminated = decontaminate(spark, dir, evalSource)
+      .select(col("doc_id"))
+    t(spark, dir, "documents")
+      .filter(col("source") =!= evalSource)
+      .filter(sampleKeep)
+      .join(quality, "doc_id")
+      .filter(col("quality") >= minQuality)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(reps, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "cur_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "cur_corpus_curate" -> ((s, d) => corpusCurate(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -201,6 +237,41 @@ object Curation {
           + (strpos('0123456789abcdef',
                substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
           < CASE WHEN lang = 'en' THEN 128 ELSE 64 END""",
+    "cur_corpus_curate" -> s"""
+      WITH RECURSIVE ${Dedup.minhashPairsCte},
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION SELECT db, da FROM pairs),
+      walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      labels AS (SELECT node AS doc_id, min(label) AS cluster_id
+                 FROM walk GROUP BY node),
+      ${CorpusPipeline.qualityCte},
+      evs AS (SELECT DISTINCT s.s FROM sh s JOIN documents d
+                ON s.doc_id = d.doc_id WHERE d.source = 'src0'),
+      tr AS (SELECT s.doc_id, s.s FROM sh s JOIN documents d
+               ON s.doc_id = d.doc_id WHERE d.source <> 'src0'),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY 1),
+      hit AS (SELECT t.doc_id, count(*) AS n_shared
+              FROM tr t JOIN evs e ON t.s = e.s GROUP BY 1),
+      contaminated AS (SELECT h.doc_id FROM hit h JOIN cnt c
+                         ON h.doc_id = c.doc_id
+                       WHERE CAST(h.n_shared AS DOUBLE) / c.n_sh >= 0.8)
+      SELECT d.doc_id, d.lang, d.source, q.quality
+      FROM documents d
+      JOIN qual q ON d.doc_id = q.doc_id
+      JOIN labels l ON d.doc_id = l.doc_id
+      WHERE d.source <> 'src0'
+        AND (strpos('0123456789abcdef',
+               substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+               substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)
+          < CASE WHEN d.lang = 'en' THEN 128 ELSE 64 END
+        AND q.quality >= 0.7
+        AND l.cluster_id = d.doc_id
+        AND NOT EXISTS (SELECT 1 FROM contaminated c
+                        WHERE c.doc_id = d.doc_id)""",
     "cur_decontaminate" -> """
       WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w
                    FROM documents),
