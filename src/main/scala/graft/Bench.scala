@@ -49,6 +49,7 @@ object Bench {
     "text_quality",
     "text_fingerprint",
     "cur_dedup_clusters", "cur_sample_stratified", "cur_decontaminate",
+    "cur_corpus_curate", "text_repetition",
   )
 
   private def oracleTimes(sfDir: String): Map[String, Double] = {
