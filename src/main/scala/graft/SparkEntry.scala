@@ -21,6 +21,7 @@ object SparkEntry {
     (operators.CorpusPipeline.queries, operators.CorpusPipeline.oracle),
     (operators.AsOfJoin.queries, operators.AsOfJoin.oracle),
     (streaming.EventConsumer.queries, streaming.EventConsumer.oracle),
+    (streaming.DocStream.queries, streaming.DocStream.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

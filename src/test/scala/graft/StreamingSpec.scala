@@ -112,6 +112,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming doc dedup: first arrival emits, duplicates drop across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DocStream
+    val mem = MemoryStream[DocStream.DocIn]
+    val q = DocStream.dedupStream(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("doc_dedup").start()
+    try {
+      // batch 1: two copies of A in ONE batch → min doc_id wins; one B
+      mem.addData(
+        DocStream.DocIn(3L, "doc A"), DocStream.DocIn(1L, "doc A"),
+        DocStream.DocIn(2L, "doc B"))
+      q.processAllAvailable()
+      // batch 2: late duplicate of A (dropped via state), new C
+      mem.addData(DocStream.DocIn(4L, "doc A"), DocStream.DocIn(5L, "doc C"))
+      q.processAllAvailable()
+      val got = spark.table("doc_dedup").as[DocStream.FirstSeen]
+        .collect().map(f => f.text_md5 -> f.doc_id).toMap
+      assert(got.values.toSet == Set(1L, 2L, 5L),
+        s"expected first-seen ids {1,2,5}, got ${got.values.toSet}")
+      // digests must be the engine's md5 — identical to the batch twin's
+      val twin = Seq((1L, "doc A"), (2L, "doc B"), (5L, "doc C"))
+        .toDF("doc_id", "text")
+        .select(org.apache.spark.sql.functions.md5($"text").as("text_md5"),
+          $"doc_id")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == twin)
+    } finally q.stop()
+  }
+
+  test("streaming doc dedup agrees with the batch twin on the real corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DocStream
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select($"doc_id", $"text").as[DocStream.DocIn]
+      .collect().sortBy(_.doc_id) // feed in id order = arrival order
+    val mem = MemoryStream[DocStream.DocIn]
+    val q = DocStream.dedupStream(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("doc_dedup_corpus").start()
+    try {
+      mem.addData(docs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("doc_dedup_corpus")
+      val batch = DocStream.batchFirstSeen(spark, dir)
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming file-source agg matches the batch replay") {
     val dir = "/root/testdata/sf0.001"
     // file streaming source wants a directory; stage the events file alone
