@@ -18,6 +18,10 @@ import graft.sources.Sources
   *
   * Without --raw, the bundled HTML fixture is parsed (S1) into the
   * matches_raw shape — the network fetch is a seam, not a dependency.
+  *
+  * Curation mode: `--curate <corpusDir> --out <dir>` runs the full
+  * training-data prep pipeline (Curation.corpusCurate) over the corpus
+  * and lands the curated doc set as parquet instead.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -40,6 +44,19 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
+
+    opts.get("curate") match {
+      case Some(corpus) =>
+        val total = Tables.t(spark, corpus, "documents").count()
+        val curated = operators.Curation.corpusCurate(spark, corpus)
+        curated.write.mode("overwrite").parquet(s"$out/curated.parquet")
+        val kept = spark.read.parquet(s"$out/curated.parquet").count()
+        println(s"docs=$total curated=$kept out=$out/curated.parquet")
+        GraftSession.release(spark)
+        spark.stop()
+        return
+      case None => ()
+    }
 
     val raw = opts.get("raw") match {
       case Some(path) if path.endsWith(".csv") =>
