@@ -161,10 +161,74 @@ object Multimodal {
       .toDF()
       .select(col("doc_id"), col("width"), col("height"), col("fmt"))
 
+  /** REAL feature extraction: decode the PNG on the executor and fold the
+    * pixels into per-channel sums. The generator writes pixel k (row-major)
+    * as (doc_id·31 + k) & 0xffffff in a TYPE_INT_RGB buffer, and PNG is
+    * lossless, so the oracle predicts the sums arithmetically — a
+    * hash-match proves real pixel data flowed through the codec. Integer
+    * sums (not means) keep the contract exact: no float rounding to
+    * negotiate between engines.
+    */
+  def mmFeatureExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPngPayload(spark, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = img.getRGB(x, y) & 0xffffff
+            sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (id, img.getWidth * img.getHeight, sr, sg, sb)
+      })
+      .toDF("doc_id", "n_px", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** REAL resize: decode, fit the longest side into an 8-px box with
+    * Graphics2D (never upscale; integer math so any engine predicts the
+    * target), re-encode, decode AGAIN, and report the re-decoded dims —
+    * the whole transform runs through the codec twice per row, map-side.
+    */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPngPayload(spark, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val mx = math.max(w, h)
+        val (tw, th) =
+          if (mx <= 8) (w, h)
+          else (math.max(1, w * 8 / mx), math.max(1, h * 8 / mx))
+        val out = new java.awt.image.BufferedImage(tw, th,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.drawImage(img, 0, 0, tw, th, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        (id, w, h, back.getWidth, back.getHeight)
+      })
+      .toDF("doc_id", "width", "height", "out_w", "out_h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_decode_real" -> (mmDecodeReal _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_feature_extract" -> (mmFeatureExtract _),
+    "mm_resize" -> (mmResize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -190,5 +254,28 @@ object Multimodal {
                  FROM documents)
       SELECT doc_id, CAST(i AS INT) AS frame_idx, round(i / 25.0, 6) AS frame_ts
       FROM h, UNNEST(generate_series(0, n_frames - 1, 2)) AS g(i)""",
+    "mm_feature_extract" -> """
+      WITH dims AS (SELECT doc_id,
+                      CAST(1 + doc_id % 16 AS INT) AS w,
+                      CAST(1 + (doc_id // 16) % 16 AS INT) AS h
+                    FROM documents),
+      px AS (SELECT doc_id, w * h AS n_px, ((doc_id * 31 + k) & 16777215) AS v
+             FROM dims, UNNEST(generate_series(0, w * h - 1)) AS g(k))
+      SELECT doc_id, CAST(n_px AS INT) AS n_px,
+             CAST(sum((v >> 16) & 255) AS BIGINT) AS sum_r,
+             CAST(sum((v >> 8) & 255) AS BIGINT) AS sum_g,
+             CAST(sum(v & 255) AS BIGINT) AS sum_b
+      FROM px GROUP BY doc_id, n_px""",
+    "mm_resize" -> """
+      WITH dims AS (SELECT doc_id,
+                      CAST(1 + doc_id % 16 AS INT) AS w,
+                      CAST(1 + (doc_id // 16) % 16 AS INT) AS h
+                    FROM documents)
+      SELECT doc_id, w AS width, h AS height,
+        CAST(CASE WHEN greatest(w, h) <= 8 THEN w
+             ELSE greatest(1, w * 8 // greatest(w, h)) END AS INT) AS out_w,
+        CAST(CASE WHEN greatest(w, h) <= 8 THEN h
+             ELSE greatest(1, h * 8 // greatest(w, h)) END AS INT) AS out_h
+      FROM dims""",
   )
 }
