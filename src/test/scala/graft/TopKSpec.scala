@@ -351,4 +351,46 @@ class TopKSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("id")).sorted.toSeq ==
       Seq(96L, 193L, 290L, 387L, 484L))
   }
+
+  test("randomized parity: per-key and global forms match the window idiom") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // Adversarial distribution on purpose: few distinct ord values (ties
+    // everywhere), NULLs in both ordering columns, skewed keys. The tie
+    // column is unique so both sides are deterministic.
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 4) {
+      val k = 1 + rnd.nextInt(4)
+      val rows = (1L to 400L).map { id =>
+        val key = "k" + rnd.nextInt(1 + rnd.nextInt(12))
+        val ord1 = if (rnd.nextInt(8) == 0) None
+                   else Some(rnd.nextInt(5).toDouble)
+        val ord2 = if (rnd.nextInt(4) == 0) None
+                   else Some(rnd.nextInt(3).toDouble)
+        (key, ord1, ord2, id)
+      }
+      val df = rows.toDF("key", "ord1", "ord2", "id")
+      val got = df.filter(call_function("graft_topk", lit(k),
+          col("ord1"), lit("desc"), col("ord2"), lit("asc"),
+          col("id"), col("key")))
+        .collect().map(_.toSeq).toSet
+      val w = Window.partitionBy(col("key")).orderBy(
+        col("ord1").desc_nulls_last, col("ord2").asc_nulls_last,
+        col("id").asc)
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, s"per-key trial $trial k=$k")
+
+      val gotGlobal = df.filter(call_function("graft_topk", lit(k),
+          col("ord1"), lit("desc"), col("ord2"), lit("asc"), col("id")))
+        .collect().map(_.toSeq).toSet
+      val wg = Window.orderBy(col("ord1").desc_nulls_last,
+        col("ord2").asc_nulls_last, col("id").asc)
+      val expGlobal = df.withColumn("rn", row_number().over(wg))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(_.toSeq).toSet
+      assert(gotGlobal == expGlobal, s"global trial $trial k=$k")
+    }
+  }
 }
