@@ -48,10 +48,11 @@ object Main {
     opts.get("curate") match {
       case Some(corpus) =>
         val total = Tables.t(spark, corpus, "documents").count()
-        val curated = operators.Curation.corpusCurate(spark, corpus)
-        curated.write.mode("overwrite").parquet(s"$out/curated.parquet")
+        val curated = operators.Curation.curatedShards(spark, corpus)
+        curated.write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$out/curated.parquet")
         val kept = spark.read.parquet(s"$out/curated.parquet").count()
-        println(s"docs=$total curated=$kept out=$out/curated.parquet")
+        println(s"docs=$total curated=$kept out=$out/curated.parquet (sharded)")
         GraftSession.release(spark)
         spark.stop()
         return

@@ -210,14 +210,96 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
   }
 
+  /** Deterministic shard id from md5 hex chars 3–4 (independent of the
+    * sampling window, chars 1–2): the export layout is content-addressed,
+    * so re-running the export on any engine or partitioning lands every
+    * doc in the same shard file.
+    */
+  private def shardOf(nShards: Int): org.apache.spark.sql.Column =
+    (conv(substring(md5(col("doc_id").cast("string")), 3, 2), 16, 10)
+      .cast("int") % nShards).as("shard")
+
+  /** Curated corpus with its export shard assignment — what the writer
+    * partitions by (see graft.Main --curate).
+    */
+  def curatedShards(spark: SparkSession, dir: String,
+      nShards: Int = 8): DataFrame =
+    corpusCurate(spark, dir).withColumn("shard", shardOf(nShards))
+
+  /** The export plan: per-shard doc counts and byte totals over the
+    * CURATED corpus — the balance check run before a training export.
+    */
+  def shardPlan(spark: SparkSession, dir: String,
+      nShards: Int = 8): DataFrame =
+    curatedShards(spark, dir, nShards)
+      .join(t(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_shard_plan" -> ((s, d) => shardPlan(s, d)),
     "cur_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "cur_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "cur_corpus_curate" -> ((s, d) => corpusCurate(s, d)),
   )
 
+  /** The curation funnel as DuckDB CTEs ending in `curated(doc_id, lang,
+    * source, quality)` — shared by the curate and shard-plan oracles.
+    */
+  private val curateCtes = s"""${Dedup.minhashPairsCte},
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION SELECT db, da FROM pairs),
+      walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      labels AS (SELECT node AS doc_id, min(label) AS cluster_id
+                 FROM walk GROUP BY node),
+      ${CorpusPipeline.qualityCte},
+      evs AS (SELECT DISTINCT s.s FROM sh s JOIN documents d
+                ON s.doc_id = d.doc_id WHERE d.source = 'src0'),
+      tr AS (SELECT s.doc_id, s.s FROM sh s JOIN documents d
+               ON s.doc_id = d.doc_id WHERE d.source <> 'src0'),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY 1),
+      hit AS (SELECT t.doc_id, count(*) AS n_shared
+              FROM tr t JOIN evs e ON t.s = e.s GROUP BY 1),
+      contaminated AS (SELECT h.doc_id FROM hit h JOIN cnt c
+                         ON h.doc_id = c.doc_id
+                       WHERE CAST(h.n_shared AS DOUBLE) / c.n_sh >= 0.8),
+      curated AS (
+        SELECT d.doc_id, d.lang, d.source, q.quality
+        FROM documents d
+        JOIN qual q ON d.doc_id = q.doc_id
+        JOIN labels l ON d.doc_id = l.doc_id
+        WHERE d.source <> 'src0'
+          AND (strpos('0123456789abcdef',
+                 substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef',
+                 substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)
+            < CASE WHEN d.lang = 'en' THEN 128 ELSE 64 END
+          AND q.quality >= 0.7
+          AND l.cluster_id = d.doc_id
+          AND NOT EXISTS (SELECT 1 FROM contaminated c
+                          WHERE c.doc_id = d.doc_id))"""
+
   val oracle: Map[String, String] = Map(
+    "cur_shard_plan" -> s"""
+      WITH RECURSIVE $curateCtes,
+      assigned AS (
+        SELECT c.doc_id,
+          ((strpos('0123456789abcdef',
+              substr(md5(CAST(c.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+              substr(md5(CAST(c.doc_id AS VARCHAR)), 4, 1)) - 1)) % 8
+            AS shard
+        FROM curated c)
+      SELECT CAST(a.shard AS INT) AS shard,
+             count(*) AS n_docs,
+             CAST(sum(d.n_chars) AS BIGINT) AS n_bytes
+      FROM assigned a JOIN documents d ON a.doc_id = d.doc_id
+      GROUP BY 1""",
     "cur_dedup_clusters" -> s"""
       WITH RECURSIVE ${Dedup.minhashPairsCte},
       edges AS (SELECT da AS src, db AS dst FROM pairs
@@ -238,40 +320,8 @@ object Curation {
                substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
           < CASE WHEN lang = 'en' THEN 128 ELSE 64 END""",
     "cur_corpus_curate" -> s"""
-      WITH RECURSIVE ${Dedup.minhashPairsCte},
-      edges AS (SELECT da AS src, db AS dst FROM pairs
-                UNION SELECT db, da FROM pairs),
-      walk(node, label) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
-      labels AS (SELECT node AS doc_id, min(label) AS cluster_id
-                 FROM walk GROUP BY node),
-      ${CorpusPipeline.qualityCte},
-      evs AS (SELECT DISTINCT s.s FROM sh s JOIN documents d
-                ON s.doc_id = d.doc_id WHERE d.source = 'src0'),
-      tr AS (SELECT s.doc_id, s.s FROM sh s JOIN documents d
-               ON s.doc_id = d.doc_id WHERE d.source <> 'src0'),
-      cnt AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY 1),
-      hit AS (SELECT t.doc_id, count(*) AS n_shared
-              FROM tr t JOIN evs e ON t.s = e.s GROUP BY 1),
-      contaminated AS (SELECT h.doc_id FROM hit h JOIN cnt c
-                         ON h.doc_id = c.doc_id
-                       WHERE CAST(h.n_shared AS DOUBLE) / c.n_sh >= 0.8)
-      SELECT d.doc_id, d.lang, d.source, q.quality
-      FROM documents d
-      JOIN qual q ON d.doc_id = q.doc_id
-      JOIN labels l ON d.doc_id = l.doc_id
-      WHERE d.source <> 'src0'
-        AND (strpos('0123456789abcdef',
-               substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-          + (strpos('0123456789abcdef',
-               substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)
-          < CASE WHEN d.lang = 'en' THEN 128 ELSE 64 END
-        AND q.quality >= 0.7
-        AND l.cluster_id = d.doc_id
-        AND NOT EXISTS (SELECT 1 FROM contaminated c
-                        WHERE c.doc_id = d.doc_id)""",
+      WITH RECURSIVE $curateCtes
+      SELECT doc_id, lang, source, quality FROM curated""",
     "cur_decontaminate" -> """
       WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w
                    FROM documents),
