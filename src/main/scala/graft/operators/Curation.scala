@@ -237,7 +237,22 @@ object Curation {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"))
 
+  /** Top-k quality docs per source via the native TopKPerKey operator —
+    * the custom plan stack (marker → rewrite → bounded-heap exec, no sort,
+    * no window) doing real work inside the curation family.
+    */
+  def topQualityPerSource(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    t(spark, dir, "documents").select(col("doc_id"), col("source"))
+      .join(TextAnalysis.textQuality(spark, dir)
+        .select(col("doc_id"), col("quality")), "doc_id")
+      .filter(call_function("graft_topk", lit(k),
+        col("quality"), col("doc_id"), col("source")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_top_quality" -> ((s, d) => topQualityPerSource(s, d)),
     "cur_shard_plan" -> ((s, d) => shardPlan(s, d)),
     "cur_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
@@ -285,6 +300,14 @@ object Curation {
                           WHERE c.doc_id = d.doc_id))"""
 
   val oracle: Map[String, String] = Map(
+    "cur_top_quality" -> s"""
+      WITH ${CorpusPipeline.qualityCte}
+      SELECT doc_id, source, quality FROM (
+        SELECT d.doc_id, d.source, q.quality,
+          row_number() OVER (PARTITION BY d.source
+            ORDER BY q.quality DESC, d.doc_id ASC) AS rn
+        FROM documents d JOIN qual q ON d.doc_id = q.doc_id)
+      WHERE rn <= 5""",
     "cur_shard_plan" -> s"""
       WITH RECURSIVE $curateCtes,
       assigned AS (
