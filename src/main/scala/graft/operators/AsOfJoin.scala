@@ -21,27 +21,49 @@ import graft.Tables.t
   */
 object AsOfJoin {
 
-  /** Generic as-of: for each left row, the right row with the greatest
-    * `timeCol` strictly below the left's, per `keyCol`. `timeCol` must be
-    * unique per key on the union (caller guarantees; ties would make any
-    * as-of nondeterministic).
+  /** Generic as-of: for each left row, the nearest right row strictly
+    * before (`direction = "backward"`) or strictly after (`"forward"`)
+    * the left's `timeCol`, per `keyCol`. `timeCol` must be unique per key
+    * on the union (caller guarantees; ties would make any as-of
+    * nondeterministic). `tolerance` (same units as `timeCol`) nulls the
+    * match when the time gap exceeds it — pandas merge_asof semantics —
+    * WITHOUT changing which row matched: still one shuffle, no join
+    * explosion, tolerance applied as a map-side post-predicate.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
-      timeCol: String, rightPayload: Seq[String]): DataFrame = {
-    val payload = struct(rightPayload.map(col): _*)
+      timeCol: String, rightPayload: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asOf direction must be backward|forward, got $direction")
+    val payload = struct((col(timeCol).as("__t") +:
+      rightPayload.map(col)): _*)
     val rTagged = right.select(col(keyCol), col(timeCol),
       payload.as("r_payload"), lit(0).as("side"))
     val lTagged = left.withColumn("side", lit(1)) // keeps ALL left columns
-    // side=0 sorts before side=1 at equal time → a right row at exactly
-    // the left's time would be visible; with unique times per key this
-    // reduces to strict "<" semantics.
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol).asc, col("side").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    rTagged.unionByName(lTagged, allowMissingColumns = true)
-      .withColumn("matched", last(col("r_payload"), ignoreNulls = true).over(w))
+    // Backward: right rows sort before left at equal time (side asc) and
+    // the frame ends at -1 → strict "<" given unique times. Forward is
+    // the mirror: left first at equal time (side desc), frame starts
+    // at +1 → strict ">".
+    val base = Window.partitionBy(col(keyCol))
+    val (w, pick) =
+      if (direction == "backward")
+        (base.orderBy(col(timeCol).asc, col("side").asc)
+          .rowsBetween(Window.unboundedPreceding, -1),
+          (c: org.apache.spark.sql.Column) => last(c, ignoreNulls = true))
+      else
+        (base.orderBy(col(timeCol).asc, col("side").desc)
+          .rowsBetween(1, Window.unboundedFollowing),
+          (c: org.apache.spark.sql.Column) => first(c, ignoreNulls = true))
+    val joined = rTagged.unionByName(lTagged, allowMissingColumns = true)
+      .withColumn("matched", pick(col("r_payload")).over(w))
       .filter(col("side") === 1)
       .drop("r_payload", "side")
+    tolerance match {
+      case None => joined
+      case Some(tol) => joined.withColumn("matched",
+        when(abs(col(timeCol) - col("matched.__t")) <= tol, col("matched")))
+    }
   }
 
   def asofPrevOrder(spark: SparkSession, dir: String): DataFrame = {
@@ -59,14 +81,67 @@ object AsOfJoin {
         col("matched.prev_totalprice").as("prev_totalprice"))
   }
 
+  /** FORWARD as-of: each odd order's next even order per customer. */
+  def asofNextOrder(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val odds = orders.filter(col("o_orderkey") % 2 === 1)
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumnRenamed("o_orderkey", "next_orderkey")
+      .withColumnRenamed("o_totalprice", "next_totalprice")
+      .withColumn("o_orderkey", col("next_orderkey"))
+    asOf(odds, evens, keyCol = "o_custkey", timeCol = "o_orderkey",
+      rightPayload = Seq("next_orderkey", "next_totalprice"),
+      direction = "forward")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("matched.next_orderkey").as("next_orderkey"),
+        col("matched.next_totalprice").as("next_totalprice"))
+  }
+
+  /** Backward as-of with a tolerance: the previous odd order only when it
+    * is within 100 orderkeys (merge_asof tolerance semantics).
+    */
+  def asofToleranceOrder(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    val odds = orders.filter(col("o_orderkey") % 2 === 1)
+      .withColumnRenamed("o_orderkey", "prev_orderkey")
+      .withColumnRenamed("o_totalprice", "prev_totalprice")
+      .withColumn("o_orderkey", col("prev_orderkey"))
+    asOf(evens, odds, keyCol = "o_custkey", timeCol = "o_orderkey",
+      rightPayload = Seq("prev_orderkey", "prev_totalprice"),
+      direction = "backward", tolerance = Some(100L))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("matched.prev_orderkey").as("prev_orderkey"),
+        col("matched.prev_totalprice").as("prev_totalprice"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_prev_order" -> (asofPrevOrder _),
+    "asof_next_order" -> (asofNextOrder _),
+    "asof_tolerance" -> (asofToleranceOrder _),
   )
 
   val oracle: Map[String, String] = Map(
     "asof_prev_order" -> """
       SELECT a.o_custkey, a.o_orderkey, a.o_totalprice,
              b.o_orderkey AS prev_orderkey, b.o_totalprice AS prev_totalprice
+      FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 0) a
+      ASOF LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 2 = 1) b
+        ON a.o_custkey = b.o_custkey AND b.o_orderkey < a.o_orderkey""",
+    "asof_next_order" -> """
+      SELECT a.o_custkey, a.o_orderkey, a.o_totalprice,
+             b.o_orderkey AS next_orderkey, b.o_totalprice AS next_totalprice
+      FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 1) a
+      ASOF LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 2 = 0) b
+        ON a.o_custkey = b.o_custkey AND b.o_orderkey > a.o_orderkey""",
+    "asof_tolerance" -> """
+      SELECT a.o_custkey, a.o_orderkey, a.o_totalprice,
+             CASE WHEN a.o_orderkey - b.o_orderkey <= 100
+               THEN b.o_orderkey END AS prev_orderkey,
+             CASE WHEN a.o_orderkey - b.o_orderkey <= 100
+               THEN b.o_totalprice END AS prev_totalprice
       FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 0) a
       ASOF LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 2 = 1) b
         ON a.o_custkey = b.o_custkey AND b.o_orderkey < a.o_orderkey""",
