@@ -525,7 +525,40 @@ object Relational {
       .agg(centSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** A9 — ROLLUP with grouping_id: the sub/grand-total lattice computed in
+    * one pass (Expand + one aggregation — no per-level re-scan). Cent-exact
+    * money so totals match any engine bit-for-bit.
+    */
+  def a9Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        centSum(col("o_totalprice")).as("total_price"),
+        grouping_id().as("gid"))
+
+  /** A10 — pivot with an EXPLICIT value list (the list is what makes the
+    * output schema static and the plan a single groupBy — Spark without
+    * the list runs an extra distinct job to discover columns; at 100 TB
+    * the pivot values must be declared, not discovered).
+    */
+  def a10Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .withColumnsRenamed(Map(
+        "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+        "4-NOT SPECIFIED" -> "unspec", "5-LOW" -> "low"))
+      // pivot yields NULL for an empty (status, priority) cell; the
+      // conditional-aggregation twin yields 0 — normalize
+      .select(col("o_orderstatus") +:
+        Seq("urgent", "high", "medium", "unspec", "low")
+          .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a9_rollup" -> (a9Rollup _),
+    "a10_pivot" -> (a10Pivot _),
     "q5_star_join" -> (q5StarJoin _),
     "q6_selective_agg" -> (q6SelectiveAgg _),
     "a6_salted_agg" -> (a6SaltedAgg _),
@@ -615,6 +648,23 @@ object Relational {
       GROUP BY 1""",
     "a1_group_count" ->
       "SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY 1",
+    "a9_rollup" -> """
+      SELECT o_orderstatus, o_orderpriority,
+        count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+          AS total_price,
+        CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "a10_pivot" -> """
+      SELECT o_orderstatus,
+        CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+        CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+        CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+        CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT)
+          AS unspec,
+        CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
+      FROM orders GROUP BY 1""",
     "a2_group_sum" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
