@@ -556,7 +556,24 @@ object Relational {
         Seq("urgent", "high", "medium", "unspec", "low")
           .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
 
+  /** O6 — the remaining ranking-function surface (ntile / percent_rank /
+    * cume_dist) over a POST-AGGREGATION relation (≤ nations rows), so the
+    * window is cheap by construction — the library's standing rule that
+    * global windows only ever run above an aggregate.
+    */
+  def o6WindowExtras(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("nationkey").asc)
+    counts
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o6_window_extras" -> (o6WindowExtras _),
     "a9_rollup" -> (a9Rollup _),
     "a10_pivot" -> (a10Pivot _),
     "q5_star_join" -> (q5StarJoin _),
@@ -648,6 +665,14 @@ object Relational {
       GROUP BY 1""",
     "a1_group_count" ->
       "SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY 1",
+    "o6_window_extras" -> """
+      WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n
+                 FROM customer GROUP BY 1)
+      SELECT nationkey, n,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        round(cume_dist() OVER w, 6) AS cume
+      FROM c WINDOW w AS (ORDER BY n DESC, nationkey ASC)""",
     "a9_rollup" -> """
       SELECT o_orderstatus, o_orderpriority,
         count(*) AS n_orders,
