@@ -83,8 +83,7 @@ object Dedup {
     * long-lived corpus actually observes.
     */
   def buildIndexes(spark: SparkSession, dir: String): Unit = {
-    minhashPairs(spark, dir) // cachedIndex materializes on build
-    simhashPairs(spark, dir)
+    combinedPairs(spark, dir, 64) // one job materializes both indexes
     ()
   }
 
@@ -200,22 +199,47 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** BOTH verified candidate-pair indexes in ONE persisted frame
+    * (kind: 'm' | 's', da, db, metric): the two band-join DAGs share the
+    * cached sketch frame and materialize in a single job, so their stages
+    * schedule concurrently instead of back-to-back — one cache entry, one
+    * count action, roughly the wall-clock of the slower of the two.
+    */
+  private def combinedPairs(spark: SparkSession, dir: String,
+      cap: Int): DataFrame =
+    cachedIndex(spark, dir, s"pairs-$cap") {
+      val mBands = sketches(spark, dir)
+        .select(col("doc_id"), col("sig"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("key", expr("concat(sig[band * 2], sig[band * 2 + 1])"))
+      val m = bandedCandidates(mBands, "sig", cap)
+        .withColumn("sim_est", expr(
+          "CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) AS DOUBLE) / 8"))
+        .select(col("da"), col("db"), col("sim_est"))
+        .distinct()
+        .select(lit("m").as("kind"), col("da"), col("db"),
+          col("sim_est").as("metric"))
+      val sBands = sketches(spark, dir)
+        .select(col("doc_id"), col("simhash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("key", expr("substr(simhash, 1 + band * 16, 16)"))
+      val s = bandedCandidates(sBands, "simhash", cap)
+        .withColumn("dist", hammingDist(col("sa"), col("sb")))
+        .select(col("da"), col("db"), col("dist"))
+        .distinct()
+        .select(lit("s").as("kind"), col("da"), col("db"),
+          col("dist").cast("double").as("metric"))
+      m.unionByName(s)
+    }
+
   /** Verified MinHash candidate index: ALL candidate pairs with their
     * estimated similarity (no threshold), memoized per (session, corpus).
     */
   private[operators] def minhashPairs(spark: SparkSession, dir: String,
       cap: Int = 64): DataFrame =
-    cachedIndex(spark, dir, s"minhash-$cap") {
-      val bands = sketches(spark, dir)
-        .select(col("doc_id"), col("sig"),
-          explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("key", expr("concat(sig[band * 2], sig[band * 2 + 1])"))
-      bandedCandidates(bands, "sig", cap)
-        .withColumn("sim_est", expr(
-          "CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) AS DOUBLE) / 8"))
-        .select(col("da"), col("db"), col("sim_est"))
-        .distinct()
-    }
+    combinedPairs(spark, dir, cap)
+      .filter(col("kind") === "m")
+      .select(col("da"), col("db"), col("metric").as("sim_est"))
 
   /** MinHash (k=8) + LSH (4 bands × 2 rows) near-dup pairs with estimated
     * similarity ≥ 0.5. Signatures map-side; only candidates verified; the
@@ -231,16 +255,9 @@ object Dedup {
     */
   private[operators] def simhashPairs(spark: SparkSession, dir: String,
       cap: Int = 64): DataFrame =
-    cachedIndex(spark, dir, s"simhash-$cap") {
-      val bands = sketches(spark, dir)
-        .select(col("doc_id"), col("simhash"),
-          explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("key", expr("substr(simhash, 1 + band * 16, 16)"))
-      bandedCandidates(bands, "simhash", cap)
-        .withColumn("dist", hammingDist(col("sa"), col("sb")))
-        .select(col("da"), col("db"), col("dist"))
-        .distinct()
-    }
+    combinedPairs(spark, dir, cap)
+      .filter(col("kind") === "s")
+      .select(col("da"), col("db"), col("metric").cast("int").as("dist"))
 
   /** SimHash (64-bit over shingles) + 4×16-char band LSH, hamming ≤ 6. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
