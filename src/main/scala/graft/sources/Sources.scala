@@ -126,6 +126,25 @@ object Sources {
     spark.read.option("header", "true").schema(schema).csv(tmp)
   }
 
+  /** S10 — JSON sink + schema-explicit JSON scan, round-tripped: the
+    * documents subset lands as JSON lines and is read back with a declared
+    * schema (inference at 100 TB means a full extra pass — never infer).
+    * The oracle checks the round trip restored the parquet-sourced rows
+    * exactly.
+    */
+  def s10JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_json_sink").toString
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode(SaveMode.Overwrite).json(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.read.schema(schema).json(tmp)
+  }
+
   // ------------------------------------------------------------ S3 rows
 
   /** S3 — in-memory rows → table (ref spark-scripts/spark-project.py:64),
@@ -220,6 +239,7 @@ object Sources {
     "s3_rows_table" -> (s3RowsTable _),
     "s4_jdbc_roundtrip" -> (s4JdbcRoundtrip _),
     "s5_csv_sink" -> (s5CsvSink _),
+    "s10_json_roundtrip" -> (s10JsonRoundtrip _),
     "s8_limit_preview" -> (s8LimitPreview _),
     "s9_ddl_catalog" -> (s9DdlCatalog _),
   )
@@ -248,6 +268,8 @@ object Sources {
     "s4_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s5_csv_sink" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s10_json_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
     "s8_limit_preview" -> "SELECT * FROM customer ORDER BY c_custkey LIMIT 5",
     "s9_ddl_catalog" ->
       "SELECT n_regionkey, count(*) AS nations FROM nation GROUP BY 1",
