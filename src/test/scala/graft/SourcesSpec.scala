@@ -56,6 +56,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 1) // one partition per URL
   }
 
+  test("dynamic partition overwrite: reload one partition, others intact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+    val v1 = Seq((1L, "england", "old-e1"), (2L, "england", "old-e2"),
+      (3L, "spain", "s1"), (4L, "italy", "i1"))
+      .toDF("id", "league", "payload")
+    v1.write.mode("overwrite").partitionBy("league").parquet(tmp)
+    // incremental reload of ONE league — static overwrite would drop the
+    // whole table; dynamic mode replaces only the partitions present in
+    // the incoming frame (the daily-reload shape of the reference DAG)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((10L, "england", "new-e1")).toDF("id", "league", "payload")
+        .write.mode("overwrite").partitionBy("league").parquet(tmp)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val got = spark.read.parquet(tmp)
+      .select(col("id"), col("league"), col("payload"))
+      .collect().map(_.toSeq).toSet
+    assert(got == Set(Seq(10L, "england", "new-e1"),
+      Seq(3L, "spain", "s1"), Seq(4L, "italy", "i1")))
+  }
+
   test("s4 jdbc round-trip: overwrite drops the decoy and returns nation") {
     val got = Sources.s4JdbcRoundtrip(spark, "/root/testdata/sf0.001")
     // decoy schema (n_nationkey, junk) must be gone — full drop+recreate
