@@ -572,7 +572,101 @@ object Relational {
       .withColumn("cume", round(cume_dist().over(w), 6))
   }
 
+  /** A11 — CUBE with grouping_id: all 2^n grouping sets of the lattice in
+    * one Expand + aggregate pass. The fact is scanned ONCE; Expand
+    * multiplies rows only at the aggregation's input, where map-side
+    * partials collapse them immediately (the alternative — one scan per
+    * grouping set — reads the 100 TB fact 2^n times).
+    */
+  def a11Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        centSum(col("o_totalprice")).as("total_price"),
+        grouping_id().as("gid"))
+
+  /** O7 — rolling window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT
+    * ROW): last-3-orders spend per customer. The frame sums exact integer
+    * cents; the rolling average is emitted as FLOOR'd cents so the
+    * division point is engine-agnostic. Partitioned by customer — the
+    * window never sees more than one customer's orders per task.
+    */
+  def o7RollingFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val f = w.rowsBetween(-2, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("roll_n", count(lit(1)).over(f))
+      .withColumn("roll_spend", sum(col("cents")).over(f).cast("double") / 100.0)
+      .withColumn("roll_avg_cents",
+        floor(sum(col("cents")).over(f).cast("double") / col("roll_n"))
+          .cast("long"))
+      .drop("cents", "o_orderdate")
+  }
+
+  /** J5 — bloom-filter-pruned join. Build a compact bloom sketch of the
+    * dimension's join keys (distributed `stat.bloomFilter` — a
+    * treeAggregate of bit arrays, no row collect; ~1.2 MB per 1M keys at
+    * 1% fpp), broadcast it, and drop non-matching fact rows BEFORE the
+    * shuffle; the exact semi join afterwards removes the ≤1% false
+    * positives, so results are identical to the plain join. At 100 TB
+    * this shuffles only the ~matching slice of the fact instead of all of
+    * it. Spark's runtime row-level filters
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) apply the same
+    * rewrite automatically under AQE; this operator is the explicit,
+    * deterministic form the library exposes.
+    */
+  def bloomPrunedSemiJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, fpp: Double = 0.01): DataFrame = {
+    val spark = fact.sparkSession
+    val keys = dim.select(col(dimKey))
+    val nKeys = math.max(keys.count(), 1L)
+    val bloom = keys.stat.bloomFilter(dimKey, nKeys, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bloomB.value.mightContainLong(k.longValue()))
+    fact.filter(mightContain(col(factKey)))
+      .join(keys, col(factKey) === col(dimKey), "left_semi")
+  }
+
+  def j5BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    bloomPrunedSemiJoin(t(spark, dir, "orders"), dim, "o_custkey", "c_custkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        centSum(col("o_totalprice")).as("total_price"))
+  }
+
+  /** U4 — incremental upsert (merge): the scale-correct replacement for
+    * the reference's drop-and-recreate reloads (dags/projectde_dag.py:
+    * 144-150). Apply a changed-rows delta over the base — delta wins on
+    * key collision, untouched base rows survive — expressed as
+    * delta ∪ (base ⟕anti delta.keys): one shuffle on the key (AQE
+    * broadcasts the anti side when the delta is small, the common case),
+    * and nothing rewrites unchanged data (pairs with the
+    * dynamic-partition-overwrite write mode pinned in SourcesSpec).
+    */
+  def upsert(base: DataFrame, delta: DataFrame, key: String): DataFrame =
+    delta.unionByName(base.join(delta.select(key), Seq(key), "left_anti"))
+
+  def u4Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "customer")
+    val delta = base.filter(col("c_custkey") % 13 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .withColumn("c_mktsegment", lit("RELOADED"))
+    upsert(base, delta, "c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a11_cube" -> (a11Cube _),
+    "o7_rolling_frame" -> (o7RollingFrame _),
+    "j5_bloom_join" -> (j5BloomJoin _),
+    "u4_upsert" -> (u4Upsert _),
     "o6_window_extras" -> (o6WindowExtras _),
     "a9_rollup" -> (a9Rollup _),
     "a10_pivot" -> (a10Pivot _),
@@ -602,6 +696,46 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "a11_cube" -> """
+      SELECT o_orderstatus, o_orderpriority,
+        count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+          AS total_price,
+        CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "o7_rolling_frame" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(count(*) OVER f AS BIGINT) AS roll_n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER f AS DOUBLE)
+          / 100.0 AS roll_spend,
+        CAST(FLOOR(
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER f AS DOUBLE)
+          / (count(*) OVER f)) AS BIGINT) AS roll_avg_cents
+      FROM orders
+      WINDOW f AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "j5_bloom_join" -> """
+      SELECT o_orderpriority, count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+          AS total_price
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM customer
+                    WHERE c_custkey = o_custkey
+                      AND c_mktsegment = 'BUILDING')
+      GROUP BY 1""",
+    "u4_upsert" -> """
+      WITH delta AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+               'RELOADED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 13 = 0)
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM delta
+      UNION ALL
+      SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal, b.c_mktsegment
+      FROM customer b
+      WHERE NOT EXISTS (SELECT 1 FROM delta d
+                        WHERE d.c_custkey = b.c_custkey)""",
     "o5_topk_per_key" -> """
       SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         SELECT o_orderpriority, o_orderkey, o_totalprice,
