@@ -20,6 +20,7 @@ object SparkEntry {
     (operators.Multimodal.queries, operators.Multimodal.oracle),
     (operators.CorpusPipeline.queries, operators.CorpusPipeline.oracle),
     (operators.AsOfJoin.queries, operators.AsOfJoin.oracle),
+    (operators.EventAnalytics.queries, operators.EventAnalytics.oracle),
     (operators.RangeJoin.queries, operators.RangeJoin.oracle),
     (streaming.EventConsumer.queries, streaming.EventConsumer.oracle),
     (streaming.DocStream.queries, streaming.DocStream.oracle),

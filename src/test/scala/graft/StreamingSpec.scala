@@ -166,6 +166,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: in-window pairs emit, out-of-window don't") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp, Double)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, Double)]
+    def named(m: MemoryStream[(Long, Long, Timestamp, Double)]) =
+      m.toDF().toDF("user_id", "event_id", "ts", "value")
+    val q = graft.operators.EventAnalytics
+      .conversionPairsStreaming(named(clicks), named(purchases))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("st5_test").start()
+    try {
+      clicks.addData((7L, 1L, ts("2024-01-01 00:00:00"), 0.0),
+        (7L, 2L, ts("2024-01-01 00:45:00"), 0.0),
+        (8L, 3L, ts("2024-01-01 00:10:00"), 0.0))
+      purchases.addData(
+        (7L, 100L, ts("2024-01-01 00:10:00"), 5.0), // click 1 + 10min → match
+        (7L, 101L, ts("2024-01-01 00:50:00"), 7.0), // click 2 + 5min → match
+                                                    // (click 1 + 50min → not)
+        (8L, 102L, ts("2024-01-01 00:05:00"), 9.0)) // before user 8's click
+      q.processAllAvailable()
+      val got = spark.table("st5_test")
+        .select("user_id", "click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((7L, 1L, 100L), (7L, 2L, 101L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream join agrees with the batch twin on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.t(spark, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    def collectType(t: String) =
+      graft.Tables.t(spark, dir, "events").filter($"event_type" === t)
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .as[(Long, Long, Timestamp, Double)].collect().toIndexedSeq
+    val clicks = MemoryStream[(Long, Long, Timestamp, Double)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, Double)]
+    def named(m: MemoryStream[(Long, Long, Timestamp, Double)]) =
+      m.toDF().toDF("user_id", "event_id", "ts", "value")
+    val q = graft.operators.EventAnalytics
+      .conversionPairsStreaming(named(clicks), named(purchases))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("st5_events").start()
+    try {
+      clicks.addData(collectType("click"))
+      purchases.addData(collectType("purchase"))
+      q.processAllAvailable()
+      val streamed = spark.table("st5_events")
+      val batch = graft.operators.EventAnalytics.evConversions(spark, dir)
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming file-source agg matches the batch replay") {
     val dir = "/root/testdata/sf0.001"
     // file streaming source wants a directory; stage the events file alone
