@@ -622,13 +622,20 @@ object Relational {
   def bloomPrunedSemiJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String, fpp: Double = 0.01): DataFrame = {
     val spark = fact.sparkSession
+    graft.plans.GraftFunctions.register(spark)
     val keys = dim.select(col(dimKey))
     val nKeys = math.max(keys.count(), 1L)
     val bloom = keys.stat.bloomFilter(dimKey, nKeys, fpp)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bloomB.value.mightContainLong(k.longValue()))
-    fact.filter(mightContain(col(factKey)))
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    // Spark's own BloomFilterMightContain predicate (codegen'd; the
+    // sketch is a foldable binary literal riding in the plan — exactly
+    // how AQE's runtime row-level filter ships it to executors)
+    fact.filter(call_function("graft_might_contain",
+        lit(bytes), col(factKey).cast("long")))
       .join(keys, col(factKey) === col(dimKey), "left_semi")
   }
 

@@ -173,6 +173,14 @@ object GraftFunctions {
       "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_topk", exprs => TopKMarker(exprs), "built-in")
+    // Spark's own runtime-filter predicate, exposed for the explicit
+    // bloom-pruned join (Relational.bloomPrunedSemiJoin): codegen'd, and
+    // the serialized sketch rides along as a foldable binary literal —
+    // no side-channel broadcast needed.
+    reg.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
     // the rewrite rules are idempotent; adding twice is harmless
     if (!spark.experimental.extraOptimizations.contains(LshJoinRewrite))
       spark.experimental.extraOptimizations =
@@ -215,6 +223,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKMarker].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKMarker(exprs)))
+    e.injectFunction((FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => LshJoinRewrite)
     e.injectOptimizerRule(_ => TopKRewrite)
     e.injectPlannerStrategy(_ => TopKStrategy)
