@@ -42,7 +42,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q5_star_join", "q6_selective_agg", "st4_sessionize", "o4_window_funcs",
     "a2_group_sum", "a3_standings", "j1_full_outer", "j2_semi_exists",
-    "o3_topk_limit", "o5_topk_per_key", "j4_range_join", "st3_window_agg",
+    "o3_topk_limit", "o5_topk_per_key", "j4_range_join", "j5_bloom_join",
+    "u4_upsert", "ev_conversions", "st3_window_agg",
     "f3_date_window",
     "x7_date_parse",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "corpus_clean",

@@ -669,7 +669,20 @@ object Relational {
     upsert(base, delta, "c_custkey")
   }
 
+  /** A12 — ordered string aggregation (the LISTAGG / string_agg
+    * surface). `collect_list` is order-nondeterministic under shuffle,
+    * so the list is `array_sort`ed before joining — deterministic output
+    * at any parallelism. Per-key payloads stay bounded (suppliers per
+    * nation), the rule for any collect_* at scale.
+    */
+  def a12StringAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        concat_ws(",", array_sort(collect_list(col("s_name")))).as("names"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a12_string_agg" -> (a12StringAgg _),
     "a11_cube" -> (a11Cube _),
     "o7_rolling_frame" -> (o7RollingFrame _),
     "j5_bloom_join" -> (j5BloomJoin _),
@@ -703,6 +716,10 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "a12_string_agg" -> """
+      SELECT s_nationkey AS nationkey, count(*) AS n,
+             string_agg(s_name, ',' ORDER BY s_name) AS names
+      FROM supplier GROUP BY 1""",
     "a11_cube" -> """
       SELECT o_orderstatus, o_orderpriority,
         count(*) AS n_orders,
