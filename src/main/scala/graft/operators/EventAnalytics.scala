@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -78,9 +79,38 @@ object EventAnalytics {
         (coalesce(col("conv_clicks"), lit(0L)) > 0).as("converted"))
   }
 
+  /** EV2 — time-series gap-fill + forward-fill: regularize the daily
+    * per-type series onto a dense date spine (absent days appear with
+    * n_events=0) and carry the last observed daily total forward across
+    * gaps. The spine is generated per key from its own [min, max] day —
+    * `sequence()` + `explode`, a few rows per key, no driver loop; the
+    * forward fill is `last(ignoreNulls)` over an unbounded-preceding
+    * frame, partitioned by key (never a global window).
+    */
+  def tsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("total_value"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("total_value"))
+      .withColumn("ff_value",
+        last(col("total_value"), ignoreNulls = true).over(w))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_conversions" -> (evConversions _),
     "ev_funnel" -> (evFunnel _),
+    "ts_gapfill" -> (tsGapfill _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -111,5 +141,30 @@ object EventAnalytics {
              CAST(coalesce(cc.n_conv_clicks, 0) AS BIGINT) AS n_conv_clicks,
              coalesce(cc.n_conv_clicks, 0) > 0 AS converted
       FROM base b LEFT JOIN cc ON b.user_id = cc.user_id""",
+    "ts_gapfill" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+            AS total_value
+        FROM events GROUP BY 1, 2),
+      bounds AS (
+        SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY 1),
+      spine AS (
+        SELECT event_type,
+          CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+            CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds),
+      filled AS (
+        SELECT s.event_type, s.day,
+               CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+               d.total_value
+        FROM spine s LEFT JOIN daily d
+          ON s.event_type = d.event_type AND s.day = d.day)
+      SELECT event_type, day, n_events, total_value,
+        last_value(total_value IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value
+      FROM filled""",
   )
 }

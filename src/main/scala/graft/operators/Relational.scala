@@ -669,6 +669,39 @@ object Relational {
     upsert(base, delta, "c_custkey")
   }
 
+  /** J6 — salted skew join: when one fact key floods a partition and the
+    * dim side is too big to broadcast, salt the fact (deterministic
+    * spread: hash of a high-cardinality sibling column mod R) and
+    * replicate each dim row R ways — the hot key's rows now land on R
+    * partitions instead of one. AQE's skew-join split is the automatic
+    * form (it splits oversized partitions at runtime); this is the
+    * explicit, planner-independent one for pipelines that must pin their
+    * shape. R multiplies only the DIM side (small), never the fact.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, spreadCol: String, r: Int = 8): DataFrame = {
+    val saltedFact = fact.withColumn("salt",
+      pmod(hash(col(spreadCol)), lit(r)))
+    val saltedDim = dim.withColumn("salt",
+      explode(expr(s"sequence(0, ${r - 1})")))
+    saltedFact.join(saltedDim,
+      saltedFact(factKey) === saltedDim(dimKey) &&
+        saltedFact("salt") === saltedDim("salt"))
+      .drop("salt")
+  }
+
+  def j6SaltedJoin(spark: SparkSession, dir: String): DataFrame =
+    saltedJoin(
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+          col("l_discount")),
+      t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+      factKey = "l_suppkey", dimKey = "s_suppkey", spreadCol = "l_orderkey")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(centSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** A12 — ordered string aggregation (the LISTAGG / string_agg
     * surface). `collect_list` is order-nondeterministic under shuffle,
     * so the list is `array_sort`ed before joining — deterministic output
@@ -682,6 +715,7 @@ object Relational {
         concat_ws(",", array_sort(collect_list(col("s_name")))).as("names"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j6_salted_join" -> (j6SaltedJoin _),
     "a12_string_agg" -> (a12StringAgg _),
     "a11_cube" -> (a11Cube _),
     "o7_rolling_frame" -> (o7RollingFrame _),
@@ -716,6 +750,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "j6_salted_join" -> """
+      SELECT s_nationkey AS nationkey,
+        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+          AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        count(*) AS n_items
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1""",
     "a12_string_agg" -> """
       SELECT s_nationkey AS nationkey, count(*) AS n,
              string_agg(s_name, ',' ORDER BY s_name) AS names
