@@ -57,6 +57,7 @@ object GraftSession {
     graft.operators.Dedup.release(spark, dir)
     graft.operators.CorpusPipeline.release(spark, dir)
     graft.operators.Curation.release(spark, dir)
+    graft.operators.EventAnalytics.release(spark, dir)
   }
 
   /** Apply the library conf contract to an existing session (idempotent),

@@ -79,6 +79,35 @@ object EventAnalytics {
         (coalesce(col("conv_clicks"), lit(0L)) > 0).as("converted"))
   }
 
+  /** The daily per-type aggregate feeds BOTH branches of the gap-fill
+    * (spine bounds + the left join), and Spark recomputes an unshared
+    * subtree per branch — TWO scans of the 100 TB fact. The aggregate
+    * itself is tiny and bounded (|event types| × |days| rows), so it is
+    * persisted per (session, corpus) like the Dedup signature index, and
+    * released through the same lifecycle (`GraftSession.release`).
+    */
+  private val dailyCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def dailyAgg(spark: SparkSession, dir: String): DataFrame =
+    dailyCache.getOrElseUpdate((graft.GraftSession.sessionId(spark), dir), {
+      val d = Tables.t(spark, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("total_value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count() // materialize so both consumers read the cache
+      d
+    })
+
+  private[graft] def release(spark: SparkSession, dir: Option[String]): Unit = {
+    val sid = graft.GraftSession.sessionId(spark)
+    dailyCache.keys.toSeq
+      .filter { case (s, d) => s == sid && dir.forall(_ == d) }
+      .foreach(dailyCache.remove(_).foreach(_.unpersist(blocking = true)))
+  }
+
   /** EV2 — time-series gap-fill + forward-fill: regularize the daily
     * per-type series onto a dense date spine (absent days appear with
     * n_events=0) and carry the last observed daily total forward across
@@ -88,11 +117,7 @@ object EventAnalytics {
     * frame, partitioned by key (never a global window).
     */
   def tsGapfill(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.t(spark, dir, "events")
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_events"),
-        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
-          .as("total_value"))
+    val daily = dailyAgg(spark, dir)
     val spine = daily.groupBy(col("event_type"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("event_type"),
