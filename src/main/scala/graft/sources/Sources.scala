@@ -145,6 +145,34 @@ object Sources {
     spark.read.schema(schema).json(tmp)
   }
 
+  /** S11 — range-sorted parquet layout: `repartitionByRange` on the
+    * pruning key + `sortWithinPartitions` before the write gives every
+    * output file a DISJOINT [min, max] on that key, so parquet
+    * footer/row-group stats prune selective scans to the few files whose
+    * range overlaps the predicate — at 100 TB the difference between
+    * touching 1/N of the files and all of them. (The range partitioner
+    * samples the key distribution, so skewed keys still yield balanced
+    * files.) The query writes orders ranged+sorted by o_totalprice, reads
+    * back through a selective filter, and aggregates; SourcesSpec pins
+    * the disjoint-file-range property itself.
+    */
+  def sortedLayoutWrite(df: DataFrame, sortCol: String, outDir: String,
+      partitions: Int): Unit =
+    df.repartitionByRange(partitions, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  def s11SortedLayout(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_sorted_layout").toString
+    sortedLayoutWrite(t(spark, dir, "orders"), "o_totalprice", tmp,
+      partitions = 8)
+    spark.read.parquet(tmp)
+      .filter(col("o_totalprice") > 400000.0)
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
+          ./(100.0).as("total_price"))
+  }
+
   // ------------------------------------------------------------ S3 rows
 
   /** S3 — in-memory rows → table (ref spark-scripts/spark-project.py:64),
@@ -240,6 +268,7 @@ object Sources {
     "s4_jdbc_roundtrip" -> (s4JdbcRoundtrip _),
     "s5_csv_sink" -> (s5CsvSink _),
     "s10_json_roundtrip" -> (s10JsonRoundtrip _),
+    "s11_sorted_layout" -> (s11SortedLayout _),
     "s8_limit_preview" -> (s8LimitPreview _),
     "s9_ddl_catalog" -> (s9DdlCatalog _),
   )
@@ -270,6 +299,11 @@ object Sources {
     "s5_csv_sink" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s10_json_roundtrip" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",
+    "s11_sorted_layout" -> """
+      SELECT count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+          AS total_price
+      FROM orders WHERE o_totalprice > 400000.0""",
     "s8_limit_preview" -> "SELECT * FROM customer ORDER BY c_custkey LIMIT 5",
     "s9_ddl_catalog" ->
       "SELECT n_regionkey, count(*) AS nations FROM nation GROUP BY 1",

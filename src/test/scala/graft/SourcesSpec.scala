@@ -85,6 +85,33 @@ class SourcesSpec extends AnyFunSuite {
       Seq(3L, "spain", "s1"), Seq(4L, "italy", "i1")))
   }
 
+  test("sorted layout: output files carry disjoint key ranges") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    Sources.sortedLayoutWrite(
+      graft.Tables.t(spark, "/root/testdata/sf0.001", "orders"),
+      "o_totalprice", tmp, partitions = 4)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length >= 2)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_totalprice")), max(col("o_totalprice"))).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }.sortBy(_._1)
+    // disjoint and ordered: every file's min is above the previous file's
+    // max — a selective predicate prunes to the overlapping file(s) via
+    // parquet footer stats alone
+    ranges.sliding(2).foreach {
+      case Array((_, prevMax), (curMin, _)) => assert(curMin >= prevMax)
+      case _ =>
+    }
+    // row count survives the re-layout
+    val n = spark.read.parquet(tmp).count()
+    assert(n ==
+      graft.Tables.t(spark, "/root/testdata/sf0.001", "orders").count())
+  }
+
   test("s4 jdbc round-trip: overwrite drops the decoy and returns nation") {
     val got = Sources.s4JdbcRoundtrip(spark, "/root/testdata/sf0.001")
     // decoy schema (n_nationkey, junk) must be gone — full drop+recreate
