@@ -714,7 +714,28 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         concat_ws(",", array_sort(collect_list(col("s_name")))).as("names"))
 
+  /** A13 — percent-of-total (ratio_to_report): each nation's share of
+    * total revenue. The unpartitioned window runs over the ALREADY
+    * AGGREGATED relation (≤ |nations| rows — the library's standing rule
+    * for global windows); shares divide exact cent-sums, rounded once at
+    * emit.
+    */
+  def a13PctOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val perNation = t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(sum(dec(col("c_acctbal"))).as("bal"))
+    perNation
+      // total as an exact decimal sum (order-independent), the share as a
+      // single IEEE double division — identical bits on any engine
+      .withColumn("total",
+        sum(col("bal")).over(Window.partitionBy()).cast("double"))
+      .select(col("nationkey"), col("bal").cast("double").as("bal"),
+        round(col("bal").cast("double") * 100 / col("total"), 6)
+          .as("pct_of_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a13_pct_of_total" -> (a13PctOfTotal _),
     "j6_salted_join" -> (j6SaltedJoin _),
     "a12_string_agg" -> (a12StringAgg _),
     "a11_cube" -> (a11Cube _),
@@ -750,6 +771,16 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "a13_pct_of_total" -> """
+      WITH n AS (
+        SELECT c_nationkey AS nationkey,
+               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+        FROM customer GROUP BY 1)
+      SELECT nationkey,
+        CAST(bal AS DOUBLE) AS bal,
+        round(CAST(bal AS DOUBLE) * 100 / CAST(sum(bal) OVER () AS DOUBLE), 6)
+          AS pct_of_total
+      FROM n""",
     "j6_salted_join" -> """
       SELECT s_nationkey AS nationkey,
         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)

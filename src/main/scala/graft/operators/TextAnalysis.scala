@@ -95,7 +95,24 @@ object TextAnalysis {
             col("n_distinct").cast("double") / col("n_shingles"), 6)))
   }
 
+  /** Corpus-wide token frequencies, top-k — the word-count classic at its
+    * scale-correct shape: explode is map-side (no shuffle until the
+    * count), the aggregation is partial+final on the token key, and the
+    * top-k plans as TakeOrderedAndProject (per-partition heaps + driver
+    * merge of k rows — never a global sort). Deterministic tie-break on
+    * the token makes top-k a well-defined set.
+    */
+  def textTokenTopk(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(k)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_topk" -> ((s: SparkSession, d: String) => textTokenTopk(s, d)),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
@@ -104,6 +121,11 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_token_topk" -> """
+      SELECT tok, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 20""",
     "text_tokens" -> """
       SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
              len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
