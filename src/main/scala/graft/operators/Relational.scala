@@ -702,6 +702,40 @@ object Relational {
           .as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** J7 — null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing, the semantics ETL needs when
+    * NULL is a real category ("unknown"). Still a hash-joinable equality
+    * — Spark plans the same shuffled/broadcast hash join, no fallback to
+    * theta-join. Keys here are derived (every 5th nation → NULL) so the
+    * oracle exercises NULL↔NULL matches deterministically.
+    */
+  def j7NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    def nullableKey(c: Column): Column =
+      when(c % 5 === 0, lit(null)).otherwise(c)
+    val cust = t(spark, dir, "customer")
+      .groupBy(nullableKey(col("c_nationkey")).as("nk"))
+      .agg(count(lit(1)).as("customers"))
+    val supp = t(spark, dir, "supplier")
+      .groupBy(nullableKey(col("s_nationkey")).as("snk"))
+      .agg(count(lit(1)).as("suppliers"))
+    cust.join(supp, col("nk") <=> col("snk"))
+      .select(col("nk").as("nationkey"), col("customers"), col("suppliers"))
+  }
+
+  /** F6 — scalar-subquery filter: rows above the global average. The
+    * 1-row aggregate broadcasts into the filter (no driver collect, no
+    * second pass reading the value into literals); the average is an
+    * exact decimal so the comparison boundary is engine-identical.
+    */
+  def f6ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val avgBal = t(spark, dir, "customer")
+      .agg((sum(dec(col("c_acctbal"))) / count(lit(1))).as("avg_bal"))
+    t(spark, dir, "customer")
+      .join(broadcast(avgBal))
+      .filter(dec(col("c_acctbal")) > col("avg_bal"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
   /** A12 — ordered string aggregation (the LISTAGG / string_agg
     * surface). `collect_list` is order-nondeterministic under shuffle,
     * so the list is `array_sort`ed before joining — deterministic output
@@ -737,6 +771,8 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_pct_of_total" -> (a13PctOfTotal _),
     "j6_salted_join" -> (j6SaltedJoin _),
+    "j7_nullsafe_join" -> (j7NullSafeJoin _),
+    "f6_scalar_subquery" -> (f6ScalarSubquery _),
     "a12_string_agg" -> (a12StringAgg _),
     "a11_cube" -> (a11Cube _),
     "o7_rolling_frame" -> (o7RollingFrame _),
@@ -771,6 +807,24 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "j7_nullsafe_join" -> """
+      WITH c AS (
+        SELECT CASE WHEN c_nationkey % 5 = 0 THEN NULL
+                    ELSE c_nationkey END AS nk,
+               count(*) AS customers
+        FROM customer GROUP BY 1),
+      s AS (
+        SELECT CASE WHEN s_nationkey % 5 = 0 THEN NULL
+                    ELSE s_nationkey END AS snk,
+               count(*) AS suppliers
+        FROM supplier GROUP BY 1)
+      SELECT c.nk AS nationkey, customers, suppliers
+      FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.snk""",
+    "f6_scalar_subquery" -> """
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+        (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) / count(*)
+         FROM customer)""",
     "a13_pct_of_total" -> """
       WITH n AS (
         SELECT c_nationkey AS nationkey,
