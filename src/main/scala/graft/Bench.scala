@@ -45,7 +45,7 @@ object Bench {
     "o3_topk_limit", "o5_topk_per_key", "j4_range_join", "j5_bloom_join",
     "u4_upsert", "ev_conversions", "st3_window_agg",
     "f3_date_window",
-    "x7_date_parse",
+    "x7_date_parse", "ts_gapfill", "text_token_topk",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "corpus_clean",
     "sim_topk_bruteforce", "sim_lsh_ann", "sim_ivf_ann", "sim_ivf_kmeans",
     "text_quality",
