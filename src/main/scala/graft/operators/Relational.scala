@@ -618,14 +618,26 @@ object Relational {
     * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) apply the same
     * rewrite automatically under AQE; this operator is the explicit,
     * deterministic form the library exposes.
+    *
+    * Keys of ANY type are supported: both sides are hashed with
+    * `xxhash64` before the sketch is built/probed, so string/decimal/
+    * binary keys work identically to integral ones (the former
+    * `cast("long")` silently nulled non-numeric keys under ANSI-off and
+    * returned an empty result). Pass `expectedNumItems` when the dim
+    * cardinality is already known (or cheaply estimable) to skip the
+    * sizing pass over the dim side; the default `-1` counts it.
     */
   def bloomPrunedSemiJoin(fact: DataFrame, dim: DataFrame,
-      factKey: String, dimKey: String, fpp: Double = 0.01): DataFrame = {
+      factKey: String, dimKey: String, fpp: Double = 0.01,
+      expectedNumItems: Long = -1L): DataFrame = {
     val spark = fact.sparkSession
     graft.plans.GraftFunctions.register(spark)
     val keys = dim.select(col(dimKey))
-    val nKeys = math.max(keys.count(), 1L)
-    val bloom = keys.stat.bloomFilter(dimKey, nKeys, fpp)
+    val nKeys =
+      if (expectedNumItems > 0) expectedNumItems
+      else math.max(keys.count(), 1L)
+    val bloom = keys.select(xxhash64(col(dimKey)).as("h"))
+      .stat.bloomFilter("h", nKeys, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
@@ -635,7 +647,7 @@ object Relational {
     // sketch is a foldable binary literal riding in the plan — exactly
     // how AQE's runtime row-level filter ships it to executors)
     fact.filter(call_function("graft_might_contain",
-        lit(bytes), col(factKey).cast("long")))
+        lit(bytes), xxhash64(col(factKey))))
       .join(keys, col(factKey) === col(dimKey), "left_semi")
   }
 

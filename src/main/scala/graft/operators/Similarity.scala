@@ -219,12 +219,24 @@ object Similarity {
     * and partitionings; empty lists drop out, matching the oracle's
     * GROUP BY. Cosine k-means (argmax of rounded cos) with plain
     * coordinate means — the standard spherical-ish simplification.
+    *
+    * Scaling: each round collects k×dim mean rows to the driver — the
+    * codebook itself, not the corpus. At dim≈1536 doubles that shape
+    * holds to k≈64k (~100 MB/round), the realistic ceiling for an IVF
+    * coarse quantizer; beyond that the codebook should be trained
+    * hierarchically instead, so `k` is capped with a descriptive error.
     */
+  val MaxIvfK: Int = 65536
+
   def simIvfKmeansAnn(spark: SparkSession, dir: String,
       iters: Int = 2): DataFrame = {
     val emb = withNorm(t(spark, dir, "embeddings"))
     var code = seededCodebook(emb)
     for (_ <- 1 to iters) {
+      require(code.length <= MaxIvfK,
+        s"IVF codebook size ${code.length} exceeds $MaxIvfK: driver-side " +
+          "per-round means no longer fit the coarse-quantizer budget; " +
+          "train hierarchically (coarse book over sub-books) instead")
       val sorted = code.sortBy(_._1)
       val cVecs = typedLit(sorted.map(_._2))
       val cNrms = typedLit(sorted.map(_._3))

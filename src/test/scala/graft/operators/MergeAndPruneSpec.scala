@@ -49,6 +49,26 @@ class MergeAndPruneSpec extends AnyFunSuite {
       exact.select(col("o_orderkey"))).isEmpty)
   }
 
+  test("bloom prune works on STRING keys (xxhash64 both sides)") {
+    import spark.implicits._
+    // pre-fix behavior: cast("long") on a string key → NULL under ANSI-off
+    // → every fact row failed the bloom probe → silently empty result
+    val dim = Seq("alice", "bob", "carol").toDF("name")
+    val fact = Seq("alice", "bob", "dave", "erin", "alice").toDF("who")
+    val got = Relational.bloomPrunedSemiJoin(fact, dim, "who", "name")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("alice", "alice", "bob"))
+  }
+
+  test("bloom prune honors expectedNumItems (no dim sizing pass)") {
+    import spark.implicits._
+    val dim = (0L until 100L).toDF("k")
+    val fact = (0L until 1000L).toDF("fk")
+    val got = Relational.bloomPrunedSemiJoin(fact, dim, "fk", "k",
+      expectedNumItems = 100L)
+    assert(got.count() == 100L)
+  }
+
   test("bloom filter prunes most non-matching fact rows before the join") {
     import spark.implicits._
     // keys 0..99 in the dim; fact keys 0..9999 → ≥ ~98.9% of rows must be
