@@ -12,9 +12,15 @@ package graft
   *    reported per-query number is the MEDIAN; all raw samples land in
   *    bench_samples.json next to the repo root (the stdout line itself
   *    is kept under ~2000 chars so harnesses that keep only an output
-  *    tail still capture it whole). Three same-commit single-shot runs
-  *    have spanned 3× on a loaded machine — a single sample is weather,
-  *    the median of three survives one bad interval.
+  *    tail still capture it whole). Reps are INTERLEAVED — the whole
+  *    suite runs round-robin, REPS passes — so a single external load
+  *    burst degrades at most one pass of many queries instead of every
+  *    rep of one query (the r5 artifact recorded samples [39.6, 6.8,
+  *    1.2] for one query whose idle cost is 0.7 s: back-to-back reps
+  *    all sat inside the same burst). The sidecar also records
+  *    /proc/loadavg (1-min) before each rep and the per-query MIN —
+  *    the min is the best load-free estimate when even the median got
+  *    poisoned, and the loadavg trace proves it from the artifact.
   *  - The Dedup signature/candidate index build is ingest-time cost,
   *    not query cost, so it is timed ONCE as its own "index_build" row
   *    and the dedup query rows measure post-index query time.
@@ -43,7 +49,8 @@ object Bench {
     "q5_star_join", "q6_selective_agg", "st4_sessionize", "o4_window_funcs",
     "a2_group_sum", "a3_standings", "j1_full_outer", "j2_semi_exists",
     "o3_topk_limit", "o5_topk_per_key", "j4_range_join", "j5_bloom_join",
-    "u4_upsert", "ev_conversions", "st3_window_agg",
+    "j6_salted_join", "u4_upsert", "ev_conversions", "ev_funnel",
+    "st3_window_agg",
     "f3_date_window",
     "x7_date_parse", "ts_gapfill", "text_token_topk",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "corpus_clean",
@@ -112,18 +119,32 @@ object Bench {
         graft.operators.Curation.release(spark, Some(sfDir))),
     )
 
-    val results: Seq[(String, Seq[Double])] = headline.map { name =>
+    def loadavg1: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Exception => -1.0 }
+
+    // Interleaved reps: pass 1 runs the ENTIRE suite, then pass 2, then
+    // pass 3 — adjacent samples of one query are minutes apart, so a
+    // transient load burst poisons at most one of its reps.
+    import scala.collection.mutable
+    val sampleBuf = mutable.LinkedHashMap(
+      headline.map(n => n -> mutable.ArrayBuffer.empty[Double]): _*)
+    val loadBuf = mutable.LinkedHashMap(
+      headline.map(n => n -> mutable.ArrayBuffer.empty[Double]): _*)
+    for (_ <- 1 to reps; name <- headline) {
       val fn = SparkEntry.queries(name)
-      val samples = (1 to reps).map { _ =>
-        resetBeforeRep.get(name).foreach(_.apply())
-        try time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      resetBeforeRep.get(name).foreach(_.apply())
+      loadBuf(name) += loadavg1
+      sampleBuf(name) +=
+        (try time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
-        }
-      }
-      (name, samples)
+        })
     }
+    val results: Seq[(String, Seq[Double])] =
+      headline.map(n => n -> sampleBuf(n).toSeq)
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -139,6 +160,15 @@ object Bench {
     val samplesJson = results
       .map { case (k, ss) => "\"" + k + "\":" + ss.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    val minsJson = results
+      .map { case (k, ss) =>
+        val v = if (ss.contains(-1.0)) -1.0 else ss.min
+        "\"" + k + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
+    val loadJson = results
+      .map { case (k, _) =>
+        "\"" + k + "\":" + loadBuf(k).map(fmt).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val failed = (medians.collect { case (k, -1.0) => "\"" + k + "\"" } ++
       (if (indexBuild == -1.0) Seq("\"index_build\"") else Nil))
       .mkString("[", ",", "]")
@@ -160,7 +190,7 @@ object Bench {
         if (oracle.isEmpty) ""
         else "," + "\"oracle\":" + oracle.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      val side = s"""{"samples":$samplesJson,"reps":$reps,"index_build":${fmt(indexBuild)}$oraclePart,"sf":"$sfDir"}"""
+      val side = s"""{"samples":$samplesJson,"mins":$minsJson,"loadavg":$loadJson,"reps":$reps,"interleaved":true,"index_build":${fmt(indexBuild)}$oraclePart,"sf":"$sfDir"}"""
       val w = new java.io.PrintWriter("bench_samples.json"); w.println(side); w.close()
     } catch { case e: Exception =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
