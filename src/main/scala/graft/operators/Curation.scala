@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.TextFunctions._
 
+private[operators] case class PackIn(shard: Int, doc_id: Long, n_tokens: Int)
+private[operators] case class PackOut(doc_id: Long, shard: Int, pack_id: Int,
+    pack_pos: Int, n_tokens: Int)
+
 /** Corpus-curation operators a training-data pipeline runs AFTER the dedup
   * sketches exist: duplicate-cluster assignment, deterministic stratified
   * sampling, and benchmark decontamination.
@@ -237,6 +241,111 @@ object Curation {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"))
 
+  /** Sequence packing: assign docs to fixed-token-budget training rows.
+    * Deterministic greedy next-fit per shard — docs are visited in
+    * ascending `doc_id` order within their content-addressed shard; a doc
+    * joins the current pack iff the pack's running token count stays
+    * ≤ `budget`, else it opens the next pack. Multi-doc packs therefore
+    * never exceed the budget; a pack exceeds it only when a SINGLE doc is
+    * alone larger than the budget (such docs still pack — alone — so no
+    * doc is ever lost; cap long docs upstream if that matters).
+    *
+    * Scale: packing is inherently sequential PER PACK STREAM, and the
+    * pack stream of a training export is the shard — one writer's worth
+    * of data, bounded by design (nShards scales with corpus size). So the
+    * plan is one shuffle on `shard`, then a per-partition O(shard) fold
+    * with ~16 bytes of state; 1000 executors each pack their shards
+    * independently, and the content-addressed shard + doc_id order makes
+    * the assignment reproducible across engines, re-runs, and
+    * partitionings.
+    *
+    * Input columns: `shard` (int), `doc_id` (long), `n_tokens` (int).
+    * Output: (doc_id, shard, pack_id, pack_pos, n_tokens) — `pack_id` is
+    * shard-local, `pack_pos` the doc's position inside its pack.
+    */
+  def packSequences(docs: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("shard").cast("int"), col("doc_id").cast("long"),
+        col("n_tokens").cast("int")).as[PackIn]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .mapPartitions { it =>
+        // a partition holds whole shards (hash-partitioned on shard);
+        // reset the fold state at each shard boundary
+        var shard = Int.MinValue
+        var packId = 0; var pos = 0; var acc = 0
+        it.map { r =>
+          if (r.shard != shard) {
+            shard = r.shard; packId = 0; pos = 0; acc = r.n_tokens
+          } else if (acc + r.n_tokens <= budget) {
+            pos += 1; acc += r.n_tokens
+          } else {
+            packId += 1; pos = 0; acc = r.n_tokens
+          }
+          PackOut(r.doc_id, r.shard, packId, pos, r.n_tokens)
+        }
+      }.toDF()
+  }
+
+  /** The curated corpus packed for training: shard assignment from
+    * [[curatedShards]], token counts from the whitespace tokenizer, packs
+    * from [[packSequences]].
+    */
+  def packCurated(spark: SparkSession, dir: String, budget: Int = 256,
+      nShards: Int = 8): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+    packSequences(
+      curatedShards(spark, dir, nShards)
+        .select(col("doc_id"), col("shard")).join(toks, "doc_id"),
+      budget)
+  }
+
+  /** Data-mixture sampling by TOKEN budget: per source, keep the prefix of
+    * docs — in content-addressed md5(doc_id) order — whose running token
+    * count stays ≤ the source's budget. Real pipelines mix corpora by
+    * token share, not row rate; the hash order makes the kept set
+    * deterministic across engines/re-runs/backfills (same contract as
+    * [[sampleStratified]]), and the budget-prefix semantics make it exact,
+    * not expected-value.
+    *
+    * Scale: the running count is a TWO-PHASE prefix sum (the same
+    * decomposition as the two-phase rank in Relational.o1): bucket = first
+    * byte of the hash, so ordering by (bucket, hash) equals ordering by
+    * hash; per-(source,bucket) subtotals are ≤256 tiny rows per source
+    * whose window is trivial, and the within-bucket cumsum windows over
+    * 1/256th of a source each — no per-source global sort anywhere, skew
+    * bounded by bucket width.
+    */
+  def mixtureSample(spark: SparkSession, dir: String, budget: Long = 600,
+      budgets: Map[String, Long] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("hv"))
+      .withColumn("bucket",
+        conv(substring(col("hv"), 1, 2), 16, 10).cast("int"))
+    val offs = docs.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("off", coalesce(sum(col("btok")).over(
+          Window.partitionBy(col("source")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bucket"), col("off"))
+    val budgetCol = budgets.foldLeft(lit(budget)) { case (acc, (s, b)) =>
+      when(col("source") === s, lit(b)).otherwise(acc)
+    }
+    docs.join(offs, Seq("source", "bucket"))
+      .withColumn("cum_tokens", col("off") + sum(col("n_tokens")).over(
+          Window.partitionBy(col("source"), col("bucket"))
+            .orderBy(col("hv"), col("doc_id"))))
+      .filter(col("cum_tokens") <= budgetCol)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   /** Top-k quality docs per source via the native TopKPerKey operator —
     * the custom plan stack (marker → rewrite → bounded-heap exec, no sort,
     * no window) doing real work inside the curation family.
@@ -258,6 +367,8 @@ object Curation {
     "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "cur_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "cur_corpus_curate" -> ((s, d) => corpusCurate(s, d)),
+    "cur_pack_sequences" -> ((s, d) => packCurated(s, d)),
+    "cur_mixture_sample" -> ((s, d) => mixtureSample(s, d)),
   )
 
   /** The curation funnel as DuckDB CTEs ending in `curated(doc_id, lang,
@@ -345,6 +456,55 @@ object Curation {
     "cur_corpus_curate" -> s"""
       WITH RECURSIVE $curateCtes
       SELECT doc_id, lang, source, quality FROM curated""",
+    // the packing recursion advances every shard by one doc per step
+    // (linear recursion joined on rn+1), replaying the Spark fold exactly
+    "cur_pack_sequences" -> s"""
+      WITH RECURSIVE $curateCtes,
+      assigned AS (
+        SELECT c.doc_id,
+          ((strpos('0123456789abcdef',
+              substr(md5(CAST(c.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+              substr(md5(CAST(c.doc_id AS VARCHAR)), 4, 1)) - 1)) % 8
+            AS shard
+        FROM curated c),
+      toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+      ordered AS (
+        SELECT a.shard, a.doc_id, t.n_tokens,
+          row_number() OVER (PARTITION BY a.shard ORDER BY a.doc_id) AS rn
+        FROM assigned a JOIN toks t ON a.doc_id = t.doc_id),
+      pack(shard, rn, doc_id, n_tokens, pack_id, pack_pos, acc) AS (
+        SELECT shard, rn, doc_id, n_tokens, 0, 0, n_tokens
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+          CASE WHEN p.acc + r.n_tokens <= 256
+               THEN p.pack_id ELSE p.pack_id + 1 END,
+          CASE WHEN p.acc + r.n_tokens <= 256
+               THEN p.pack_pos + 1 ELSE 0 END,
+          CASE WHEN p.acc + r.n_tokens <= 256
+               THEN p.acc + r.n_tokens ELSE r.n_tokens END
+        FROM pack p JOIN ordered r
+          ON r.shard = p.shard AND r.rn = p.rn + 1)
+      SELECT doc_id, CAST(shard AS INT) AS shard,
+             CAST(pack_id AS INT) AS pack_id,
+             CAST(pack_pos AS INT) AS pack_pos,
+             CAST(n_tokens AS INT) AS n_tokens
+      FROM pack""",
+    "cur_mixture_sample" -> """
+      WITH toks AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS hv
+        FROM documents),
+      run AS (
+        SELECT doc_id, source, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id)
+            AS cum_tokens
+        FROM toks)
+      SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+             CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM run WHERE cum_tokens <= 600""",
     "cur_decontaminate" -> """
       WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w
                    FROM documents),
