@@ -112,6 +112,55 @@ class SourcesSpec extends AnyFunSuite {
       graft.Tables.t(spark, "/root/testdata/sf0.001", "orders").count())
   }
 
+  test("z-order layout: z-disjoint files prune on BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val orders = graft.Tables.t(spark, dir, "orders")
+    Sources.zorderLayoutWrite(orders, "o_custkey", "o_orderkey", tmp,
+      partitions = 8)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 4)
+    // per-file stats on the two raw keys + the recomputed z key
+    val scale = (1L << 13) - 1
+    def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      floor((c.cast("long") - lo).cast("double") /
+        math.max(hi - lo, 1L) * scale).cast("long")
+    val st = orders.agg(
+      min(col("o_custkey")).cast("long"), max(col("o_custkey")).cast("long"),
+      min(col("o_orderkey")).cast("long"), max(col("o_orderkey")).cast("long"))
+      .collect()(0)
+    val stats = files.map { f =>
+      val z = Sources.zValue(
+        norm(col("o_custkey"), st.getLong(0), st.getLong(1)),
+        norm(col("o_orderkey"), st.getLong(2), st.getLong(3)), 13)
+      val r = spark.read.parquet(f).agg(
+        min(z), max(z),
+        min(col("o_custkey")), max(col("o_custkey")),
+        min(col("o_orderkey")), max(col("o_orderkey"))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }
+    // files carry DISJOINT z ranges (sorted-on-z write)
+    stats.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(b._1 >= a._2,
+        s"z ranges overlap: $a vs $b")
+      case _ =>
+    }
+    // a selective predicate on EITHER raw dimension must skip a strict
+    // subset of files via footer min/max alone — the z tiles localize
+    // both keys, which a single-key sort cannot do
+    val custHit = stats.count { case (_, _, cMin, _, _, _) => cMin <= 15L }
+    val okeyHit = stats.count { case (_, _, _, _, oMin, _) => oMin <= 600L }
+    assert(custHit < files.length,
+      s"no pruning on o_custkey: $custHit/${files.length} files overlap")
+    assert(okeyHit < files.length,
+      s"no pruning on o_orderkey: $okeyHit/${files.length} files overlap")
+    // row count survives the re-layout
+    assert(spark.read.parquet(tmp).count() == orders.count())
+  }
+
   test("s4 jdbc round-trip: overwrite drops the decoy and returns nation") {
     val got = Sources.s4JdbcRoundtrip(spark, "/root/testdata/sf0.001")
     // decoy schema (n_nationkey, junk) must be gone — full drop+recreate
