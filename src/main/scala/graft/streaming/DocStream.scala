@@ -71,6 +71,62 @@ object DocStream {
       }
   }
 
+  case class DocEvent(doc_id: Long, text: String, event_ts: java.sql.Timestamp)
+
+  /** Event-time TTL flavor — the production semantics for an unbounded
+    * feed: a digest's state drops when the WATERMARK passes its last-seen
+    * event time + TTL, so expiry follows the data's own clock (replays,
+    * backfills, and lagging partitions all age state identically), not
+    * the wall clock of whichever executor happens to run the batch.
+    *
+    * Two expiry paths cover the engine's timeout contract:
+    *  - no new data for the digest → EventTimeTimeout fires once the
+    *    watermark passes the registered timestamp → state removed;
+    *  - new data arrives in the SAME batch the digest expires (the engine
+    *    only fires timeouts for groups with no data) → the data path
+    *    checks `last_seen + ttl ≤ watermark` itself and re-admits.
+    * Both paths give exact event-time TTL semantics; a duplicate arriving
+    * within the TTL refreshes last-seen and is suppressed.
+    *
+    * State stays one 40-byte (digest, last-seen) entry per distinct doc
+    * inside the TTL horizon; the watermark bounds it at scale exactly as
+    * the processing-time flavor's TTL does, minus the wall-clock skew.
+    */
+  def dedupStreamEventTtl(docs: Dataset[DocEvent], ttlMs: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[FirstSeen] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("event_ts", watermarkDelay)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"), col("event_ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, FirstSeen](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (digest: String, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val rs = rows.toSeq
+            val maxTs = rs.iterator.map(_._3.getTime).max
+            val expired = state.exists && state.get + ttlMs <= wm
+            if (state.exists && !expired) {
+              // duplicate inside the TTL: refresh last-seen, stay quiet
+              state.update(math.max(state.get, maxTs))
+              state.setTimeoutTimestamp(math.max(state.get + ttlMs, wm + 1))
+              Iterator.empty
+            } else {
+              if (expired) state.remove()
+              state.update(maxTs)
+              state.setTimeoutTimestamp(math.max(maxTs + ttlMs, wm + 1))
+              Iterator.single(FirstSeen(digest, rs.iterator.map(_._1).min))
+            }
+          }
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st5_stream_dedup" -> (batchFirstSeen _),
   )

@@ -143,6 +143,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time TTL dedup: within-TTL dup drops, post-expiry re-admits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DocStream
+    val mem = MemoryStream[DocStream.DocEvent]
+    val q = DocStream.dedupStreamEventTtl(mem.toDS(), ttlMs = 60000L,
+        watermarkDelay = "10 seconds")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("doc_dedup_ttl").start()
+    try {
+      // batch 1: first arrivals emit
+      mem.addData(
+        DocStream.DocEvent(1L, "doc A", ts("2024-01-01 00:00:00")),
+        DocStream.DocEvent(9L, "doc Y", ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // batch 2: duplicate of A 30s later — inside the 60s TTL → dropped
+      // (and last-seen refreshes to 00:00:30)
+      mem.addData(DocStream.DocEvent(2L, "doc A", ts("2024-01-01 00:00:30")))
+      q.processAllAvailable()
+      assert(spark.table("doc_dedup_ttl").as[DocStream.FirstSeen]
+        .collect().map(_.doc_id).toSet == Set(1L, 9L),
+        "within-TTL duplicate must be suppressed")
+      // batch 3: unrelated doc far ahead → after this batch the watermark
+      // (00:04:50) has passed A's last-seen + TTL (00:01:30)
+      mem.addData(DocStream.DocEvent(3L, "doc Z", ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      // batch 4: A returns after expiry → re-admitted, emits doc_id 4
+      mem.addData(DocStream.DocEvent(4L, "doc A", ts("2024-01-01 00:05:10")))
+      q.processAllAvailable()
+      val got = spark.table("doc_dedup_ttl").as[DocStream.FirstSeen]
+        .collect()
+      assert(got.map(_.doc_id).toSet == Set(1L, 9L, 3L, 4L),
+        s"expected {1,9,3,4}, got ${got.map(_.doc_id).toSet}")
+      // the re-admitted emission is the SAME digest as the original
+      val aDigests = got.filter(f => Set(1L, 4L)(f.doc_id)).map(_.text_md5)
+      assert(aDigests.distinct.length == 1)
+    } finally q.stop()
+  }
+
   test("streaming doc dedup agrees with the batch twin on the real corpus") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
