@@ -58,8 +58,8 @@ object Bench {
     "text_quality",
     "text_fingerprint",
     "cur_dedup_clusters", "cur_sample_stratified", "cur_decontaminate",
-    "cur_corpus_curate", "cur_pack_sequences", "cur_mixture_sample",
-    "text_repetition",
+    "cur_corpus_curate", "cur_pack_sequences", "cur_pack_assemble",
+    "cur_mixture_sample", "cur_sample_topn", "text_repetition",
   )
 
   private def oracleTimes(sfDir: String): Map[String, Double] = {

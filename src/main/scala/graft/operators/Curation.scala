@@ -303,6 +303,51 @@ object Curation {
       budget)
   }
 
+  /** Pack ASSEMBLY — the materialized training rows: per (shard, pack_id),
+    * the member texts concatenated in pack_pos order behind a document
+    * separator, plus the pack's doc/token totals. This is the row a
+    * trainer's data loader actually reads; [[packCurated]] is its
+    * assignment plan.
+    *
+    * Scale: one shuffle on (shard, pack_id); the per-group state is one
+    * pack's worth of text — bounded by the token budget, by construction
+    * the size of one training row. The in-group sort is over ≤ pack_size
+    * elements (array_sort on collected structs), never a global sort.
+    */
+  def assemblePacks(spark: SparkSession, dir: String, budget: Int = 256,
+      nShards: Int = 8, sep: String = " <|doc|> "): DataFrame =
+    packCurated(spark, dir, budget, nShards)
+      .join(t(spark, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id")
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pack_pos"), col("text")))),
+            s => s.getField("text")),
+          sep).as("text"))
+
+  /** Deterministic per-stratum top-N sampling: keep the N docs with the
+    * SMALLEST content-addressed hash per source — exact per-stratum row
+    * counts (where [[sampleStratified]] gives exact rates and
+    * [[mixtureSample]] exact token budgets), still fully reproducible
+    * across engines and re-runs. Runs on the native TopKPerKey operator
+    * (bounded per-partition heaps, no sort, no window), ordering
+    * ascending on the first 60 bits of md5(doc_id) with doc_id as the
+    * tie-break.
+    */
+  def sampleTopNPerSource(spark: SparkSession, dir: String,
+      n: Int = 10): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .filter(call_function("graft_topk", lit(n),
+        col("hv"), lit("asc"), col("doc_id"), col("source")))
+  }
+
   /** Data-mixture sampling by TOKEN budget: per source, keep the prefix of
     * docs — in content-addressed md5(doc_id) order — whose running token
     * count stays ≤ the source's budget. Real pipelines mix corpora by
@@ -368,7 +413,9 @@ object Curation {
     "cur_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "cur_corpus_curate" -> ((s, d) => corpusCurate(s, d)),
     "cur_pack_sequences" -> ((s, d) => packCurated(s, d)),
+    "cur_pack_assemble" -> ((s, d) => assemblePacks(s, d)),
     "cur_mixture_sample" -> ((s, d) => mixtureSample(s, d)),
+    "cur_sample_topn" -> ((s, d) => sampleTopNPerSource(s, d)),
   )
 
   /** The curation funnel as DuckDB CTEs ending in `curated(doc_id, lang,
@@ -492,6 +539,53 @@ object Curation {
              CAST(pack_pos AS INT) AS pack_pos,
              CAST(n_tokens AS INT) AS n_tokens
       FROM pack""",
+    "cur_pack_assemble" -> s"""
+      WITH RECURSIVE $curateCtes,
+      assigned AS (
+        SELECT c.doc_id,
+          ((strpos('0123456789abcdef',
+              substr(md5(CAST(c.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+              substr(md5(CAST(c.doc_id AS VARCHAR)), 4, 1)) - 1)) % 8
+            AS shard
+        FROM curated c),
+      toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+      ordered AS (
+        SELECT a.shard, a.doc_id, t.n_tokens,
+          row_number() OVER (PARTITION BY a.shard ORDER BY a.doc_id) AS rn
+        FROM assigned a JOIN toks t ON a.doc_id = t.doc_id),
+      pack(shard, rn, doc_id, n_tokens, pack_id, pack_pos, acc) AS (
+        SELECT shard, rn, doc_id, n_tokens, 0, 0, n_tokens
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+          CASE WHEN p.acc + r.n_tokens <= 256
+               THEN p.pack_id ELSE p.pack_id + 1 END,
+          CASE WHEN p.acc + r.n_tokens <= 256
+               THEN p.pack_pos + 1 ELSE 0 END,
+          CASE WHEN p.acc + r.n_tokens <= 256
+               THEN p.acc + r.n_tokens ELSE r.n_tokens END
+        FROM pack p JOIN ordered r
+          ON r.shard = p.shard AND r.rn = p.rn + 1)
+      SELECT CAST(p.shard AS INT) AS shard, CAST(p.pack_id AS INT) AS pack_id,
+             count(*) AS n_docs,
+             CAST(sum(p.n_tokens) AS BIGINT) AS pack_tokens,
+             string_agg(d.text, ' <|doc|> ' ORDER BY p.pack_pos) AS text
+      FROM pack p JOIN documents d ON p.doc_id = d.doc_id
+      GROUP BY 1, 2""",
+    "cur_sample_topn" -> """
+      WITH hv AS (
+        SELECT doc_id, source,
+          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) AS hv
+        FROM documents)
+      SELECT doc_id, source, hv FROM (
+        SELECT doc_id, source, hv,
+          row_number() OVER (PARTITION BY source
+            ORDER BY hv ASC, doc_id ASC) AS rn
+        FROM hv)
+      WHERE rn <= 10""",
     "cur_mixture_sample" -> """
       WITH toks AS (
         SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,

@@ -75,6 +75,44 @@ class PackingSpec extends AnyFunSuite {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("assembly: totals match members and separators count n_docs - 1") {
+    val sep = " <|doc|> "
+    val packs = Curation.assemblePacks(spark, dir).cache()
+    try {
+      assert(packs.count() > 0)
+      // doc conservation: assembled docs == assignment rows
+      val nAssigned = Curation.packCurated(spark, dir).count()
+      assert(packs.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+        == nAssigned)
+      // multi-doc packs within budget
+      assert(packs.filter(col("n_docs") > 1 && col("pack_tokens") > 256)
+        .isEmpty)
+      // the separator appears exactly n_docs - 1 times in each text
+      val badSep = packs.filter(
+        (size(split(col("text"), java.util.regex.Pattern.quote(sep)))
+          - 1) =!= (col("n_docs") - 1))
+      assert(badSep.isEmpty, "separator count must be n_docs - 1")
+    } finally packs.unpersist()
+  }
+
+  test("top-n sample: exact per-source counts, matches the window idiom") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Curation.sampleTopNPerSource(spark, dir, n = 3).cache()
+    try {
+      val perSource = got.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      assert(perSource.filter(col("n") =!= 3).isEmpty,
+        "every source must contribute exactly n docs")
+      val ref = t(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("hv"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("hv").asc, col("doc_id").asc)))
+        .filter(col("rn") <= 3).drop("rn")
+      assert(got.except(ref).isEmpty && ref.except(got).isEmpty)
+    } finally got.unpersist()
+  }
+
   test("mixture: kept set is the maximal budget prefix per source") {
     import org.apache.spark.sql.expressions.Window
     val budget = 600L
