@@ -273,11 +273,15 @@ object Curation {
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .mapPartitions { it =>
         // a partition holds whole shards (hash-partitioned on shard);
-        // reset the fold state at each shard boundary
-        var shard = Int.MinValue
+        // reset the fold state at each shard boundary. An explicit
+        // first-row flag (not a sentinel shard value) — shards are only
+        // cast, not validated, so ANY Int is a legal shard id and a
+        // sentinel like Int.MinValue could collide with real data.
+        var first = true; var shard = 0
         var packId = 0; var pos = 0; var acc = 0
         it.map { r =>
-          if (r.shard != shard) {
+          if (first || r.shard != shard) {
+            first = false
             shard = r.shard; packId = 0; pos = 0; acc = r.n_tokens
           } else if (acc + r.n_tokens <= budget) {
             pos += 1; acc += r.n_tokens

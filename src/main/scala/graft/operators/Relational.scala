@@ -623,20 +623,47 @@ object Relational {
     * `xxhash64` before the sketch is built/probed, so string/decimal/
     * binary keys work identically to integral ones (the former
     * `cast("long")` silently nulled non-numeric keys under ANSI-off and
-    * returned an empty result). Pass `expectedNumItems` when the dim
-    * cardinality is already known (or cheaply estimable) to skip the
-    * sizing pass over the dim side; the default `-1` counts it.
+    * returned an empty result). `xxhash64` is TYPE-sensitive — an Int 5
+    * and a Long 5 hash differently — so when the two key types differ
+    * both sides are first cast to a common type (integral→long,
+    * numeric→double: join-equal values cast to equal doubles, and a
+    * collision only costs a bloom false positive that the trailing
+    * semi-join removes). Differing non-numeric types are rejected with a
+    * descriptive error rather than silently returning an empty result.
+    *
+    * Pass `expectedNumItems` when the dim cardinality is already known
+    * (or cheaply estimable) to skip the sizing pass over the dim side;
+    * the default `-1` counts it. The value is trusted: the requested
+    * `fpp` only holds when `expectedNumItems >=` the true key
+    * cardinality — an underestimate degrades the prefilter's selectivity
+    * (never correctness; the trailing semi-join is exact), an
+    * overestimate just allocates a bigger sketch.
     */
   def bloomPrunedSemiJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String, fpp: Double = 0.01,
       expectedNumItems: Long = -1L): DataFrame = {
+    require(expectedNumItems != 0L,
+      "bloomPrunedSemiJoin: expectedNumItems must be positive (or -1 to count the dim side)")
     val spark = fact.sparkSession
     graft.plans.GraftFunctions.register(spark)
+    import org.apache.spark.sql.types._
+    val (ft, dt) = (fact.schema(factKey).dataType, dim.schema(dimKey).dataType)
+    val common: DataType = (ft, dt) match {
+      case (a, b) if a == b => a
+      case (_: ByteType | _: ShortType | _: IntegerType | _: LongType,
+            _: ByteType | _: ShortType | _: IntegerType | _: LongType) =>
+        LongType
+      case (_: NumericType, _: NumericType) => DoubleType
+      case _ => throw new IllegalArgumentException(
+        s"bloomPrunedSemiJoin: key types differ and are not both numeric " +
+          s"($factKey: $ft vs $dimKey: $dt) — cast them to a common type first, " +
+          "or every bloom probe would miss and the join would silently return empty")
+    }
     val keys = dim.select(col(dimKey))
     val nKeys =
       if (expectedNumItems > 0) expectedNumItems
       else math.max(keys.count(), 1L)
-    val bloom = keys.select(xxhash64(col(dimKey)).as("h"))
+    val bloom = keys.select(xxhash64(col(dimKey).cast(common)).as("h"))
       .stat.bloomFilter("h", nKeys, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -647,7 +674,7 @@ object Relational {
     // sketch is a foldable binary literal riding in the plan — exactly
     // how AQE's runtime row-level filter ships it to executors)
     fact.filter(call_function("graft_might_contain",
-        lit(bytes), xxhash64(col(factKey))))
+        lit(bytes), xxhash64(col(factKey).cast(common))))
       .join(keys, col(factKey) === col(dimKey), "left_semi")
   }
 

@@ -209,6 +209,20 @@ object Sources {
     val st = df.agg(
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).collect()(0)
+    if ((0 to 3).exists(st.isNullAt)) {
+      // min/max of an empty input (or an all-NULL key column) is NULL —
+      // an empty input writes an empty (but valid, schema-carrying)
+      // overwrite; all-NULL keys on a non-empty input would silently
+      // destroy the layout's pruning contract, so fail loudly instead.
+      if (df.isEmpty) {
+        df.write.mode(SaveMode.Overwrite).parquet(outDir)
+        return
+      }
+      throw new IllegalArgumentException(
+        s"zorderLayoutWrite: min/max of '$colA'/'$colB' is NULL on a " +
+          "non-empty input — a layout key column is entirely NULL; " +
+          "filter or fill NULL keys before laying out")
+    }
     val scale = (1L << bits) - 1
     def norm(c: Column, lo: Long, hi: Long): Column =
       floor((c.cast("long") - lo).cast("double") /

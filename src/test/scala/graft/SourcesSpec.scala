@@ -161,6 +161,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(tmp).count() == orders.count())
   }
 
+  test("z-order layout: empty input writes an empty overwrite; all-NULL keys fail loudly") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.Tables.t(spark, dir, "orders")
+    // empty input: min/max stats are NULL, but an empty (schema-carrying)
+    // overwrite is a valid layout — not an NPE
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_e").toString
+    Sources.zorderLayoutWrite(orders.filter(lit(false)),
+      "o_custkey", "o_orderkey", tmp, partitions = 4)
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == 0 && back.columns.sameElements(orders.columns))
+    // all-NULL key on a NON-empty input would destroy pruning — must throw
+    val e = intercept[IllegalArgumentException] {
+      Sources.zorderLayoutWrite(
+        orders.withColumn("o_custkey", lit(null).cast("long")),
+        "o_custkey", "o_orderkey",
+        java.nio.file.Files.createTempDirectory("graft_zorder_n").toString,
+        partitions = 4)
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
   test("s4 jdbc round-trip: overwrite drops the decoy and returns nation") {
     val got = Sources.s4JdbcRoundtrip(spark, "/root/testdata/sf0.001")
     // decoy schema (n_nationkey, junk) must be gone — full drop+recreate

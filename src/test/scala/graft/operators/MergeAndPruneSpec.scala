@@ -60,6 +60,41 @@ class MergeAndPruneSpec extends AnyFunSuite {
     assert(got == Seq("alice", "alice", "bob"))
   }
 
+  test("bloom prune survives MIXED numeric key types (int fact vs long dim)") {
+    import spark.implicits._
+    // xxhash64 is type-sensitive: Int 5 and Long 5 hash differently, so
+    // hashing the raw columns would miss every probe and silently return
+    // empty; both sides must be cast to a common type first.
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val fact = Seq(1, 2, 4, 5, 1).toDF("fk")
+    val got = Relational.bloomPrunedSemiJoin(fact, dim, "fk", "k")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(1, 1, 2))
+  }
+
+  test("bloom prune survives int-vs-double keys (numeric widening)") {
+    import spark.implicits._
+    val dim = Seq(1.0, 3.0).toDF("k")
+    val fact = Seq(1, 2, 3).toDF("fk")
+    val got = Relational.bloomPrunedSemiJoin(fact, dim, "fk", "k")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(1, 3))
+  }
+
+  test("bloom prune rejects incompatible key types loudly, not emptily") {
+    import spark.implicits._
+    val dim = Seq("1", "2").toDF("k")
+    val fact = Seq(1L, 2L).toDF("fk")
+    val e = intercept[IllegalArgumentException] {
+      Relational.bloomPrunedSemiJoin(fact, dim, "fk", "k")
+    }
+    assert(e.getMessage.contains("common type"))
+    intercept[IllegalArgumentException] {
+      Relational.bloomPrunedSemiJoin(fact, dim, "fk", "fk",
+        expectedNumItems = 0L)
+    }
+  }
+
   test("bloom prune honors expectedNumItems (no dim sizing pass)") {
     import spark.implicits._
     val dim = (0L until 100L).toDF("k")

@@ -65,6 +65,19 @@ class PackingSpec extends AnyFunSuite {
     assert(got == Set((1L, 0, 0), (2L, 0, 1), (3L, 1, 0), (4L, 1, 1)))
   }
 
+  test("pack: a real Int.MinValue shard id is not mistaken for 'no shard yet'") {
+    // the fold used shard == Int.MinValue as its first-row sentinel; a row
+    // whose shard is ACTUALLY Int.MinValue then took the continuation
+    // branch with stale acc=0 and got pack_pos 1. An explicit boolean flag
+    // makes every Int a legal shard id.
+    val got = Curation.packSequences(
+        synthetic(Seq((Int.MinValue, 1L, 6), (Int.MinValue, 2L, 6))),
+        budget = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("pack_id"), r.getAs[Int]("pack_pos"))).toSet
+    assert(got == Set((1L, 0, 0), (2L, 1, 0)))
+  }
+
   test("pack: assignment is invariant to input partitioning") {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"),
