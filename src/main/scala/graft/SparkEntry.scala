@@ -22,6 +22,7 @@ object SparkEntry {
     (operators.AsOfJoin.queries, operators.AsOfJoin.oracle),
     (operators.EventAnalytics.queries, operators.EventAnalytics.oracle),
     (operators.RangeJoin.queries, operators.RangeJoin.oracle),
+    (operators.Profiling.queries, operators.Profiling.oracle),
     (streaming.EventConsumer.queries, streaming.EventConsumer.oracle),
     (streaming.DocStream.queries, streaming.DocStream.oracle),
   )

@@ -286,12 +286,40 @@ object Dedup {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** INCREMENTAL near-dup admission — the shape of dedup in a LIVE corpus:
+    * a new batch (docs with `doc_id % 7 == 3` stand in for today's crawl)
+    * is admitted against the existing corpus (the rest). A batch doc is
+    * rejected when the MinHash index flags it as a near-dup (sim ≥ 0.5) of
+    * ANY existing doc, or of a smaller-id doc in its own batch (greedy
+    * keep-first, the same min-id convention the cluster operator uses).
+    *
+    * Scale: admission never rescans or re-pairs the existing corpus — it
+    * is a filter over the memoized candidate-pair index (ingest-time cost,
+    * like the signature table a production deployment maintains), and the
+    * pair set is orders of magnitude smaller than the corpus. The batch
+    * side is one anti-join on doc_id.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).filter(col("sim_est") >= 0.5)
+    val partners = pairs.select(col("da").as("doc_id"), col("db").as("p"))
+      .unionByName(pairs.select(col("db").as("doc_id"), col("da").as("p")))
+    val rejected = partners
+      .filter(col("doc_id") % 7 === 3 &&
+        (col("p") % 7 =!= 3 || col("p") < col("doc_id")))
+      .select(col("doc_id")).distinct()
+    t(spark, dir, "documents")
+      .filter(col("doc_id") % 7 === 3)
+      .join(rejected, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_incremental" -> (dedupIncremental _),
   )
 
   private[operators] val shinglesCte = """
@@ -378,5 +406,15 @@ object Dedup {
       WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
           / (a.nrm * b.nrm) >= 0.45""",
+    "dedup_incremental" -> s"""
+      WITH $minhashPairsCte,
+      partners AS (SELECT da AS doc_id, db AS p FROM pairs
+                   UNION ALL SELECT db AS doc_id, da AS p FROM pairs),
+      rej AS (SELECT DISTINCT doc_id FROM partners
+              WHERE doc_id % 7 = 3 AND (p % 7 <> 3 OR p < doc_id))
+      SELECT d.doc_id, md5(d.text) AS digest
+      FROM documents d
+      WHERE d.doc_id % 7 = 3
+        AND d.doc_id NOT IN (SELECT doc_id FROM rej)""",
   )
 }

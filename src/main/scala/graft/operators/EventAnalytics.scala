@@ -132,10 +132,57 @@ object EventAnalytics {
         last(col("total_value"), ignoreNulls = true).over(w))
   }
 
+  /** EV3 — weekly cohort retention: users grouped by first-active week,
+    * distinct actives per (cohort, week offset) — the retention matrix a
+    * product-analytics user reads as a triangle. Plan: one distinct over
+    * (user, week) — the fact collapses to at most users×weeks rows before
+    * anything else — then a per-user min (same user_id shuffle reused) and
+    * one aggregation on the tiny (cohort, offset) key. Weeks are ISO
+    * Monday-truncated in both engines.
+    */
+  def evRetention(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.t(spark, dir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val cohort = active.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int")
+          .as("week_no"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** EV4 — last-touch attribution: each purchase is credited to the
+    * user's most recent preceding non-purchase event type ("direct" when
+    * there is none). The credited channel is `last(ignoreNulls)` over an
+    * unbounded-preceding-to-previous-row frame per user — one shuffle on
+    * user_id, state bounded by the frame's single carried value; the final
+    * per-channel rollup is a handful of rows. Ties on ts break on
+    * event_id, so credit assignment is deterministic.
+    */
+  def evAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.t(spark, dir, "events")
+      .withColumn("ch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("ch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_conversions" -> (evConversions _),
     "ev_funnel" -> (evFunnel _),
     "ts_gapfill" -> (tsGapfill _),
+    "ev_retention" -> (evRetention _),
+    "ev_attribution" -> (evAttribution _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -191,5 +238,29 @@ object EventAnalytics {
           PARTITION BY event_type ORDER BY day
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value
       FROM filled""",
+    "ev_retention" -> """
+      WITH active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events),
+      cohort AS (SELECT user_id, min(week) AS cohort_week
+                 FROM active GROUP BY 1)
+      SELECT c.cohort_week,
+        CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INT) AS week_no,
+        count(DISTINCT a.user_id) AS n_users
+      FROM active a JOIN cohort c ON a.user_id = c.user_id
+      GROUP BY 1, 2""",
+    "ev_attribution" -> """
+      WITH tagged AS (
+        SELECT event_type, value,
+          last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+            IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+        FROM events)
+      SELECT coalesce(ch, 'direct') AS channel, count(*) AS n_conversions,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+          AS revenue
+      FROM tagged WHERE event_type = 'purchase'
+      GROUP BY 1""",
   )
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Data-quality operators: column profiling and declarative expectation
+  * checks — the pre-flight every pipeline runs before trusting an input
+  * table (the reference's DAGs embed the same idea as ad-hoc row-count
+  * prints between stages; here it is a first-class, schema'd result).
+  *
+  * Scale notes: the profile is ONE pass over the table — every per-column
+  * metric is an aggregate of the same scan (Spark plans the multi-distinct
+  * via Expand with partial aggregation, never one job per column), and the
+  * output is |columns| rows regardless of input size. Expectations are
+  * each a conditional aggregate over one scan; only the referential rule
+  * joins, and its dimension side is the small table.
+  */
+object Profiling {
+
+  /** DQ1 — per-column profile: row count, null count, distinct count for
+    * every column of `customer`, in long format (one row per column — the
+    * shape a quality dashboard or drift detector consumes).
+    */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"dist_$c"))
+    }
+    val stack = cols.map(c => s"'$c', nulls_$c, dist_$c").mkString(", ")
+    t(spark, dir, "customer")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.length}, $stack) AS (col_name, n_nulls, n_distinct)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"))
+  }
+
+  /** DQ2 — expectation suite over `orders`: each rule reports its
+    * violation count and pass/fail. Rules cover the standard classes —
+    * domain membership, value range, key uniqueness, referential
+    * integrity — and the result is a tiny |rules|-row table a scheduler
+    * can gate a pipeline on.
+    */
+  def dqExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def rule(name: String, violations: Column): DataFrame =
+      o.agg(sum(when(violations, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    val scalarRules =
+      rule("status_domain", !col("o_orderstatus").isin("O", "F", "P"))
+        .unionByName(rule("price_positive", !(col("o_totalprice") > 0)))
+        .unionByName(rule("price_below_400k", col("o_totalprice") > 400000))
+        .unionByName(rule("custkey_not_null", col("o_custkey").isNull))
+    val uniqueKey = o
+      .agg((count(lit(1)) - countDistinct(col("o_orderkey")))
+        .as("n_violations"))
+      .select(lit("orderkey_unique").as("rule"), col("n_violations"))
+    // referential rule: fact keys missing from the dim — anti join, dim
+    // side broadcast-sized
+    val fkOrphans = o
+      .join(t(spark, dir, "customer").select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("fk_customer").as("rule"), col("n_violations"))
+    scalarRules.unionByName(uniqueKey).unionByName(fkOrphans)
+      .withColumn("passed", col("n_violations") === 0L)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_profile" -> (dqProfile _),
+    "dq_expectations" -> (dqExpectations _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dq_profile" -> """
+      WITH b AS (
+        SELECT count(*) AS n_rows,
+          CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS nu1, count(DISTINCT c_custkey) AS di1,
+          CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS nu2, count(DISTINCT c_name) AS di2,
+          CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS nu3, count(DISTINCT c_nationkey) AS di3,
+          CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS nu4, count(DISTINCT c_acctbal) AS di4,
+          CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS nu5, count(DISTINCT c_mktsegment) AS di5
+        FROM customer)
+      SELECT 'c_custkey' AS col_name, n_rows, nu1 AS n_nulls, di1 AS n_distinct FROM b
+      UNION ALL
+      SELECT 'c_name', n_rows, nu2, di2 FROM b
+      UNION ALL
+      SELECT 'c_nationkey', n_rows, nu3, di3 FROM b
+      UNION ALL
+      SELECT 'c_acctbal', n_rows, nu4, di4 FROM b
+      UNION ALL
+      SELECT 'c_mktsegment', n_rows, nu5, di5 FROM b""",
+    "dq_expectations" -> """
+      WITH r AS (
+        SELECT 'status_domain' AS rule,
+          CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM orders
+        UNION ALL
+        SELECT 'price_positive',
+          CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+            AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'price_below_400k',
+          CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
+            AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'custkey_not_null',
+          CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'orderkey_unique',
+          CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'fk_customer', CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+      SELECT rule, n_violations, n_violations = 0 AS passed FROM r""",
+  )
+}

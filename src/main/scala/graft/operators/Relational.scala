@@ -585,6 +585,60 @@ object Relational {
         centSum(col("o_totalprice")).as("total_price"),
         grouping_id().as("gid"))
 
+  /** A14 — explicit GROUPING SETS: exactly the requested lattice levels
+    * ((status, priority), (status), (priority)) in one Expand + aggregate
+    * pass — unlike ROLLUP/CUBE, no unwanted level is computed then thrown
+    * away, and the grand total (absent from the list) is never aggregated
+    * at all. The fact is scanned once; Expand multiplies rows only at the
+    * aggregation input where map-side partials collapse them.
+    */
+  def a14GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        centSum(col("o_totalprice")).as("total_price"),
+        grouping_id().as("gid"))
+
+  /** A15 — fixed-bin histogram (width_bucket semantics): equal-width
+    * bins with the top bin absorbing the tail. The bucket id is a per-row
+    * map-side expression, so the plan is exactly a group-count on a
+    * small integer key — partial aggregation collapses each partition to
+    * ≤ nbins rows before the (tiny) shuffle; bin edges are published so
+    * the result is self-describing.
+    */
+  def a15Histogram(spark: SparkSession, dir: String, width: Double = 25000.0,
+      nbins: Int = 12): DataFrame =
+    t(spark, dir, "orders")
+      .select(least(floor(col("o_totalprice") / width), lit(nbins - 1.0))
+        .cast("int").as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        centSum(col("o_totalprice")).as("total_price"))
+      .withColumn("lo", col("bucket") * width)
+
+  /** O8 — keyset (cursor) pagination: the page AFTER a (date, key) cursor
+    * under a total order on (o_orderdate, o_orderkey). The scale point vs
+    * OFFSET pagination: OFFSET n must produce and discard n rows — page
+    * 10,000 of a 100 TB scan sorts and skips half the table — while the
+    * keyset predicate is a pushable range filter (parquet row groups
+    * before the cursor date never leave the scan) and the page itself is
+    * TakeOrderedAndProject: per-partition heaps of `pageSize` rows, never
+    * a global sort.
+    */
+  def o8KeysetPagination(spark: SparkSession, dir: String,
+      pageSize: Int = 100): DataFrame = {
+    val curDate = expr("TIMESTAMP '1997-03-15 00:00:00'")
+    val curKey = 1000L
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate") > curDate ||
+        (col("o_orderdate") === curDate && col("o_orderkey") > curKey))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .limit(pageSize)
+  }
+
   /** O7 — rolling window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT
     * ROW): last-3-orders spend per customer. The frame sums exact integer
     * cents; the rolling average is emitted as FLOOR'd cents so the
@@ -815,6 +869,9 @@ object Relational {
     "a12_string_agg" -> (a12StringAgg _),
     "a11_cube" -> (a11Cube _),
     "o7_rolling_frame" -> (o7RollingFrame _),
+    "a14_grouping_sets" -> (a14GroupingSets _),
+    "a15_histogram" -> ((s: SparkSession, d: String) => a15Histogram(s, d)),
+    "o8_keyset_page" -> ((s: SparkSession, d: String) => o8KeysetPagination(s, d)),
     "j5_bloom_join" -> (j5BloomJoin _),
     "u4_upsert" -> (u4Upsert _),
     "o6_window_extras" -> (o6WindowExtras _),
@@ -905,6 +962,30 @@ object Relational {
       WINDOW f AS (PARTITION BY o_custkey
                    ORDER BY o_orderdate ASC, o_orderkey ASC
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "a14_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority,
+        count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+          AS total_price,
+        CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        (o_orderstatus), (o_orderpriority))""",
+    "a15_histogram" -> """
+      SELECT CAST(least(floor(o_totalprice / 25000.0), 11) AS INT) AS bucket,
+        count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+          AS total_price,
+        CAST(least(floor(o_totalprice / 25000.0), 11) AS INT) * 25000.0 AS lo
+      FROM orders
+      GROUP BY 1""",
+    "o8_keyset_page" -> """
+      SELECT * FROM orders
+      WHERE o_orderdate > TIMESTAMP '1997-03-15 00:00:00'
+         OR (o_orderdate = TIMESTAMP '1997-03-15 00:00:00'
+             AND o_orderkey > 1000)
+      ORDER BY o_orderdate ASC, o_orderkey ASC
+      LIMIT 100""",
     "j5_bloom_join" -> """
       SELECT o_orderpriority, count(*) AS n_orders,
         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0

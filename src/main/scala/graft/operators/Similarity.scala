@@ -292,6 +292,29 @@ object Similarity {
       .select(col("label"), col("dim"), round(col("v"), 6).as("val"))
   }
 
+  /** ANN QUALITY EVAL — recall@k of the LSH index against the exact
+    * brute-force answer, per query. The metric every ANN deployment
+    * monitors before trusting an index: recall = |approx top-k ∩ exact
+    * top-k| / k. At evaluation scale the exact side runs over a SAMPLE of
+    * queries (here: the same 10-query panel both operators already use),
+    * so the brute-force cost is bounded while the index serves the full
+    * corpus. One broadcast-sized join of two k×queries frames — the eval
+    * is free next to either search.
+    */
+  def simRecallAtK(spark: SparkSession, dir: String): DataFrame = {
+    val bf = simTopkBruteforce(spark, dir).select(col("qid"), col("vec_id"))
+    val approx = simLshAnn(spark, dir)
+      .select(col("qid").as("l_qid"), col("vec_id").as("l_vec"))
+    bf.join(broadcast(approx),
+        col("qid") === col("l_qid") && col("vec_id") === col("l_vec"),
+        "left_outer")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("l_vec").isNull, 0L).otherwise(1L)).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("k"), 6).as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
@@ -300,6 +323,7 @@ object Similarity {
     "sim_ivf_kmeans" -> ((s, d) => simIvfKmeansAnn(s, d)),
     "sim_lsh_join" -> (simLshJoin _),
     "sim_centroid" -> (simCentroid _),
+    "sim_recall_at_k" -> (simRecallAtK _),
   )
 
   /** One Lloyd round as DuckDB CTEs: assign against `prev` (cid, ce, cn),
@@ -469,5 +493,34 @@ object Similarity {
              round(avg(embedding[i + 1]::DOUBLE), 6) AS val
       FROM embeddings, UNNEST(generate_series(0, 63)) AS g(i)
       GROUP BY 1, 2""",
+    "sim_recall_at_k" -> s"""
+      WITH $normCte,
+      bk AS (SELECT vec_id, embedding, nrm,
+               array_to_string(list_transform(generate_series(0, 3), p ->
+                 CASE WHEN list_sum(list_transform(generate_series(0, 63),
+                     d -> embedding[d + 1]::DOUBLE
+                          * ((p * 97 + d * 31 + 13) % 17 - 8)::DOUBLE)) > 0
+                 THEN '1' ELSE '0' END), '') AS bucket
+             FROM n),
+      bf_scored AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id, $cosAB AS cos
+                    FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+      bf AS (SELECT qid, vec_id FROM
+               (SELECT qid, vec_id, row_number() OVER
+                  (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM bf_scored)
+             WHERE rank <= 5),
+      l_scored AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id, $cosAB AS cos
+                   FROM bk a JOIN bk b ON a.bucket = b.bucket
+                     AND a.vec_id < 10 AND a.vec_id <> b.vec_id),
+      lsh AS (SELECT qid, vec_id FROM
+                (SELECT qid, vec_id, row_number() OVER
+                   (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+                 FROM l_scored)
+              WHERE rank <= 5)
+      SELECT bf.qid, CAST(count(l.vec_id) AS BIGINT) AS n_hits,
+        round(CAST(count(l.vec_id) AS DOUBLE) / count(*), 6) AS recall
+      FROM bf LEFT JOIN lsh l
+        ON bf.qid = l.qid AND bf.vec_id = l.vec_id
+      GROUP BY 1""",
   )
 }

@@ -111,6 +111,59 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
 
+  /** PII scrubbing: redact emails and IPv4 addresses, count what was
+    * removed. The synthetic corpus carries no PII, so the query first
+    * INJECTS deterministic PII for a subset of docs (doc_id-derived email
+    * for id % 3 != 0, ip for id % 2 == 0 — so the scrubber sees docs with
+    * both, one, or neither) and then scrubs it — the redaction regexes are
+    * the operator; the injection just gives them something real to match.
+    * Per-row regex Column expressions, zero shuffle, same shape at 100 TB.
+    */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 =!= 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 64).cast("string"),
+              lit("."), (col("doc_id") % 256).cast("string")))
+            .otherwise(lit(""))).as("text"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>").as("scrubbed"))
+
+  /** Vocabulary build + OOV rate: top-`vocabSize` tokens by corpus
+    * frequency (count desc, token asc — a well-defined set), then each
+    * doc's out-of-vocabulary token count/rate against it. The tokenizer-
+    * coverage signal a data pipeline computes before committing to a
+    * vocab. Plan: one explode+count for the vocab (partial+final agg,
+    * TakeOrderedAndProject — never a global sort), then the tiny vocab
+    * BROADCASTs back against the token stream — the corpus shuffles only
+    * for the per-doc count aggregation on doc_id.
+    */
+  def textVocabOov(spark: SparkSession, dir: String,
+      vocabSize: Int = 20): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_topk" -> ((s: SparkSession, d: String) => textTokenTopk(s, d)),
     "text_tokens" -> (textTokens _),
@@ -118,6 +171,8 @@ object TextAnalysis {
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
+    "text_pii_scrub" -> (textPiiScrub _),
+    "text_vocab_oov" -> ((s: SparkSession, d: String) => textVocabOov(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -184,5 +239,39 @@ object TextAnalysis {
                   ELSE round(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 6)
              END AS rep_ratio
       FROM shn""",
+    // NOTE: DuckDB regexp_replace needs the 'g' flag (Spark replaces all
+    // matches by default)
+    "text_pii_scrub" -> """
+      WITH pii AS (
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 3 <> 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END
+          || CASE WHEN doc_id % 2 = 0
+               THEN ' from 10.0.' || CAST(doc_id % 64 AS VARCHAR)
+                 || '.' || CAST(doc_id % 256 AS VARCHAR)
+               ELSE '' END AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(text,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        regexp_replace(regexp_replace(text,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+      FROM pii""",
+    "text_vocab_oov" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      vc AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+      v AS (SELECT tok FROM vc ORDER BY n DESC, tok ASC LIMIT 20)
+      SELECT t.doc_id, count(*) AS n_tokens,
+        CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 6) AS oov_rate
+      FROM tok t LEFT JOIN v ON t.tok = v.tok
+      GROUP BY 1""",
   )
 }
