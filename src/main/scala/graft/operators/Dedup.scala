@@ -313,6 +313,34 @@ object Dedup {
       .select(col("doc_id"), md5(col("text")).as("digest"))
   }
 
+  /** Span-level dedup signal (C4-style): cut each doc into NON-overlapping
+    * `span`-token windows, hash each window, and count per doc how many of
+    * its spans occur elsewhere in the corpus — the "remove repeated
+    * boilerplate spans" stage of a web-scale cleaning pipeline, which
+    * catches shared paragraphs that document-level dedup (different docs,
+    * common span) never sees.
+    *
+    * Scale shape: the explode is map-side; only 32-hex md5 digests shuffle
+    * (never span text), the frequency agg is partial+final on the digest,
+    * and the rejoin keys on the digest again — the same
+    * digest-only-movement contract as [[dedupExact]].
+    */
+  def dedupSpan(spark: SparkSession, dir: String, span: Int = 16): DataFrame = {
+    require(span > 0, "span must be positive")
+    val spans = t(spark, dir, "documents")
+      .withColumn("w", tokens(col("text")))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("w")), lit(span)),
+          s => md5(array_join(slice(col("w"), s, lit(span)), " ")))).as("h"))
+    val freq = spans.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    spans.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -320,6 +348,7 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_span" -> ((s: SparkSession, d: String) => dedupSpan(s, d)),
   )
 
   private[operators] val shinglesCte = """
@@ -416,5 +445,20 @@ object Dedup {
       FROM documents d
       WHERE d.doc_id % 7 = 3
         AND d.doc_id NOT IN (SELECT doc_id FROM rej)""",
+    "dedup_span" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sp AS (SELECT doc_id,
+               md5(array_to_string(list_slice(w, s, s + 15), ' ')) AS h
+             FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w), 16)) AS s
+                   FROM tok)),
+      freq AS (SELECT h, count(*) AS n FROM sp GROUP BY 1)
+      SELECT sp.doc_id, count(*) AS n_spans,
+        CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_spans,
+        round(CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 6) AS dup_ratio
+      FROM sp JOIN freq f ON sp.h = f.h
+      GROUP BY 1""",
   )
 }

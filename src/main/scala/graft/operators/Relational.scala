@@ -861,8 +861,79 @@ object Relational {
           .as("pct_of_total"))
   }
 
+  /** J8 — fuzzy dimension match: map dirty lookup values to their closest
+    * dimension row by Levenshtein distance (deterministic tie-break on the
+    * name). The probe set here is derived from the dim itself (each name
+    * with its 2nd character dropped) so the oracle is self-contained; in
+    * production the probes are the dirty side of an entity-resolution
+    * step. Plan shape: the DIM side broadcasts (a dimension by
+    * definition fits), the probe side streams through a broadcast
+    * nested-loop + per-probe min — cost |probes|×|dim| edit distances,
+    * the right shape when the dim is small; for dim-×-dim-scale fuzzy
+    * matching the LSH machinery ([[graft.plans.LshJoin]]) prunes
+    * candidates first. `min(struct(...))` picks (smallest distance,
+    * lexicographically-first name) in one agg — no window, no sort.
+    */
+  def j8FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation").select(col("n_name"))
+    val probes = nation.select(
+      concat(substring(col("n_name"), 1, 1), expr("substring(n_name, 3)"))
+        .as("probe"))
+    probes.join(broadcast(nation))
+      .withColumn("dist", levenshtein(col("probe"), col("n_name")))
+      .groupBy(col("probe"))
+      .agg(min(struct(col("dist"), col("n_name"))).as("m"))
+      .select(col("probe"), col("m.n_name").as("matched"),
+        col("m.dist").as("dist"))
+  }
+
+  /** A16 — exact median + mode per group: the two order statistics
+    * `avg`/`sum` dashboards always want next. Median is Spark's exact
+    * `percentile(0.5)` (linear interpolation — same definition as
+    * DuckDB's `median` for numeric input); mode is a two-level count
+    * (partial+final agg on the composite key, then one `max(struct)` per
+    * group — ties break to the LAST shipmode alphabetically, stated
+    * contract). Neither pass sorts the fact table; the mode never sees a
+    * window.
+    */
+  def a16ModeMedian(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    val med = ord.groupBy(col("o_orderstatus"))
+      .agg(round(expr("percentile(o_totalprice, 0.5D)"), 6).as("median_price"))
+    val mode = ord.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_orderstatus"))
+      .agg(max(struct(col("n"), col("o_orderpriority"))).as("m"))
+      .select(col("o_orderstatus"), col("m.o_orderpriority").as("mode_priority"),
+        col("m.n").as("mode_n"))
+    med.join(mode, "o_orderstatus")
+  }
+
+  /** O9 — value window functions (first_value / last_value / nth_value)
+    * with an explicit full-partition frame: each customer row sees its
+    * nation's top, bottom, and runner-up balance. The window is
+    * PARTITIONED (per nation) so state is bounded per key and the single
+    * shuffle is on the partition key — the global-window trap doesn't
+    * apply. last_value gets the full frame (the default frame ends at
+    * CURRENT ROW, which silently returns the current row's value — the
+    * classic misuse this operator exists to pin down).
+    */
+  def o9ValueWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        first(col("c_acctbal")).over(w).as("top_bal"),
+        last(col("c_acctbal")).over(w).as("bottom_bal"),
+        nth_value(col("c_acctbal"), 2).over(w).as("second_bal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_pct_of_total" -> (a13PctOfTotal _),
+    "j8_fuzzy_match" -> (j8FuzzyMatch _),
+    "a16_mode_median" -> (a16ModeMedian _),
+    "o9_value_windows" -> (o9ValueWindows _),
     "j6_salted_join" -> (j6SaltedJoin _),
     "j7_nullsafe_join" -> (j7NullSafeJoin _),
     "f6_scalar_subquery" -> (f6ScalarSubquery _),
@@ -903,6 +974,40 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "j8_fuzzy_match" -> """
+      WITH p AS (SELECT substr(n_name, 1, 1) || substr(n_name, 3) AS probe
+                 FROM nation),
+      d AS (SELECT p.probe, n.n_name, levenshtein(p.probe, n.n_name) AS dist
+            FROM p CROSS JOIN nation n),
+      r AS (SELECT probe, n_name, dist,
+              row_number() OVER (PARTITION BY probe
+                ORDER BY dist ASC, n_name ASC) AS rn
+            FROM d)
+      SELECT probe, n_name AS matched, CAST(dist AS INT) AS dist
+      FROM r WHERE rn = 1""",
+    "a16_mode_median" -> """
+      WITH med AS (SELECT o_orderstatus,
+                     round(median(o_totalprice), 6) AS median_price
+                   FROM orders GROUP BY 1),
+      cnt AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+              FROM orders GROUP BY 1, 2),
+      md AS (SELECT o_orderstatus, o_orderpriority AS mode_priority,
+               CAST(n AS BIGINT) AS mode_n
+             FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                     ORDER BY n DESC, o_orderpriority DESC) AS rn
+                   FROM cnt)
+             WHERE rn = 1)
+      SELECT m.o_orderstatus, m.median_price, md.mode_priority, md.mode_n
+      FROM med m JOIN md ON m.o_orderstatus = md.o_orderstatus""",
+    "o9_value_windows" -> """
+      SELECT c_custkey, c_nationkey, c_acctbal,
+        first_value(c_acctbal) OVER w AS top_bal,
+        last_value(c_acctbal) OVER w AS bottom_bal,
+        nth_value(c_acctbal, 2) OVER w AS second_bal
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     "j7_nullsafe_join" -> """
       WITH c AS (
         SELECT CASE WHEN c_nationkey % 5 = 0 THEN NULL

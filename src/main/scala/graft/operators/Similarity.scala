@@ -315,6 +315,49 @@ object Similarity {
         round(col("n_hits").cast("double") / col("k"), 6).as("recall"))
   }
 
+  /** L2 normalization to unit vectors — the preprocessing step every
+    * cosine-metric index (IVF, HNSW, LSH) wants done once upfront so
+    * downstream distance math is a plain dot product. Long-format output
+    * (vec_id, dim, norm, unit_val) keeps the oracle compare scalar-typed
+    * (the [[simCentroid]] convention). Per-row fold + map-side posexplode,
+    * zero shuffle — unchanged at any corpus size.
+    */
+  def simL2Normalize(spark: SparkSession, dir: String): DataFrame =
+    withNorm(t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("nrm"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("int").as("dim"),
+        round(col("nrm"), 6).as("norm"),
+        round(col("col").cast("double") / col("nrm"), 6).as("unit_val"))
+
+  /** Per-vector scalar (int8-range) quantization: 255 levels over the
+    * vector's own [min, max], `q_i = floor((x_i − mn)/scale + 0.5)` — the
+    * storage-compression step an embedding store applies before indexing
+    * (4× smaller than float32). Output is the per-vector summary the
+    * oracle can replay exactly: range, two integer-exact code checksums
+    * (sum and position-weighted sum — any wrong code moves one of them),
+    * and the RMS reconstruction error. All per-row Column math, zero
+    * shuffle. Degenerate constant vectors (mx == mn) would divide by zero;
+    * real embedding corpora never contain them and this corpus doesn't.
+    */
+  def simQuantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .withColumn("mn", array_min(col("embedding")).cast("double"))
+      .withColumn("mx", array_max(col("embedding")).cast("double"))
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+      .withColumn("q", expr(
+        """transform(embedding,
+           x -> CAST(floor((CAST(x AS DOUBLE) - mn) / scale + 0.5D) AS BIGINT))"""))
+      .select(col("vec_id"),
+        round(col("mn"), 6).as("mn"), round(col("mx"), 6).as("mx"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + v)").as("q_sum"),
+        expr("""aggregate(zip_with(q, sequence(1, size(q)), (c, i) -> c * CAST(i AS BIGINT)),
+             CAST(0 AS BIGINT), (a, v) -> a + v)""").as("q_wsum"),
+        round(sqrt(expr(
+          """aggregate(zip_with(embedding, q,
+             (x, c) -> pow(CAST(x AS DOUBLE) - (mn + CAST(c AS DOUBLE) * scale), 2)),
+             CAST(0 AS DOUBLE), (a, v) -> a + v)""") /
+          size(col("embedding")).cast("double")), 6).as("dq_err"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
@@ -324,6 +367,8 @@ object Similarity {
     "sim_lsh_join" -> (simLshJoin _),
     "sim_centroid" -> (simCentroid _),
     "sim_recall_at_k" -> (simRecallAtK _),
+    "sim_l2_normalize" -> (simL2Normalize _),
+    "sim_quantize_int8" -> (simQuantizeInt8 _),
   )
 
   /** One Lloyd round as DuckDB CTEs: assign against `prev` (cid, ce, cn),
@@ -522,5 +567,31 @@ object Similarity {
       FROM bf LEFT JOIN lsh l
         ON bf.qid = l.qid AND bf.vec_id = l.vec_id
       GROUP BY 1""",
+    "sim_l2_normalize" -> s"""
+      WITH $normCte
+      SELECT vec_id, CAST(i AS INT) AS dim, round(nrm, 6) AS norm,
+        round(embedding[i + 1]::DOUBLE / nrm, 6) AS unit_val
+      FROM n, UNNEST(generate_series(0, 63)) AS g(i)""",
+    "sim_quantize_int8" -> """
+      WITH p AS (
+        SELECT vec_id, embedding,
+          list_aggregate(embedding, 'min')::DOUBLE AS mn,
+          list_aggregate(embedding, 'max')::DOUBLE AS mx,
+          (list_aggregate(embedding, 'max')::DOUBLE
+            - list_aggregate(embedding, 'min')::DOUBLE) / 255.0 AS scale
+        FROM embeddings),
+      qq AS (
+        SELECT vec_id, embedding, mn, mx, scale,
+          list_transform(embedding,
+            x -> CAST(floor((x::DOUBLE - mn) / scale + 0.5) AS BIGINT)) AS q
+        FROM p)
+      SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+        CAST(list_sum(q) AS BIGINT) AS q_sum,
+        CAST(list_sum(list_transform(generate_series(1, len(q)),
+          i -> q[i] * i)) AS BIGINT) AS q_wsum,
+        round(sqrt(list_sum(list_transform(generate_series(1, len(q)),
+          i -> pow(embedding[i]::DOUBLE - (mn + q[i]::DOUBLE * scale), 2)))
+          / len(embedding)), 6) AS dq_err
+      FROM qq""",
   )
 }

@@ -164,6 +164,54 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Text normalization — the first stage of any ingest: lowercase,
+    * collapse whitespace runs, trim. The synthetic corpus is already
+    * normalized, so the query first INJECTS deterministic mess (uppercase
+    * for even ids, doubled spaces for id % 5 == 0, leading/trailing pad
+    * for id % 3 == 0 — docs end up with any combination) and then
+    * normalizes it away; `n_chars_removed` and `changed` report the work
+    * done. Per-row Column expressions, zero shuffle — unchanged at 100 TB.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit("  "), col("text"), lit("   ")))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, regexp_replace(col("text"), " ", "  "))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, upper(col("text")))
+          .otherwise(col("text")).as("messy"))
+      .select(col("doc_id"),
+        lower(trim(regexp_replace(col("messy"), " +", " "))).as("norm_text"),
+        (length(col("messy")) - length(trim(regexp_replace(col("messy"), " +", " "))))
+          .cast("int").as("n_chars_removed"),
+        (col("messy") =!= lower(trim(regexp_replace(col("messy"), " +", " "))))
+          .as("changed"))
+
+  /** Sliding-window chunking: split each doc into `size`-token chunks
+    * every `stride` tokens (overlap = size − stride) — the shape a RAG
+    * indexer or a fixed-context trainer consumes. Chunk starts cover the
+    * whole doc (tail chunks may be shorter than `size`; no token is ever
+    * dropped). Per-row `sequence` + `transform` + `posexplode` — the
+    * explode is map-side, zero shuffle, and each output row carries only
+    * its own chunk (never the full doc), so memory per task is bounded by
+    * the longest single document at any corpus size.
+    */
+  def textChunk(spark: SparkSession, dir: String,
+      chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunk size and stride must be positive")
+    t(spark, dir, "documents")
+      .withColumn("w", tokens(col("text")))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("w")), lit(stride)),
+          s => array_join(slice(col("w"), s, lit(chunkSize)), " "))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        col("col").as("chunk_text"))
+      .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_topk" -> ((s: SparkSession, d: String) => textTokenTopk(s, d)),
     "text_tokens" -> (textTokens _),
@@ -173,6 +221,8 @@ object TextAnalysis {
     "text_repetition" -> (textRepetition _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_vocab_oov" -> ((s: SparkSession, d: String) => textVocabOov(s, d)),
+    "text_normalize" -> (textNormalize _),
+    "text_chunk" -> ((s: SparkSession, d: String) => textChunk(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -273,5 +323,31 @@ object TextAnalysis {
           / count(*), 6) AS oov_rate
       FROM tok t LEFT JOIN v ON t.tok = v.tok
       GROUP BY 1""",
+    "text_normalize" -> """
+      WITH messy AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN upper(t2) ELSE t2 END AS messy
+        FROM (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0 THEN replace(t1, ' ', '  ') ELSE t1 END AS t2
+          FROM (
+            SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN '  ' || text || '   ' ELSE text END AS t1
+            FROM documents)))
+      SELECT doc_id,
+        lower(trim(regexp_replace(messy, ' +', ' ', 'g'))) AS norm_text,
+        CAST(length(messy)
+          - length(trim(regexp_replace(messy, ' +', ' ', 'g'))) AS INT)
+          AS n_chars_removed,
+        messy <> lower(trim(regexp_replace(messy, ' +', ' ', 'g'))) AS changed
+      FROM messy""",
+    "text_chunk" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      st AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS s
+             FROM tok)
+      SELECT doc_id, CAST((s - 1) / 24 AS INT) AS chunk_id,
+        array_to_string(list_slice(w, s, s + 31), ' ') AS chunk_text,
+        CAST(len(list_slice(w, s, s + 31)) AS INT) AS chunk_tokens
+      FROM st""",
   )
 }

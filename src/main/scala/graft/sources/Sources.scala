@@ -340,7 +340,50 @@ object Sources {
       .load()
   }
 
+  /** S13 — ORC sink + schema-explicit scan (Spark's second built-in
+    * columnar format; some lakehouse estates are ORC-native). Same
+    * round-trip contract as [[s10JsonRoundtrip]]: write, read back with an
+    * explicit schema, and the oracle checks the rows survived the format
+    * — predicate pushdown and column pruning work through the ORC reader
+    * exactly as through parquet.
+    */
+  def s13OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_orc_sink").toString
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode(SaveMode.Overwrite).orc(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.read.schema(schema).orc(tmp)
+  }
+
+  /** S14 — hive-style partitioned layout: `partitionBy(k)` on write puts
+    * each key value in its own directory, so a scan filtering on k never
+    * opens the other directories (partition PRUNING — visible as
+    * `PartitionFilters` in the plan, pinned in SourcesSpec). The
+    * difference at 100 TB between listing 1/|k| of the files and reading
+    * everything. The query writes events partitioned by event_type and
+    * aggregates one partition through the pruned read-back.
+    */
+  def s14PartitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_part_layout").toString
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("event_type") === "click")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_orc_roundtrip" -> (s13OrcRoundtrip _),
+    "s14_partitioned_scan" -> (s14PartitionedScan _),
     "s1_html_table_scan" -> (s1HtmlTableScan _),
     "s1b_html_dsv2" -> (s1bHtmlDsv2 _),
     "s2_csv_scan" -> (s2CsvScan _),
@@ -355,6 +398,12 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "s13_orc_roundtrip" -> """
+      SELECT doc_id, lang, source, n_chars FROM documents""",
+    "s14_partitioned_scan" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events WHERE event_type = 'click' GROUP BY 1""",
     "s1b_html_dsv2" -> """
       SELECT * FROM (VALUES
         ('Sa 15 Feb', 'Arsenal', 'Chelsea', 2, 1),

@@ -188,9 +188,54 @@ object EventConsumer {
       }
   }
 
+  /** ST6 — SLIDING window aggregation (10-minute windows every 5 minutes):
+    * each event lands in exactly windowSize/slide = 2 overlapping windows —
+    * the smoothed-rates view a monitoring dashboard reads. Spark's
+    * `window(ts, size, slide)` expands the assignment MAP-SIDE (one row per
+    * covering window, before the shuffle), so the shuffled volume is
+    * events × overlap and the stateful-agg key stays (window, type) — the
+    * identical transform runs under `readStream` + watermark, like
+    * [[windowAgg]].
+    */
+  def slidingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  def batchSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    slidingWindowAgg(Tables.t(spark, dir, "events"))
+
+  /** ST7 — gap sessionization via Spark's BUILT-IN `session_window`
+    * (dynamic merging windows inside the agg operator, no window function
+    * and no custom state): sessions merge while consecutive events are
+    * STRICTLY closer than the gap, and `session_window.end` is the last
+    * event + gap — the two contract differences from the hand-rolled
+    * [[batchSessionize]] (which merges at exactly-gap and reports
+    * last-event time). One shuffle on (user_id); per-key state is one
+    * merged interval. The same expression runs under `readStream` with a
+    * watermark for the streaming flavor.
+    */
+  def batchSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st3_window_agg" -> (batchWindowAgg _),
     "st4_sessionize" -> (batchSessionize _),
+    "st6_sliding_window" -> (batchSlidingWindow _),
+    "st7_session_window" -> (batchSessionWindow _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -218,5 +263,35 @@ object EventConsumer {
              max(ts) AS session_end, count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM s GROUP BY 1, 2""",
+    "st6_sliding_window" -> """
+      WITH wins AS (
+        SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                       time_bucket(INTERVAL '5 minutes', ts)
+                         - INTERVAL '5 minutes']) AS window_start,
+               event_type, value
+        FROM events)
+      SELECT window_start, event_type, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM wins GROUP BY 1, 2""",
+    "st7_session_window" -> """
+      WITH d AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      s AS (
+        SELECT user_id, ts, value,
+          CAST(sum(new_s) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_id
+        FROM d)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL '30 minutes' AS session_end,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM s GROUP BY user_id, session_id""",
   )
 }
