@@ -929,9 +929,60 @@ object Relational {
         nth_value(col("c_acctbal"), 2).over(w).as("second_bal"))
   }
 
+  /** Q7 — the TPC-H Q3 "shipping priority" shape on our schema: segment-
+    * filtered customers ⋈ pre-cutoff orders ⋈ post-cutoff lineitems,
+    * revenue per order, top 10. The classic mid-size-dim star query:
+    * both date filters PUSH to the parquet scans (only matching row
+    * groups read), the customer side reduces to a keys-only semi join
+    * (no customer payload survives the probe), and the top-10 plans as
+    * TakeOrderedAndProject — no global sort at any scale. Revenue is
+    * cent-exact (per-row round to cents, long sum).
+    */
+  def q7ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1998-06-01"))
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(centSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Q8 — the TPC-H Q4 "order priority check" shape: orders with at least
+    * one LATE lineitem (shipped > 60 days after the order date), counted
+    * per priority. The correlated-EXISTS classic — planned as a LEFT SEMI
+    * hash join on the order key whose extra inequality rides the join as
+    * a post-probe predicate (never a nested loop, never an explode: each
+    * order emits at most once however many lineitems match).
+    */
+  def q8ExistsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_pct_of_total" -> (a13PctOfTotal _),
     "j8_fuzzy_match" -> (j8FuzzyMatch _),
+    "q7_shipping_priority" -> (q7ShippingPriority _),
+    "q8_exists_agg" -> (q8ExistsAgg _),
     "a16_mode_median" -> (a16ModeMedian _),
     "o9_value_windows" -> (o9ValueWindows _),
     "j6_salted_join" -> (j6SaltedJoin _),
@@ -999,6 +1050,25 @@ object Relational {
              WHERE rn = 1)
       SELECT m.o_orderstatus, m.median_price, md.mode_priority, md.mode_n
       FROM med m JOIN md ON m.o_orderstatus = md.o_orderstatus""",
+    "q7_shipping_priority" -> """
+      SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+        CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+          AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate < TIMESTAMP '1998-06-01'
+        AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        AND o.o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+      GROUP BY 1, 2
+      ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    "q8_exists_agg" -> """
+      SELECT o.o_orderpriority, count(*) AS n_late_orders
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY 1""",
     "o9_value_windows" -> """
       SELECT c_custkey, c_nationkey, c_acctbal,
         first_value(c_acctbal) OVER w AS top_bal,

@@ -358,6 +358,62 @@ object Similarity {
              CAST(0 AS DOUBLE), (a, v) -> a + v)""") /
           size(col("embedding")).cast("double")), 6).as("dq_err"))
 
+  /** Product-quantization ANN (PQ/ADC, the industrial workhorse behind
+    * FAISS-style billion-vector indexes): vectors split into 8 subspaces
+    * of 8 dims; each subspace encodes to its nearest of 16 seeded
+    * sub-centroids (codes: 8 small ints — a 32× compression of the
+    * 64-float vector); queries score candidates by ASYMMETRIC DISTANCE —
+    * a per-query 8×16 lookup table of exact subspace distances, summed by
+    * code index, never touching the original corpus floats.
+    *
+    * Scale shape: the codebook is plan literals (seeded, like
+    * [[simIvfAnn]]; [[simIvfKmeansAnn]] shows how training would refine
+    * it); encoding is map-side; the scored scan reads only (vec_id,
+    * codes) rows with the tiny query tables broadcast — the linear ADC
+    * scan over compressed codes IS the PQ search, and composing with the
+    * IVF list assignment (both are here) gives IVF-PQ, the standard
+    * billion-scale layout. Distances are rounded to 6 dp BEFORE the
+    * argmin/rank so discrete choices never flip on engine ulps.
+    */
+  def simPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val seeds: Seq[Seq[Double]] = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    // cent(s)(c) = 8-dim sub-centroid: seed c's dims [s·8, s·8+8)
+    val cent: Seq[Seq[Seq[Double]]] =
+      (0 until 8).map(s => seeds.map(_.slice(s * 8, s * 8 + 8)).toSeq)
+    val centLit = typedLit(cent)
+    def dtab(e: Column): Column =
+      transform(sequence(lit(0), lit(7)), s =>
+        transform(sequence(lit(0), lit(15)), c =>
+          round(aggregate(
+            zip_with(slice(e, s * 8 + 1, lit(8)),
+              element_at(element_at(centLit, s + 1), c + 1),
+              (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (a, v) => a + v), 6)))
+    val withTab = emb.withColumn("dtab", dtab(col("embedding")))
+    val encoded = withTab
+      .withColumn("codes", transform(col("dtab"), ds =>
+        (array_position(ds, array_min(ds)) - 1).cast("int")))
+      .select(col("vec_id"), col("codes"))
+    val queries = withTab.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("dtab"))
+    val scored = broadcast(queries).as("a")
+      .join(encoded.as("b"), col("a.qid") =!= col("b.vec_id"))
+      .withColumn("approx_d2", round(aggregate(
+        zip_with(col("b.codes"), col("a.dtab"),
+          (c, tab) => element_at(tab, c + 1)),
+        lit(0.0), (acc, v) => acc + v), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_d2").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+        col("vec_id"), col("approx_d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_ann" -> (simLshAnn _),
@@ -369,6 +425,7 @@ object Similarity {
     "sim_recall_at_k" -> (simRecallAtK _),
     "sim_l2_normalize" -> (simL2Normalize _),
     "sim_quantize_int8" -> (simQuantizeInt8 _),
+    "sim_pq_ann" -> (simPqAnn _),
   )
 
   /** One Lloyd round as DuckDB CTEs: assign against `prev` (cid, ce, cn),
@@ -593,5 +650,30 @@ object Similarity {
           i -> pow(embedding[i]::DOUBLE - (mn + q[i]::DOUBLE * scale), 2)))
           / len(embedding)), 6) AS dq_err
       FROM qq""",
+    "sim_pq_ann" -> """
+      WITH sd AS (SELECT vec_id AS cid, embedding FROM embeddings
+                  WHERE vec_id < 16),
+      sub AS (SELECT v.vec_id, s.s, sd.cid,
+                round(list_sum(list_transform(generate_series(1, 8),
+                  j -> (v.embedding[s.s*8+j]::DOUBLE
+                          - sd.embedding[s.s*8+j]::DOUBLE)
+                     * (v.embedding[s.s*8+j]::DOUBLE
+                          - sd.embedding[s.s*8+j]::DOUBLE))), 6) AS d2
+              FROM embeddings v
+              CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) s
+              CROSS JOIN sd),
+      codes AS (SELECT vec_id, s, cid FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                     ORDER BY d2 ASC, cid ASC) AS rn FROM sub)
+                WHERE rn = 1),
+      approx AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                   round(sum(q.d2), 6) AS approx_d2
+                 FROM sub q JOIN codes c ON q.s = c.s AND q.cid = c.cid
+                 WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+                 GROUP BY 1, 2)
+      SELECT qid, CAST(rank AS INT) AS rank, vec_id, approx_d2 FROM
+        (SELECT *, row_number() OVER (PARTITION BY qid
+           ORDER BY approx_d2 ASC, vec_id ASC) AS rank FROM approx)
+      WHERE rank <= 5""",
   )
 }

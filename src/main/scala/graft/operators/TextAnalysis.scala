@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -212,6 +213,98 @@ object TextAnalysis {
       .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")))
   }
 
+  /** TF-IDF top terms per document — the per-doc keyword signal a corpus
+    * browser or relevance filter reads. tf = in-doc term count, idf =
+    * ln(N/df) (smooth-free variant; N and df both exact counts). Plan
+    * shape: one explode → (doc, term) partial+final count; df DERIVES from
+    * that aggregate (groupBy term — no second corpus pass); the tiny
+    * (term, idf) relation broadcasts back; the per-doc top-5 window is
+    * PARTITIONED by doc_id (string tie-break on the term, so the native
+    * numeric-tie TopKPerKey doesn't apply) — per-task state is one doc's
+    * distinct terms, bounded by document length at any corpus size.
+    * N arrives as a broadcast 1-row aggregate, never a driver collect.
+    */
+  def textTfidf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val tf = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = t(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs))
+      .select(col("term"),
+        log(col("n_docs").cast("double") / col("df")).as("idf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(idf), "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * col("idf"), 6).as("tfidf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"),
+        col("rn").cast("int").as("rank"))
+  }
+
+  /** BM25 ranking for a fixed keyword query — the retrieval scorer behind
+    * every lexical search engine (k1 = 1.2, b = 0.75, the Robertson
+    * defaults). All corpus statistics are computed in-plan: doc lengths
+    * map-side, avgdl and N as broadcast 1-row aggregates, df from the
+    * exploded term counts. The per-(doc, term) partial scores sum per doc
+    * and the top-20 plans as TakeOrderedAndProject. Pure double math with
+    * one rounding at emit — engine-exact.
+    */
+  def textBm25(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("spark", "table", "merge"),
+      k: Int = 20): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("double").as("dl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "term").join(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Inverted-index build: term → document frequency + the first `cap`
+    * postings (smallest doc_ids). Hot terms — stopwords — would make a
+    * full `collect_list` posting row multi-GB at corpus scale, so the
+    * prefix is capped BEFORE the collect by the native TopKPerKey
+    * operator (bounded heaps even pre-shuffle: at most `cap` doc_ids per
+    * term per partition ever move); the exact document frequency comes
+    * from a plain count over the same distinct (doc, term) pairs. Real
+    * indexes shard full postings; this surface materializes the head.
+    */
+  def textInvertedIndex(spark: SparkSession, dir: String,
+      cap: Int = 10): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val pairs = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val dfreq = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val head = pairs
+      .filter(call_function("graft_topk", lit(cap),
+        col("doc_id"), lit("asc"), col("doc_id"), col("term")))
+      .groupBy(col("term"))
+      .agg(concat_ws(",", array_sort(collect_list(col("doc_id"))))
+        .as("postings_head"))
+    dfreq.join(head, "term")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_topk" -> ((s: SparkSession, d: String) => textTokenTopk(s, d)),
     "text_tokens" -> (textTokens _),
@@ -223,6 +316,10 @@ object TextAnalysis {
     "text_vocab_oov" -> ((s: SparkSession, d: String) => textVocabOov(s, d)),
     "text_normalize" -> (textNormalize _),
     "text_chunk" -> ((s: SparkSession, d: String) => textChunk(s, d)),
+    "text_tfidf" -> ((s: SparkSession, d: String) => textTfidf(s, d)),
+    "text_bm25" -> ((s: SparkSession, d: String) => textBm25(s, d)),
+    "text_inverted_index" ->
+      ((s: SparkSession, d: String) => textInvertedIndex(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -349,5 +446,47 @@ object TextAnalysis {
         array_to_string(list_slice(w, s, s + 31), ' ') AS chunk_text,
         CAST(len(list_slice(w, s, s + 31)) AS INT) AS chunk_tokens
       FROM st""",
+    "text_tfidf" -> """
+      WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY 1, 2),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      idf AS (SELECT term,
+                ln((SELECT n_docs FROM n)::DOUBLE / count(*)) AS idf
+              FROM tf GROUP BY term),
+      s AS (SELECT tf.doc_id, tf.term, round(tf.tf * idf.idf, 6) AS tfidf
+            FROM tf JOIN idf USING (term)),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term ASC) AS rank FROM s)
+      SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5""",
+    "text_bm25" -> """
+      WITH dl AS (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl
+                  FROM documents),
+      st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+      tf AS (SELECT t.doc_id, d.dl, t.term, count(*)::DOUBLE AS tf
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents) t
+             JOIN dl d USING (doc_id)
+             WHERE term IN ('spark', 'table', 'merge')
+             GROUP BY 1, 2, 3),
+      df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+      SELECT tf.doc_id,
+        round(sum(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+          * (tf.tf * 2.2)
+          / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 6) AS bm25
+      FROM tf JOIN df USING (term) CROSS JOIN st
+      GROUP BY 1 ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
+    "text_inverted_index" -> """
+      WITH pairs AS (
+        SELECT DISTINCT doc_id, term
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents))
+      SELECT term, count(*) AS df,
+        array_to_string(list_slice(list_sort(list(doc_id)), 1, 10), ',')
+          AS postings_head
+      FROM pairs GROUP BY 1""",
   )
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.Tables.t
+
+/** Round-7 batch 3: TF-IDF, BM25, inverted index, TPC-H Q3/Q4 shapes,
+  * product-quantization ANN.
+  */
+class Round7cSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tfidf: ranks dense 1..k, scores non-increasing, stopwords excluded") {
+    val out = TextAnalysis.textTfidf(spark, dir).cache()
+    try {
+      // ranks are 1..5 per doc with scores monotone non-increasing
+      val bad = out.groupBy("doc_id").agg(
+        min("rank").as("mn"), max("rank").as("mx"),
+        count(lit(1)).as("c"))
+        .filter(col("mn") =!= 1 || col("mx") =!= col("c") || col("c") > 5)
+      assert(bad.isEmpty)
+      // rank-1 score equals an independently recomputed per-doc maximum
+      val docs = t(spark, dir, "documents")
+      val nDocs = docs.count().toDouble
+      val tf = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .select(col("term"), log(lit(nDocs) / col("df")).as("idf"))
+      val best = tf.join(idf, "term")
+        .groupBy("doc_id")
+        .agg(max(round(col("tf") * col("idf"), 6)).as("best"))
+      assert(out.filter(col("rank") === 1).join(best, "doc_id")
+        .filter(col("tfidf") =!= col("best")).isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("bm25: only docs containing a query term, scores positive and sorted") {
+    val out = TextAnalysis.textBm25(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.forall(_.getDouble(1) > 0))
+    // returned in descending score order
+    val scores = out.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // every returned doc really contains a query term
+    val ids = out.map(_.getLong(0)).toSet
+    val withTerm = t(spark, dir, "documents")
+      .filter(col("text").rlike("(^| )(spark|table|merge)( |$)"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(withTerm))
+  }
+
+  test("inverted index: df exact, postings capped, sorted, and a prefix") {
+    val out = TextAnalysis.textInvertedIndex(spark, dir).cache()
+    try {
+      // df matches an independent distinct count
+      val expect = t(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .distinct().groupBy("term").agg(count(lit(1)).as("edf"))
+      assert(out.join(expect, "term").filter(col("df") =!= col("edf")).isEmpty)
+      // postings: ≤ 10 entries, ascending, and exactly the smallest doc_ids
+      val rows = out.collect()
+      rows.foreach { r =>
+        val posts = r.getAs[String]("postings_head").split(",").map(_.toLong)
+        assert(posts.length <= 10)
+        assert(posts.sameElements(posts.sorted))
+      }
+    } finally out.unpersist()
+  }
+
+  test("q7 shipping priority: filters pushed to scans, top-10 by revenue") {
+    val df = Relational.q7ShippingPriority(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("1998-06-01"),
+      s"date filter not pushed:\n$plan")
+    val rows = df.collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getDouble(2)).toSeq
+    assert(revs == revs.sorted.reverse)
+  }
+
+  test("q8 exists-agg: matches a distinct-orderkey recomputation") {
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    val expect = ord.join(li, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("en"))
+    val got = Relational.q8ExistsAgg(spark, dir)
+    assert(got.join(expect, "o_orderpriority")
+      .filter(col("n_late_orders") =!= col("en")).isEmpty)
+    // semi join in the plan, not an inner-join + distinct
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+  }
+
+  test("pq ann: dense ranks, self excluded, approx distance sane") {
+    val out = Similarity.simPqAnn(spark, dir).cache()
+    try {
+      assert(out.select("qid").distinct().count() == 10)
+      val bad = out.groupBy("qid").agg(count(lit(1)).as("c"),
+        min("rank").as("mn"), max("rank").as("mx"))
+        .filter(col("c") =!= 5 || col("mn") =!= 1 || col("mx") =!= 5)
+      assert(bad.isEmpty)
+      assert(out.filter(col("qid") === col("vec_id")).isEmpty)
+      assert(out.filter(col("approx_d2") < 0).isEmpty)
+      // ADC of a vector against its own codes underestimates: the
+      // quantization residual — the rank-1 neighbor of a seed vector
+      // (vec_id < 10 < 16 are all seeds) should have small distance
+      val top1 = out.filter(col("rank") === 1)
+        .agg(max("approx_d2")).collect()(0).getDouble(0)
+      val worst = out.agg(max("approx_d2")).collect()(0).getDouble(0)
+      assert(top1 <= worst)
+    } finally out.unpersist()
+  }
+}
