@@ -60,6 +60,10 @@ object Bench {
     "cur_dedup_clusters", "cur_sample_stratified", "cur_decontaminate",
     "cur_corpus_curate", "cur_pack_sequences", "cur_pack_assemble",
     "cur_mixture_sample", "cur_sample_topn", "text_repetition",
+    // round-7 additions: span dedup, search scoring, classic star shapes,
+    // compressed-code ANN, one-scan profiling, sliding windows
+    "dedup_span", "text_tfidf", "q7_shipping_priority", "q8_exists_agg",
+    "sim_pq_ann", "dq_profile", "st6_sliding_window", "ev_retention",
   )
 
   private def oracleTimes(sfDir: String): Map[String, Double] = {

@@ -223,7 +223,66 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "out_w", "out_h")
   }
 
+  // ----------------------------------------------------------------- audio
+
+  /** Typed row for the decoded-audio contract. */
+  case class AudioStats(doc_id: Long, n_samples: Int, peak: Int,
+    rms: Double, duration_s: Double)
+
+  /** Encode a deterministic PCM16-LE waveform: sample i of doc d is
+    * ((d·31 + i·17) mod 2048) − 1024 — integer math any engine can
+    * replay without touching bytes.
+    */
+  def encodePcm16(docId: Long, n: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((docId * 31 + i.toLong * 17) % 2048) - 1024).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Audio feature extraction through the REAL byte boundary: render a
+    * PCM16 payload per doc (n = 256 + doc_id % 256 samples, executor-
+    * side), parse the bytes back as little-endian int16 and fold
+    * peak / RMS / duration@16kHz — the waveform-stats stage of an audio
+    * pipeline. The byte round-trip is real (a hash-match proves the
+    * samples crossed the binary boundary intact); a production compressed
+    * codec (FFmpeg via JNI) plugs in at the same bytes→samples signature.
+    * Integer sample sums are exact, so the only doubles are one division,
+    * one sqrt, and one rounding — engine-identical. Map-side, zero
+    * shuffle, constant memory per row.
+    */
+  def mmAudioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (256 + id % 256).toInt
+        (id, encodePcm16(id, n))
+      })
+      .mapPartitions(_.map { case (id, bytes) =>
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = bytes.length / 2
+        var i = 0; var sumSq = 0L; var peak = 0
+        while (i < n) {
+          val s = bb.getShort(i * 2).toInt
+          sumSq += s.toLong * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 1
+        }
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        AudioStats(id, n, peak, r6(math.sqrt(sumSq.toDouble / n)),
+          r6(n / 16000.0))
+      })
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_stats" -> (mmAudioStats _),
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_decode_real" -> (mmDecodeReal _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -232,6 +291,16 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_audio_stats" -> """
+      WITH s AS (SELECT doc_id, 256 + doc_id % 256 AS n FROM documents),
+      v AS (SELECT doc_id, n,
+              ((doc_id * 31 + i * 17) % 2048) - 1024 AS smp
+            FROM s, UNNEST(generate_series(0, n - 1)) AS g(i))
+      SELECT doc_id, CAST(n AS INT) AS n_samples,
+        CAST(max(abs(smp)) AS INT) AS peak,
+        round(sqrt(sum(smp * smp)::DOUBLE / n), 6) AS rms,
+        round(n / 16000.0, 6) AS duration_s
+      FROM v GROUP BY doc_id, n""",
     "mm_decode_meta" -> """
       WITH h AS (SELECT doc_id, length(text) AS byte_len, md5(text) AS hex
                  FROM documents)

@@ -156,6 +156,19 @@ class Round7bSpec extends AnyFunSuite {
     assert(agg == 2 * nEvents)
   }
 
+  test("audio stats: waveform round-trips the byte boundary intact") {
+    val out = Multimodal.mmAudioStats(spark, dir).cache()
+    try {
+      // sample values are in [-1024, 1023] by construction -> |peak| ≤ 1024
+      assert(out.filter(col("peak") > 1024).isEmpty)
+      assert(out.filter(col("n_samples") < 256 || col("n_samples") > 511)
+        .isEmpty)
+      // rms of a ~uniform(-1024,1024) signal sits well inside (0, 1024)
+      assert(out.filter(col("rms") <= 0 || col("rms") >= 1024).isEmpty)
+      assert(out.count() == t(spark, dir, "documents").count())
+    } finally out.unpersist()
+  }
+
   test("session window: built-in operator agrees with hand-rolled twin") {
     val builtin = graft.streaming.EventConsumer.batchSessionWindow(spark, dir)
     val handRolled = graft.streaming.EventConsumer.batchSessionize(spark, dir)
