@@ -144,7 +144,12 @@ object Similarity {
     * BEFORE every argmax/rank keeps discrete choices stable across
     * engines. Shared by the seeded and k-means-trained variants.
     */
-  private def ivfSearch(emb: DataFrame, code: Codebook): DataFrame = {
+  /** Coarse IVF stage shared by the exact-rerank and PQ-rerank variants:
+    * map-side list assignment (argmax of rounded cosine, ties to the
+    * lowest cid) plus the 4-probe set for queries vec_id < 10.
+    */
+  private def ivfAssign(emb: DataFrame, code: Codebook)
+      : (DataFrame, DataFrame) = {
     val sorted = code.sortBy(_._1)
     val k = sorted.length
     val cVecs = typedLit(sorted.map(_._2))
@@ -175,6 +180,11 @@ object Similarity {
         s => element_at(cIds, s.getField("p") + 1))))
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("probe"))
+    (assigned, probes)
+  }
+
+  private def ivfSearch(emb: DataFrame, code: Codebook): DataFrame = {
+    val (assigned, probes) = ivfAssign(emb, code)
     val scored = broadcast(probes).as("a")
       .join(assigned.as("b"),
         col("a.probe") === col("b.cid") && col("a.qid") =!= col("b.vec_id"))
@@ -375,24 +385,31 @@ object Similarity {
     * billion-scale layout. Distances are rounded to 6 dp BEFORE the
     * argmin/rank so discrete choices never flip on engine ulps.
     */
-  def simPqAnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
+  /** PQ sub-centroid literals: cent(s)(c) = seed c's dims [s·8, s·8+8). */
+  private def pqCentLit(emb: DataFrame): Column = {
     val seeds: Seq[Seq[Double]] = emb.filter(col("vec_id") < 16)
       .select(col("vec_id"), col("embedding")).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
-    // cent(s)(c) = 8-dim sub-centroid: seed c's dims [s·8, s·8+8)
-    val cent: Seq[Seq[Seq[Double]]] =
-      (0 until 8).map(s => seeds.map(_.slice(s * 8, s * 8 + 8)).toSeq)
-    val centLit = typedLit(cent)
-    def dtab(e: Column): Column =
-      transform(sequence(lit(0), lit(7)), s =>
-        transform(sequence(lit(0), lit(15)), c =>
-          round(aggregate(
-            zip_with(slice(e, s * 8 + 1, lit(8)),
-              element_at(element_at(centLit, s + 1), c + 1),
-              (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), (a, v) => a + v), 6)))
+    typedLit((0 until 8).map(s => seeds.map(_.slice(s * 8, s * 8 + 8)).toSeq))
+  }
+
+  /** Per-row 8×16 subspace-distance lookup table (rounded to 6 dp before
+    * every downstream argmin/rank — discrete choices never flip on ulps).
+    */
+  private def pqDtab(centLit: Column)(e: Column): Column =
+    transform(sequence(lit(0), lit(7)), s =>
+      transform(sequence(lit(0), lit(15)), c =>
+        round(aggregate(
+          zip_with(slice(e, s * 8 + 1, lit(8)),
+            element_at(element_at(centLit, s + 1), c + 1),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (a, v) => a + v), 6)))
+
+  def simPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val centLit = pqCentLit(emb)
+    def dtab(e: Column): Column = pqDtab(centLit)(e)
     val withTab = emb.withColumn("dtab", dtab(col("embedding")))
     val encoded = withTab
       .withColumn("codes", transform(col("dtab"), ds =>
@@ -402,6 +419,44 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("dtab"))
     val scored = broadcast(queries).as("a")
       .join(encoded.as("b"), col("a.qid") =!= col("b.vec_id"))
+      .withColumn("approx_d2", round(aggregate(
+        zip_with(col("b.codes"), col("a.dtab"),
+          (c, tab) => element_at(tab, c + 1)),
+        lit(0.0), (acc, v) => acc + v), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_d2").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+        col("vec_id"), col("approx_d2"))
+  }
+
+  /** IVF-PQ — the standard billion-scale ANN layout, composed from the
+    * two stages above: the seeded coarse quantizer ([[simIvfAnn]]) prunes
+    * the corpus to 4 probed lists per query, then PQ codes score ONLY
+    * those candidates by asymmetric distance ([[simPqAnn]]). At scale the
+    * scored volume drops from |corpus| to |corpus|·(probed/k) AND each
+    * candidate costs an 8-int lookup instead of a 64-float dot — the two
+    * compressions multiply. Probe relation broadcasts; candidates come
+    * from an equi-join on the list id; corpus floats never shuffle.
+    */
+  def simIvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(spark, dir, "embeddings"))
+    val (assigned, probes) = ivfAssign(emb, seededCodebook(emb))
+    val centLit = pqCentLit(emb)
+    val encoded = assigned
+      .withColumn("dtab", pqDtab(centLit)(col("embedding")))
+      .withColumn("codes", transform(col("dtab"), ds =>
+        (array_position(ds, array_min(ds)) - 1).cast("int")))
+      .select(col("vec_id"), col("cid"), col("codes"))
+    val qtab = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        pqDtab(centLit)(col("embedding")).as("dtab"))
+    val qprobes = probes.select(col("qid"), col("probe"))
+      .join(qtab, "qid")
+    val scored = broadcast(qprobes).as("a")
+      .join(encoded.as("b"),
+        col("a.probe") === col("b.cid") && col("a.qid") =!= col("b.vec_id"))
       .withColumn("approx_d2", round(aggregate(
         zip_with(col("b.codes"), col("a.dtab"),
           (c, tab) => element_at(tab, c + 1)),
@@ -426,6 +481,7 @@ object Similarity {
     "sim_l2_normalize" -> (simL2Normalize _),
     "sim_quantize_int8" -> (simQuantizeInt8 _),
     "sim_pq_ann" -> (simPqAnn _),
+    "sim_ivfpq_ann" -> (simIvfPqAnn _),
   )
 
   /** One Lloyd round as DuckDB CTEs: assign against `prev` (cid, ce, cn),
@@ -670,6 +726,51 @@ object Similarity {
                    round(sum(q.d2), 6) AS approx_d2
                  FROM sub q JOIN codes c ON q.s = c.s AND q.cid = c.cid
                  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+                 GROUP BY 1, 2)
+      SELECT qid, CAST(rank AS INT) AS rank, vec_id, approx_d2 FROM
+        (SELECT *, row_number() OVER (PARTITION BY qid
+           ORDER BY approx_d2 ASC, vec_id ASC) AS rank FROM approx)
+      WHERE rank <= 5""",
+    "sim_ivfpq_ann" -> s"""
+      WITH $normCte,
+      c AS (SELECT vec_id AS cid, embedding, nrm FROM n WHERE vec_id < 16),
+      ad AS (SELECT v.vec_id, c.cid,
+               round(list_sum(list_transform(generate_series(1, len(v.embedding)),
+                 i -> v.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                 / (v.nrm * c.nrm), 6) AS d
+             FROM n v CROSS JOIN c),
+      assign AS (SELECT vec_id, cid FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d DESC, cid ASC) AS rn FROM ad)
+                 WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid AS probe FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d DESC, cid ASC) AS rn
+                    FROM ad WHERE vec_id < 10)
+                 WHERE rn <= 4),
+      sd AS (SELECT vec_id AS scid, embedding FROM embeddings
+             WHERE vec_id < 16),
+      sub AS (SELECT v.vec_id, s.s, sd.scid,
+                round(list_sum(list_transform(generate_series(1, 8),
+                  j -> (v.embedding[s.s*8+j]::DOUBLE
+                          - sd.embedding[s.s*8+j]::DOUBLE)
+                     * (v.embedding[s.s*8+j]::DOUBLE
+                          - sd.embedding[s.s*8+j]::DOUBLE))), 6) AS d2
+              FROM embeddings v
+              CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) s
+              CROSS JOIN sd),
+      codes AS (SELECT vec_id, s, scid FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                     ORDER BY d2 ASC, scid ASC) AS rn FROM sub)
+                WHERE rn = 1),
+      cand AS (SELECT p.qid, b.vec_id FROM probes p
+               JOIN assign b ON p.probe = b.cid
+               WHERE p.qid <> b.vec_id),
+      approx AS (SELECT cd.qid, cd.vec_id, round(sum(q.d2), 6) AS approx_d2
+                 FROM cand cd
+                 JOIN codes c2 ON c2.vec_id = cd.vec_id
+                 JOIN sub q ON q.vec_id = cd.qid AND q.s = c2.s
+                           AND q.scid = c2.scid
                  GROUP BY 1, 2)
       SELECT qid, CAST(rank AS INT) AS rank, vec_id, approx_d2 FROM
         (SELECT *, row_number() OVER (PARTITION BY qid

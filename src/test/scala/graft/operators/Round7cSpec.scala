@@ -98,6 +98,24 @@ class Round7cSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
   }
 
+  test("ivf-pq: same ADC distances as pure PQ on the shared pairs") {
+    val pq = Similarity.simPqAnn(spark, dir)
+      .select(col("qid"), col("vec_id"), col("approx_d2").as("pq_d2"))
+    val ivfpq = Similarity.simIvfPqAnn(spark, dir).cache()
+    try {
+      // dense 1..5 ranks per query
+      val bad = ivfpq.groupBy("qid").agg(count(lit(1)).as("c"),
+        max("rank").as("mx")).filter(col("c") =!= 5 || col("mx") =!= 5)
+      assert(bad.isEmpty)
+      // wherever a (qid, vec_id) pair appears in both searches, the
+      // asymmetric distance is IDENTICAL — the coarse stage only prunes,
+      // it never changes the scorer
+      val joined = ivfpq.join(pq, Seq("qid", "vec_id"))
+      assert(joined.count() > 0)
+      assert(joined.filter(col("approx_d2") =!= col("pq_d2")).isEmpty)
+    } finally ivfpq.unpersist()
+  }
+
   test("pq ann: dense ranks, self excluded, approx distance sane") {
     val out = Similarity.simPqAnn(spark, dir).cache()
     try {
