@@ -177,7 +177,30 @@ object EventAnalytics {
           .as("revenue"))
   }
 
+  /** DAU / WAU / stickiness — the daily-active over weekly-active ratio
+    * every growth dashboard tracks. The fact collapses to DISTINCT
+    * (user, day) FIRST (the cheapest possible relation), then each
+    * active-day record fans out map-side to the ≤7 trailing window ends
+    * it supports — a bounded ×7 row multiplication of the already-tiny
+    * distinct relation, never of the raw fact — and a second distinct
+    * count per window end gives WAU without any range-window over users.
+    */
+  def evStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.t(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(explode(transform(sequence(lit(0), lit(6)),
+        i => date_add(col("day"), i))).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_stickiness" -> (evStickiness _),
     "ev_conversions" -> (evConversions _),
     "ev_funnel" -> (evFunnel _),
     "ts_gapfill" -> (tsGapfill _),
@@ -186,6 +209,16 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_stickiness" -> """
+      WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                  FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+      cov AS (SELECT DISTINCT day + g.i::INT AS day2, user_id
+              FROM ud, UNNEST(generate_series(0, 6)) AS g(i)),
+      wau AS (SELECT day2 AS day, count(*) AS wau FROM cov GROUP BY 1)
+      SELECT d.day, d.dau, w.wau,
+             round(d.dau::DOUBLE / w.wau, 6) AS stickiness
+      FROM dau d JOIN wau w USING (day)""",
     "ev_conversions" -> """
       SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
              p.value AS purchase_value

@@ -978,11 +978,32 @@ object Relational {
       .agg(count(lit(1)).as("n_late_orders"))
   }
 
+  /** O10 — period-over-period change: monthly revenue per order priority
+    * with month-over-month percent delta. The lag window runs over the
+    * ALREADY AGGREGATED (priority × month) relation — the library's
+    * standing rule for ordered windows — so per-task state is one
+    * priority's months. Revenue is cent-exact; the delta is one IEEE
+    * division rounded at emit (NULL for each priority's first month).
+    */
+  def o10PercentChange(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        trunc(col("o_orderdate"), "month").as("month"))
+      .agg(centSum(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+    monthly
+      .withColumn("prev", lag(col("revenue"), 1).over(w))
+      .select(col("o_orderpriority"), col("month"), col("revenue"),
+        round((col("revenue") - col("prev")) * 100.0 / col("prev"), 6)
+          .as("pct_change"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_pct_of_total" -> (a13PctOfTotal _),
     "j8_fuzzy_match" -> (j8FuzzyMatch _),
     "q7_shipping_priority" -> (q7ShippingPriority _),
     "q8_exists_agg" -> (q8ExistsAgg _),
+    "o10_percent_change" -> (o10PercentChange _),
     "a16_mode_median" -> (a16ModeMedian _),
     "o9_value_windows" -> (o9ValueWindows _),
     "j6_salted_join" -> (j6SaltedJoin _),
@@ -1069,6 +1090,18 @@ object Relational {
                     WHERE l.l_orderkey = o.o_orderkey
                       AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
       GROUP BY 1""",
+    "o10_percent_change" -> """
+      WITH m AS (
+        SELECT o_orderpriority,
+          CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS revenue
+        FROM orders GROUP BY 1, 2)
+      SELECT o_orderpriority, month, revenue,
+        round((revenue - lag(revenue) OVER w) * 100.0
+          / lag(revenue) OVER w, 6) AS pct_change
+      FROM m
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)""",
     "o9_value_windows" -> """
       SELECT c_custkey, c_nationkey, c_acctbal,
         first_value(c_acctbal) OVER w AS top_bal,

@@ -305,6 +305,41 @@ object TextAnalysis {
     dfreq.join(head, "term")
   }
 
+  /** Bigram PMI — pointwise mutual information of adjacent token pairs,
+    * the classic collocation detector (and the signal behind merge rules
+    * in BPE-style tokenizer training). Bigrams explode map-side per row;
+    * the two count aggregates are partial+final on (w1, w2) / token; the
+    * corpus totals ride as broadcast 1-row aggregates; top-30 plans as
+    * TakeOrderedAndProject. The PMI expression multiplies in the same
+    * left-to-right order in both engines and rounds once at emit.
+    */
+  def textBigramPmi(spark: SparkSession, dir: String,
+      minCount: Int = 5, k: Int = 30): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("w", tokens(col("text")))
+    val bg = docs.select(explode(expr(
+      """CASE WHEN size(w) >= 2
+         THEN transform(sequence(0, size(w) - 2),
+                i -> named_struct('w1', w[i], 'w2', w[i + 1]))
+         ELSE CAST(array() AS array<struct<w1: string, w2: string>>)
+         END""")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+    val uni = docs.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = bg.agg(sum(col("cxy")).cast("double").as("tb"))
+      .join(uni.agg(sum(col("c")).cast("double").as("tu")))
+    bg.filter(col("cxy") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .join(broadcast(tot))
+      .select(col("w1"), col("w2"), col("cxy").as("n"),
+        round(log((col("cxy").cast("double") * col("tu") * col("tu")) /
+          (col("tb") * col("c1") * col("c2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_topk" -> ((s: SparkSession, d: String) => textTokenTopk(s, d)),
     "text_tokens" -> (textTokens _),
@@ -320,6 +355,7 @@ object TextAnalysis {
     "text_bm25" -> ((s: SparkSession, d: String) => textBm25(s, d)),
     "text_inverted_index" ->
       ((s: SparkSession, d: String) => textInvertedIndex(s, d)),
+    "text_bigram_pmi" -> ((s: SparkSession, d: String) => textBigramPmi(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -488,5 +524,26 @@ object TextAnalysis {
         array_to_string(list_slice(list_sort(list(doc_id)), 1, 10), ',')
           AS postings_head
       FROM pairs GROUP BY 1""",
+    "text_bigram_pmi" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+      bg AS (SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS cxy
+             FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+             GROUP BY 1, 2),
+      uni AS (SELECT tok, count(*) AS c
+              FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY 1),
+      tot AS (SELECT (SELECT sum(cxy) FROM bg)::DOUBLE AS tb,
+                     (SELECT sum(c) FROM uni)::DOUBLE AS tu)
+      SELECT b.w1, b.w2, CAST(b.cxy AS BIGINT) AS n,
+        round(ln((b.cxy::DOUBLE * t.tu * t.tu)
+          / (t.tb * u1.c * u2.c)), 6) AS pmi
+      FROM bg b
+      JOIN uni u1 ON b.w1 = u1.tok
+      JOIN uni u2 ON b.w2 = u2.tok
+      CROSS JOIN tot t
+      WHERE b.cxy >= 5
+      ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 30""",
   )
 }

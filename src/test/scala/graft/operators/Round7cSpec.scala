@@ -116,6 +116,40 @@ class Round7cSpec extends AnyFunSuite {
     } finally ivfpq.unpersist()
   }
 
+  test("bigram pmi: min support respected, ordered, counts consistent") {
+    val out = TextAnalysis.textBigramPmi(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 30)
+    assert(out.forall(_.getLong(2) >= 5), "min count filter")
+    val pmis = out.map(_.getDouble(3)).toSeq
+    assert(pmis == pmis.sorted.reverse, "descending pmi")
+  }
+
+  test("stickiness: dau ≤ wau, ratio in (0, 1]") {
+    val out = EventAnalytics.evStickiness(spark, dir).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("dau") > col("wau")).isEmpty)
+      assert(out.filter(col("stickiness") <= 0 || col("stickiness") > 1)
+        .isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("percent change: null on each priority's first month, else exact") {
+    val out = Relational.o10PercentChange(spark, dir).cache()
+    try {
+      val firsts = out.groupBy("o_orderpriority")
+        .agg(min("month").as("m0"))
+      // first month per priority has NULL pct_change
+      assert(out.join(firsts,
+        out("o_orderpriority") === firsts("o_orderpriority") &&
+          col("month") === col("m0"))
+        .filter(col("pct_change").isNotNull).isEmpty)
+      // all other months have a value
+      assert(out.filter(col("pct_change").isNull).count() ==
+        firsts.count())
+    } finally out.unpersist()
+  }
+
   test("pq ann: dense ranks, self excluded, approx distance sane") {
     val out = Similarity.simPqAnn(spark, dir).cache()
     try {
