@@ -135,7 +135,24 @@ object Scalars {
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
 
+  /** X16 — the array-function surface over the token arrays every text
+    * stage manipulates: distinct size, membership, intersect-with-set
+    * size, lexicographic min. All per-row Catalyst expressions (zero
+    * shuffle); the set ops are size-stable across engines even where
+    * element order isn't.
+    */
+  def x16ArrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        array_contains(col("w"), "spark").as("has_spark"),
+        size(array_intersect(array_distinct(col("w")),
+          typedLit(Seq("a", "the", "of")))).as("n_stop_kinds"),
+        array_min(col("w")).as("first_tok"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x16_array_funcs" -> (x16ArrayFuncs _),
     "x14_json_extract" -> (x14JsonExtract _),
     "x1_split" -> (x1Split _),
     "x2_split_cast" -> (x2SplitCast _),
@@ -153,6 +170,16 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "x16_array_funcs" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents)
+      SELECT doc_id,
+        CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+        list_contains(w, 'spark') AS has_spark,
+        CAST(len(list_filter(list_distinct(w),
+          x -> x IN ('a', 'the', 'of'))) AS INT) AS n_stop_kinds,
+        list_aggregate(w, 'min') AS first_tok
+      FROM tok""",
     "x14_json_extract" -> """
       SELECT event_id, json_extract_string(props, '$.k')::INT AS k
       FROM events""",

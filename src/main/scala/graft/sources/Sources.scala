@@ -381,9 +381,37 @@ object Sources {
           .as("total_value"))
   }
 
+  /** S16 — malformed-row handling at the SOURCE (the scan-level form of
+    * the F4 arity guard): a CSV with a type-corrupt row and an
+    * arity-short row read under `mode=DROPMALFORMED` keeps exactly the
+    * parseable rows — corrupt rows die at the scan, before any operator
+    * sees them. (PERMISSIVE + `columnNameOfCorruptRecord` is the
+    * quarantine-table variant; same reader options.)
+    */
+  def s16MalformedCsv(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_badcsv").toString
+    val csv = Seq(
+      "id,name,score",
+      "1,alpha,10",
+      "2,beta,oops", // type-corrupt score -> dropped
+      "3,,30", // null name -> kept (null is data, not malformation)
+      "4,delta", // arity-short -> dropped
+      "5,echo,50").mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/rows.csv"), csv)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType),
+      StructField("score", IntegerType)))
+    spark.read.schema(schema)
+      .option("header", true).option("mode", "DROPMALFORMED")
+      .csv(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s13_orc_roundtrip" -> (s13OrcRoundtrip _),
     "s14_partitioned_scan" -> (s14PartitionedScan _),
+    "s16_malformed_csv" -> (s16MalformedCsv _),
     "s1_html_table_scan" -> (s1HtmlTableScan _),
     "s1b_html_dsv2" -> (s1bHtmlDsv2 _),
     "s2_csv_scan" -> (s2CsvScan _),
@@ -404,6 +432,11 @@ object Sources {
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events WHERE event_type = 'click' GROUP BY 1""",
+    "s16_malformed_csv" -> """
+      SELECT * FROM (VALUES
+        (1, 'alpha', 10),
+        (3, CAST(NULL AS VARCHAR), 30),
+        (5, 'echo', 50)) AS t(id, name, score)""",
     "s1b_html_dsv2" -> """
       SELECT * FROM (VALUES
         ('Sa 15 Feb', 'Arsenal', 'Chelsea', 2, 1),

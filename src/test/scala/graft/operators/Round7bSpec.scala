@@ -156,6 +156,13 @@ class Round7bSpec extends AnyFunSuite {
     assert(agg == 2 * nEvents)
   }
 
+  test("malformed csv: exactly the parseable rows survive DROPMALFORMED") {
+    val out = graft.sources.Sources.s16MalformedCsv(spark, dir).collect()
+    assert(out.map(_.getInt(0)).sorted.toSeq == Seq(1, 3, 5))
+    assert(out.find(_.getInt(0) == 3).get.isNullAt(1),
+      "null field is data, not malformation")
+  }
+
   test("audio stats: waveform round-trips the byte boundary intact") {
     val out = Multimodal.mmAudioStats(spark, dir).cache()
     try {
