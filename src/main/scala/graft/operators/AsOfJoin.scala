@@ -34,8 +34,8 @@ object AsOfJoin {
       timeCol: String, rightPayload: Seq[String],
       direction: String = "backward",
       tolerance: Option[Long] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"asOf direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asOf direction must be backward|forward|nearest, got $direction")
     val payload = struct((col(timeCol).as("__t") +:
       rightPayload.map(col)): _*)
     val rTagged = right.select(col(keyCol), col(timeCol),
@@ -44,20 +44,31 @@ object AsOfJoin {
     // Backward: right rows sort before left at equal time (side asc) and
     // the frame ends at -1 → strict "<" given unique times. Forward is
     // the mirror: left first at equal time (side desc), frame starts
-    // at +1 → strict ">".
+    // at +1 → strict ">". Nearest evaluates both frames over the SAME
+    // hash exchange (two sorts, one shuffle) and picks the closer match,
+    // ties to backward — pandas merge_asof's nearest rule.
     val base = Window.partitionBy(col(keyCol))
-    val (w, pick) =
-      if (direction == "backward")
-        (base.orderBy(col(timeCol).asc, col("side").asc)
-          .rowsBetween(Window.unboundedPreceding, -1),
-          (c: org.apache.spark.sql.Column) => last(c, ignoreNulls = true))
-      else
-        (base.orderBy(col(timeCol).asc, col("side").desc)
-          .rowsBetween(1, Window.unboundedFollowing),
-          (c: org.apache.spark.sql.Column) => first(c, ignoreNulls = true))
-    val joined = rTagged.unionByName(lTagged, allowMissingColumns = true)
-      .withColumn("matched", pick(col("r_payload")).over(w))
-      .filter(col("side") === 1)
+    val wb = base.orderBy(col(timeCol).asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wf = base.orderBy(col(timeCol).asc, col("side").desc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val union = rTagged.unionByName(lTagged, allowMissingColumns = true)
+    val joined = (direction match {
+      case "backward" => union.withColumn("matched",
+        last(col("r_payload"), ignoreNulls = true).over(wb))
+      case "forward" => union.withColumn("matched",
+        first(col("r_payload"), ignoreNulls = true).over(wf))
+      case _ => union
+        .withColumn("mb", last(col("r_payload"), ignoreNulls = true).over(wb))
+        .withColumn("mf", first(col("r_payload"), ignoreNulls = true).over(wf))
+        .withColumn("matched",
+          when(col("mf").isNull, col("mb"))
+            .when(col("mb").isNull, col("mf"))
+            .when(col(timeCol) - col("mb.__t") <= col("mf.__t") - col(timeCol),
+              col("mb"))
+            .otherwise(col("mf")))
+        .drop("mb", "mf")
+    }).filter(col("side") === 1)
       .drop("r_payload", "side")
     tolerance match {
       case None => joined
@@ -117,10 +128,31 @@ object AsOfJoin {
         col("matched.prev_totalprice").as("prev_totalprice"))
   }
 
+  /** NEAREST as-of: each even order's closest odd order per customer,
+    * whichever direction is closer (ties to backward) — completing
+    * merge_asof's direction set.
+    */
+  def asofNearestOrder(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    val odds = orders.filter(col("o_orderkey") % 2 === 1)
+      .withColumnRenamed("o_orderkey", "near_orderkey")
+      .withColumnRenamed("o_totalprice", "near_totalprice")
+      .withColumn("o_orderkey", col("near_orderkey"))
+    asOf(evens, odds, keyCol = "o_custkey", timeCol = "o_orderkey",
+      rightPayload = Seq("near_orderkey", "near_totalprice"),
+      direction = "nearest")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("matched.near_orderkey").as("near_orderkey"),
+        col("matched.near_totalprice").as("near_totalprice"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_prev_order" -> (asofPrevOrder _),
     "asof_next_order" -> (asofNextOrder _),
     "asof_tolerance" -> (asofToleranceOrder _),
+    "asof_nearest" -> (asofNearestOrder _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -145,5 +177,33 @@ object AsOfJoin {
       FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 0) a
       ASOF LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 2 = 1) b
         ON a.o_custkey = b.o_custkey AND b.o_orderkey < a.o_orderkey""",
+    // no native nearest ASOF in DuckDB — replay the union-window form
+    "asof_nearest" -> """
+      WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                   o_orderkey % 2 = 0 AS is_left
+                 FROM orders),
+      w AS (SELECT *,
+          last_value(CASE WHEN NOT is_left THEN o_orderkey END IGNORE NULLS)
+            OVER wb AS pk,
+          last_value(CASE WHEN NOT is_left THEN o_totalprice END IGNORE NULLS)
+            OVER wb AS pv,
+          first_value(CASE WHEN NOT is_left THEN o_orderkey END IGNORE NULLS)
+            OVER wf AS nk,
+          first_value(CASE WHEN NOT is_left THEN o_totalprice END IGNORE NULLS)
+            OVER wf AS nv
+        FROM o
+        WINDOW
+          wb AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CASE WHEN nk IS NULL OR (pk IS NOT NULL
+               AND o_orderkey - pk <= nk - o_orderkey) THEN pk ELSE nk END
+          AS near_orderkey,
+        CASE WHEN nk IS NULL OR (pk IS NOT NULL
+               AND o_orderkey - pk <= nk - o_orderkey) THEN pv ELSE nv END
+          AS near_totalprice
+      FROM w WHERE is_left""",
   )
 }

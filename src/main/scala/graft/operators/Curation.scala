@@ -156,6 +156,27 @@ object Curation {
       .filter(sampleKeep)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
 
+  /** Quality-WEIGHTED deterministic sampling: keep a doc with probability
+    * equal to its quality score — the "sample proportional to a model
+    * score" stage real curation pipelines run between filtering and
+    * packing. Membership is content-addressed like [[sampleStratified]]
+    * (digest byte / 256 < quality), so the same doc is in or out on every
+    * engine, re-run, and backfill — no RNG coordination across 1000
+    * executors. The quality column is the per-row map-side score from
+    * [[TextAnalysis.textQuality]]; the join on doc_id shuffles only
+    * (doc_id, quality), the [[CorpusPipeline.corpusClean]] convention.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(q, "doc_id")
+      .filter(hv.cast("double") / 256.0 < col("quality"))
+  }
+
   /** Benchmark decontamination: flag training documents (source <> the
     * eval source) whose distinct-3-gram overlap with the ENTIRE eval
     * source's shingle set is ≥ τ. Returns (doc_id, n_shared, overlap) —
@@ -420,6 +441,7 @@ object Curation {
     "cur_pack_assemble" -> ((s, d) => assemblePacks(s, d)),
     "cur_mixture_sample" -> ((s, d) => mixtureSample(s, d)),
     "cur_sample_topn" -> ((s, d) => sampleTopNPerSource(s, d)),
+    "cur_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
   )
 
   /** The curation funnel as DuckDB CTEs ending in `curated(doc_id, lang,
@@ -504,6 +526,15 @@ object Curation {
           + (strpos('0123456789abcdef',
                substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
           < CASE WHEN lang = 'en' THEN 128 ELSE 64 END""",
+    "cur_sample_weighted" -> s"""
+      WITH ${CorpusPipeline.qualityCte}
+      SELECT d.doc_id, d.lang, d.source, q.quality
+      FROM documents d JOIN qual q ON d.doc_id = q.doc_id
+      WHERE ((strpos('0123456789abcdef',
+                substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+                substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1))::DOUBLE
+            / 256.0 < q.quality""",
     "cur_corpus_curate" -> s"""
       WITH RECURSIVE $curateCtes
       SELECT doc_id, lang, source, quality FROM curated""",

@@ -150,6 +150,45 @@ class Round7cSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("asof nearest: picks the closer of the backward/forward matches") {
+    val near = AsOfJoin.asofNearestOrder(spark, dir)
+      .select(col("o_orderkey"), col("near_orderkey"))
+    val prev = AsOfJoin.asofPrevOrder(spark, dir)
+      .select(col("o_orderkey"), col("prev_orderkey"))
+    val next = AsOfJoin.asofNextOrder(spark, dir)
+      .select(col("o_orderkey").as("odd_key"), col("next_orderkey"))
+    // forward ran odd->even; invert it to even->prev-odd view via prev:
+    // simplest strong check: near is always prev or the mirror-side
+    // nearest, and |near - key| <= |prev - key| wherever both exist
+    val j = near.join(prev, "o_orderkey")
+      .filter(col("near_orderkey").isNotNull && col("prev_orderkey").isNotNull)
+    assert(j.filter(abs(col("near_orderkey") - col("o_orderkey")) >
+      abs(col("prev_orderkey") - col("o_orderkey"))).isEmpty,
+      "nearest can never be farther than the backward match")
+    assert(near.filter(col("near_orderkey").isNull).count() <
+      near.count(), "matches exist")
+    assert(near.filter(col("near_orderkey") % 2 === 0).isEmpty,
+      "nearest match always comes from the odd (right) side")
+  }
+
+  test("weighted sample: acceptance follows the quality score") {
+    val all = TextAnalysis.textQuality(spark, dir)
+      .agg(avg("quality")).collect()(0).getDouble(0)
+    val kept = Curation.sampleWeighted(spark, dir).cache()
+    try {
+      val keptAvg = kept.agg(avg("quality")).collect()(0).getDouble(0)
+      assert(kept.count() > 0)
+      // quality-weighted acceptance skews the kept set toward quality
+      assert(keptAvg >= all,
+        s"kept avg $keptAvg should be >= corpus avg $all")
+      // determinism: a second evaluation selects the identical set
+      val again = Curation.sampleWeighted(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(again == kept.select("doc_id").collect()
+        .map(_.getLong(0)).toSet)
+    } finally kept.unpersist()
+  }
+
   test("pq ann: dense ranks, self excluded, approx distance sane") {
     val out = Similarity.simPqAnn(spark, dir).cache()
     try {
