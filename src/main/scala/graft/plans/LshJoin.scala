@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -56,22 +57,38 @@ object LshVectors {
   }
 }
 
-/** 4-bit sign-LSH bucket key of an array<float> column. */
+/** 4-bit sign-LSH bucket key of an array<float> column.
+  *
+  * Fully codegen'd (a static call into [[LshVectors]], not a fallback):
+  * this expression is a JOIN KEY after [[LshJoinRewrite]], and a
+  * CodegenFallback there would break the surrounding WholeStageCodegen
+  * stage for every probe.
+  */
 case class LshBucket(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override protected def nullSafeEval(v: Any): Any =
     LshVectors.bucketOf(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.LshVectors.bucketOf($c)")
   override protected def withNewChildInternal(c: Expression): LshBucket =
     copy(child = c)
 }
 
-/** cosine(a, b) over two array<float> columns. */
+/** cosine(a, b) over two array<float> columns. Codegen'd like
+  * [[LshBucket]] — it is the post-probe refinement predicate of the
+  * similarity join, evaluated once per candidate pair on the hot path.
+  */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     LshVectors.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.LshVectors.cosine($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
 }

@@ -45,4 +45,23 @@ class SimJoinRuleSpec extends AnyFunSuite {
       assert(fastRows.nonEmpty)
     } finally spark.experimental.extraOptimizations = saved
   }
+
+  test("bucket key and cosine refinement stay inside WholeStageCodegen") {
+    GraftFunctions.register(spark)
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = Seq(LshJoinRewrite)
+      val df = joined()
+      df.collect() // finalize the AQE plan — codegen ids appear after exec
+      val plan = df.queryExecution.executedPlan.toString
+      // the rewritten join (bucket-key hash join + cosine post-predicate)
+      // must be codegen'd — LshBucket/CosineSim implement doGenCode, so
+      // the join node carries a codegen-stage id ("*(n) ...HashJoin")
+      val joinLine = plan.linesIterator
+        .find(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+        .getOrElse(fail(s"no hash join in plan:\n$plan"))
+      assert(joinLine.trim.matches("""^[+\-:\s]*\*\(\d+\).*"""),
+        s"join not inside WholeStageCodegen:\n$plan")
+    } finally spark.experimental.extraOptimizations = saved
+  }
 }
