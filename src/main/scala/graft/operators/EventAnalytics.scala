@@ -28,7 +28,8 @@ object EventAnalytics {
   /** Shared transform: click c → purchase p, same user,
     * 0 < p.ts − c.ts ≤ 30 min. Inputs need (user_id, event_id, ts[, value]).
     */
-  def conversionPairs(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  private def conversionJoin(clicks: DataFrame, purchases: DataFrame,
+      joinType: String): DataFrame = {
     val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
       col("ts").as("click_ts"))
     val p = purchases.select(col("user_id").as("p_user_id"),
@@ -37,9 +38,38 @@ object EventAnalytics {
     c.join(p,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") > col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(ConversionWindow))
+        col("purchase_ts") <= col("click_ts") + expr(ConversionWindow),
+      joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("purchase_value"))
+  }
+
+  def conversionPairs(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    conversionJoin(clicks, purchases, "inner")
+
+  /** LEFT OUTER conversions: EVERY click, with null purchase columns when
+    * nothing converted — the denominator row a funnel report needs
+    * without a second pass. In streaming, matched pairs emit immediately;
+    * a null-extended click emits exactly once, when the watermark proves
+    * no in-window purchase can still arrive (state expiry is the
+    * emission trigger — the semantics only an engine with watermarked
+    * outer stream-stream joins can provide).
+    */
+  def conversionPairsOuter(clicks: DataFrame,
+      purchases: DataFrame): DataFrame =
+    conversionJoin(clicks, purchases, "left_outer")
+
+  def conversionPairsOuterStreaming(clicks: DataFrame,
+      purchases: DataFrame): DataFrame =
+    conversionPairsOuter(
+      clicks.withWatermark("ts", "1 hour"),
+      purchases.withWatermark("ts", "1 hour"))
+
+  /** Batch twin of the outer conversions over the events parquet. */
+  def evConversionsOuter(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(spark, dir, "events")
+    conversionPairsOuter(e.filter(col("event_type") === "click"),
+      e.filter(col("event_type") === "purchase"))
   }
 
   /** Stream-stream flavor: watermark both sides, then the same join.
@@ -202,6 +232,7 @@ object EventAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_stickiness" -> (evStickiness _),
     "ev_conversions" -> (evConversions _),
+    "ev_conversions_outer" -> (evConversionsOuter _),
     "ev_funnel" -> (evFunnel _),
     "ts_gapfill" -> (tsGapfill _),
     "ev_retention" -> (evRetention _),
@@ -225,6 +256,13 @@ object EventAnalytics {
       FROM events c JOIN events p
         ON c.user_id = p.user_id
        AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+    "ev_conversions_outer" -> """
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             p.value AS purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
        AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
     "ev_funnel" -> """
       WITH conv AS (

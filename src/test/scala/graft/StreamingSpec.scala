@@ -232,6 +232,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer stream-stream join: null-extension waits for the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp, Double)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, Double)]
+    def named(m: MemoryStream[(Long, Long, Timestamp, Double)]) =
+      m.toDF().toDF("user_id", "event_id", "ts", "value")
+    val q = graft.operators.EventAnalytics
+      .conversionPairsOuterStreaming(named(clicks), named(purchases))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("st8_test").start()
+    try {
+      clicks.addData(
+        (7L, 1L, ts("2024-01-01 00:00:00"), 0.0), // converts
+        (7L, 2L, ts("2024-01-01 00:45:00"), 0.0)) // never converts
+      purchases.addData((7L, 100L, ts("2024-01-01 00:10:00"), 5.0))
+      q.processAllAvailable()
+      val matched = spark.table("st8_test")
+        .filter(col("purchase_id").isNotNull).count()
+      assert(matched == 1, "in-window pair emits without waiting")
+      assert(spark.table("st8_test")
+        .filter(col("purchase_id").isNull).count() == 0,
+        "null-extension must NOT emit while the window could still fill")
+      // advance the watermark well past click 2's window (+1h watermark
+      // +30min range); extra batches drive the state-cleanup micro-batch
+      purchases.addData((99L, 900L, ts("2024-01-01 06:00:00"), 1.0))
+      clicks.addData((99L, 901L, ts("2024-01-01 06:00:00"), 0.0))
+      q.processAllAvailable()
+      purchases.addData((98L, 902L, ts("2024-01-01 07:00:00"), 1.0))
+      clicks.addData((98L, 903L, ts("2024-01-01 07:00:00"), 0.0))
+      q.processAllAvailable()
+      val nulls = spark.table("st8_test")
+        .filter(col("purchase_id").isNull)
+        .select("click_id").collect().map(_.getLong(0)).toSet
+      assert(nulls.contains(2L),
+        "expired unmatched click emits exactly its null-extended row")
+    } finally q.stop()
+  }
+
   test("stream-stream join agrees with the batch twin on real events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
