@@ -64,6 +64,7 @@ object Bench {
     // compressed-code ANN, one-scan profiling, sliding windows
     "dedup_span", "text_tfidf", "q7_shipping_priority", "q8_exists_agg",
     "sim_pq_ann", "dq_profile", "st6_sliding_window", "ev_retention",
+    "ts_resample", "ev_conversions_outer", "asof_nearest",
   )
 
   private def oracleTimes(sfDir: String): Map[String, Double] = {

@@ -229,8 +229,30 @@ object EventAnalytics {
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
   }
 
+  /** OHLC resample — the financial/metrics "bars" shape: per 1-hour
+    * bucket, the first (open) and last (close) value plus high/low/count.
+    * Open/close come from `min/max(struct(ts, event_id, value))` — a
+    * single partial+final aggregate carrying one struct per bucket per
+    * partition, NOT a window (no per-bucket sort, no full-bucket state);
+    * the (ts, event_id) prefix makes ties deterministic. One shuffle on
+    * the bucket key.
+    */
+  def tsResample(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("bar_start"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_stickiness" -> (evStickiness _),
+    "ts_resample" -> (tsResample _),
     "ev_conversions" -> (evConversions _),
     "ev_conversions_outer" -> (evConversionsOuter _),
     "ev_funnel" -> (evFunnel _),
@@ -250,6 +272,22 @@ object EventAnalytics {
       SELECT d.day, d.dau, w.wau,
              round(d.dau::DOUBLE / w.wau, 6) AS stickiness
       FROM dau d JOIN wau w USING (day)""",
+    "ts_resample" -> """
+      WITH b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS bar_start,
+                   ts, event_id, value
+                 FROM events),
+      r AS (SELECT *,
+              row_number() OVER (PARTITION BY bar_start
+                ORDER BY ts ASC, event_id ASC) AS rn_a,
+              row_number() OVER (PARTITION BY bar_start
+                ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM b)
+      SELECT bar_start,
+        max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        max(value) AS high, min(value) AS low,
+        max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        count(*) AS n
+      FROM r GROUP BY 1""",
     "ev_conversions" -> """
       SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
              p.value AS purchase_value
