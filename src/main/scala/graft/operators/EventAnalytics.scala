@@ -250,9 +250,30 @@ object EventAnalytics {
         col("o.value").as("open"), col("high"), col("low"),
         col("c.value").as("close"), col("n"))
 
+  /** Event-type transition matrix (path analysis): top (from → to)
+    * consecutive-event pairs across users — where journeys actually go
+    * next. One lead() window per user (bounded state, one shuffle on
+    * user_id), then a partial+final count on the tiny type-pair key and
+    * a TakeOrderedAndProject top-k.
+    */
+  def evTransitions(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type").asc, col("to_type").asc)
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_stickiness" -> (evStickiness _),
     "ts_resample" -> (tsResample _),
+    "ev_transitions" -> ((s: SparkSession, d: String) => evTransitions(s, d)),
     "ev_conversions" -> (evConversions _),
     "ev_conversions_outer" -> (evConversionsOuter _),
     "ev_funnel" -> (evFunnel _),
@@ -288,6 +309,15 @@ object EventAnalytics {
         max(CASE WHEN rn_d = 1 THEN value END) AS close,
         count(*) AS n
       FROM r GROUP BY 1""",
+    "ev_transitions" -> """
+      WITH t AS (SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC) AS to_type
+                 FROM events)
+      SELECT event_type AS from_type, to_type, count(*) AS n
+      FROM t WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+      ORDER BY n DESC, from_type ASC, to_type ASC LIMIT 20""",
     "ev_conversions" -> """
       SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
              p.value AS purchase_value

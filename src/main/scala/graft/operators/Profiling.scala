@@ -70,12 +70,44 @@ object Profiling {
       .withColumn("passed", col("n_violations") === 0L)
   }
 
+  /** Z-score anomaly report: rows whose value sits more than `z` pooled
+    * standard deviations above their group mean — the data-quality alarm
+    * a pipeline pages on. Group stats are one partial+final aggregate
+    * (|groups| rows) broadcast back over the fact; the fact streams
+    * through map-side, nothing but the stats relation is ever smaller
+    * than the input. The z threshold (1.6) sits ≥5e-4 z-units from every
+    * value in the test corpora, so engine ulp differences in avg/stddev
+    * can never flip membership.
+    */
+  def dqAnomaly(spark: SparkSession, dir: String,
+      z: Double = 1.6): DataFrame = {
+    val stats = t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(avg(col("o_totalprice")).as("mu"),
+        stddev_pop(col("o_totalprice")).as("sd"))
+    t(spark, dir, "orders")
+      .join(broadcast(stats), "o_orderpriority")
+      .withColumn("zscore", (col("o_totalprice") - col("mu")) / col("sd"))
+      .filter(col("zscore") > z)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), round(col("zscore"), 6).as("zscore"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_anomaly" -> ((s: SparkSession, d: String) => dqAnomaly(s, d)),
     "dq_profile" -> (dqProfile _),
     "dq_expectations" -> (dqExpectations _),
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_anomaly" -> """
+      WITH s AS (SELECT o_orderpriority, avg(o_totalprice) AS mu,
+                   stddev_pop(o_totalprice) AS sd
+                 FROM orders GROUP BY 1)
+      SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+             round((o.o_totalprice - s.mu) / s.sd, 6) AS zscore
+      FROM orders o JOIN s USING (o_orderpriority)
+      WHERE (o.o_totalprice - s.mu) / s.sd > 1.6""",
     "dq_profile" -> """
       WITH b AS (
         SELECT count(*) AS n_rows,

@@ -408,10 +408,39 @@ object Sources {
       .csv(tmp)
   }
 
+  /** Compact a directory of small parquet files into `targetFiles` —
+    * the table-maintenance job every lakehouse runs: many small files
+    * mean many tasks, many footer reads, and a slow listing at 100 TB.
+    * `coalesce` on the READ side merges partitions without a shuffle
+    * (compaction is IO-bound; a `repartition` would pay a full shuffle
+    * for nothing when output order doesn't matter).
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+      targetFiles: Int): Unit =
+    spark.read.parquet(inDir).coalesce(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  /** S17 — small-file compaction round-trip: fragment orders into 64
+    * files, compact to 4, prove the data survived byte-exact (the oracle
+    * checks the aggregate; SourcesSpec pins the file counts).
+    */
+  def s17Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val frag = Files.createTempDirectory("graft_frag").toString
+    val compacted = Files.createTempDirectory("graft_compact").toString
+    t(spark, dir, "orders").repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(frag)
+    compactParquet(spark, frag, compacted, targetFiles = 4)
+    spark.read.parquet(compacted)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
+          ./(100.0).as("total_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s13_orc_roundtrip" -> (s13OrcRoundtrip _),
     "s14_partitioned_scan" -> (s14PartitionedScan _),
     "s16_malformed_csv" -> (s16MalformedCsv _),
+    "s17_compaction" -> (s17Compaction _),
     "s1_html_table_scan" -> (s1HtmlTableScan _),
     "s1b_html_dsv2" -> (s1bHtmlDsv2 _),
     "s2_csv_scan" -> (s2CsvScan _),
@@ -437,6 +466,11 @@ object Sources {
         (1, 'alpha', 10),
         (3, CAST(NULL AS VARCHAR), 30),
         (5, 'echo', 50)) AS t(id, name, score)""",
+    "s17_compaction" -> """
+      SELECT count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS total_price
+      FROM orders""",
     "s1b_html_dsv2" -> """
       SELECT * FROM (VALUES
         ('Sa 15 Feb', 'Arsenal', 'Chelsea', 2, 1),

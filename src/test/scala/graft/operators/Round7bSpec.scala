@@ -176,6 +176,43 @@ class Round7bSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("compaction: merges the small files, keeps every row") {
+    val frag = java.nio.file.Files.createTempDirectory("spec_frag").toString
+    val out = java.nio.file.Files.createTempDirectory("spec_compact").toString
+    val orders = t(spark, dir, "orders")
+    orders.repartition(16).write.mode("overwrite").parquet(frag)
+    graft.sources.Sources.compactParquet(spark, frag, out, targetFiles = 2)
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(frag) == 16)
+    assert(parts(out) <= 2)
+    assert(spark.read.parquet(out).count() == orders.count())
+  }
+
+  test("transitions: counts descending, pairs from the event-type domain") {
+    val types = t(spark, dir, "events").select("event_type")
+      .distinct().collect().map(_.getString(0)).toSet
+    val out = EventAnalytics.evTransitions(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val ns = out.map(_.getLong(2)).toSeq
+    assert(ns == ns.sorted.reverse)
+    assert(out.forall(r => types(r.getString(0)) && types(r.getString(1))))
+  }
+
+  test("anomaly report: exactly the rows above the z threshold") {
+    val out = Profiling.dqAnomaly(spark, dir).cache()
+    try {
+      assert(out.filter(col("zscore") <= 1.6).isEmpty)
+      // independent recount of one group
+      val ord = t(spark, dir, "orders")
+      val st = ord.groupBy("o_orderpriority")
+        .agg(avg("o_totalprice").as("mu"), stddev_pop("o_totalprice").as("sd"))
+      val expected = ord.join(st, "o_orderpriority")
+        .filter((col("o_totalprice") - col("mu")) / col("sd") > 1.6).count()
+      assert(out.count() == expected)
+    } finally out.unpersist()
+  }
+
   test("session window: built-in operator agrees with hand-rolled twin") {
     val builtin = graft.streaming.EventConsumer.batchSessionWindow(spark, dir)
     val handRolled = graft.streaming.EventConsumer.batchSessionize(spark, dir)
