@@ -998,12 +998,52 @@ object Relational {
           .as("pct_change"))
   }
 
+  /** U5 — SCD Type-2 merge: apply a changeset to a dimension while
+    * KEEPING history (each change closes the current version's validity
+    * and opens a new one) — the warehouse pattern behind every
+    * `dim_customer` with `valid_from`/`valid_to`. The reference's
+    * drop-and-recreate load (dags/projectde_dag.py:144-150) is the
+    * history-destroying version of this; [[upsert]] is the
+    * history-less one. Pure projection + union: changed keys emit a
+    * closed old row and an open new row, unchanged keys pass through —
+    * one broadcast of the (small) changeset, the dimension streams
+    * through map-side, no window, no shuffle of the dim.
+    *
+    * The demo changeset is deterministic: customers with custkey % 10 = 3
+    * get +100.00 to their balance effective 2000-01-01.
+    */
+  def u5Scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val effective = to_date(lit("2000-01-01"))
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        to_date(lit("1990-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+    val delta = t(spark, dir, "customer")
+      .filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey").as("d_key"),
+        (round(col("c_acctbal") * 100).cast("long") + 10000L)
+          .cast("double")./(100.0).as("d_bal"))
+    base.join(broadcast(delta), col("c_custkey") === col("d_key"),
+        "left_outer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("valid_from"),
+        // changed keys: close the current version at the effective date
+        when(col("d_key").isNotNull, effective)
+          .otherwise(col("valid_to")).as("valid_to"))
+      .unionByName(
+        base.join(broadcast(delta), col("c_custkey") === col("d_key"))
+          .select(col("c_custkey"), col("c_name"),
+            col("d_bal").as("c_acctbal"), effective.as("valid_from"),
+            lit(null).cast("date").as("valid_to")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_pct_of_total" -> (a13PctOfTotal _),
     "j8_fuzzy_match" -> (j8FuzzyMatch _),
     "q7_shipping_priority" -> (q7ShippingPriority _),
     "q8_exists_agg" -> (q8ExistsAgg _),
     "o10_percent_change" -> (o10PercentChange _),
+    "u5_scd2_merge" -> (u5Scd2Merge _),
     "a16_mode_median" -> (a16ModeMedian _),
     "o9_value_windows" -> (o9ValueWindows _),
     "j6_salted_join" -> (j6SaltedJoin _),
@@ -1090,6 +1130,21 @@ object Relational {
                     WHERE l.l_orderkey = o.o_orderkey
                       AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
       GROUP BY 1""",
+    "u5_scd2_merge" -> """
+      WITH delta AS (
+        SELECT c_custkey AS d_key,
+          (CAST(round(c_acctbal * 100) AS BIGINT) + 10000)::DOUBLE / 100.0
+            AS d_bal
+        FROM customer WHERE c_custkey % 10 = 3)
+      SELECT c.c_custkey, c.c_name, c.c_acctbal,
+             DATE '1990-01-01' AS valid_from,
+             CASE WHEN d.d_key IS NOT NULL THEN DATE '2000-01-01' END
+               AS valid_to
+      FROM customer c LEFT JOIN delta d ON c.c_custkey = d.d_key
+      UNION ALL
+      SELECT c.c_custkey, c.c_name, d.d_bal AS c_acctbal,
+             DATE '2000-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      FROM customer c JOIN delta d ON c.c_custkey = d.d_key""",
     "o10_percent_change" -> """
       WITH m AS (
         SELECT o_orderpriority,

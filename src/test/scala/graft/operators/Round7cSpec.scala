@@ -189,6 +189,29 @@ class Round7cSpec extends AnyFunSuite {
     } finally kept.unpersist()
   }
 
+  test("scd2 merge: changed keys get a closed + an open version") {
+    val out = Relational.u5Scd2Merge(spark, dir).cache()
+    try {
+      val perKey = out.groupBy("c_custkey").agg(
+        count(lit(1)).as("versions"),
+        sum(when(col("valid_to").isNull, 1).otherwise(0)).as("open"))
+      // every key has exactly ONE open (current) version
+      assert(perKey.filter(col("open") =!= 1).isEmpty)
+      // changed keys (custkey % 10 == 3) have 2 versions, others 1
+      assert(perKey.filter(col("c_custkey") % 10 === 3)
+        .filter(col("versions") =!= 2).isEmpty)
+      assert(perKey.filter(col("c_custkey") % 10 =!= 3)
+        .filter(col("versions") =!= 1).isEmpty)
+      // the open version of a changed key carries the +100.00 balance
+      val changed = out.filter(col("c_custkey") % 10 === 3)
+      val cents = changed.groupBy("c_custkey").agg(
+        sum(when(col("valid_to").isNull,
+          round(col("c_acctbal") * 100).cast("long"))
+          .otherwise(-round(col("c_acctbal") * 100).cast("long"))).as("diff"))
+      assert(cents.filter(col("diff") =!= 10000L).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("pq ann: dense ranks, self excluded, approx distance sane") {
     val out = Similarity.simPqAnn(spark, dir).cache()
     try {
