@@ -430,8 +430,36 @@ object Curation {
         col("quality"), col("doc_id"), col("source")))
   }
 
+  /** Corpus DATA CARD — the per-source summary sheet a training-data team
+    * reads before mixing corpora: volume (docs, tokens), quality, language
+    * spread, and near-duplicate contamination. One pass over the corpus
+    * joined with the per-row quality scores and the (memoized) LSH dup
+    * set; everything aggregates partial+final on the low-cardinality
+    * source key.
+    */
+  def corpusDataCard(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.textQuality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val dup = Dedup.minhashPairs(spark, dir)
+      .filter(col("sim_est") >= 0.5)
+      .select(explode(array(col("da"), col("db"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_dup", lit(1))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .join(q, "doc_id")
+      .join(dup, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        round(avg(col("quality")), 6).as("avg_quality"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_top_quality" -> ((s, d) => topQualityPerSource(s, d)),
+    "cur_data_card" -> ((s, d) => corpusDataCard(s, d)),
     "cur_shard_plan" -> ((s, d) => shardPlan(s, d)),
     "cur_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
@@ -526,6 +554,22 @@ object Curation {
           + (strpos('0123456789abcdef',
                substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
           < CASE WHEN lang = 'en' THEN 128 ELSE 64 END""",
+    "cur_data_card" -> s"""
+      WITH ${Dedup.minhashPairsCte},
+      ${CorpusPipeline.qualityCte.trim},
+      dup AS (SELECT DISTINCT doc_id FROM
+                (SELECT da AS doc_id FROM pairs
+                 UNION ALL SELECT db AS doc_id FROM pairs))
+      SELECT d.source, count(*) AS n_docs,
+        CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+        round(avg(q.quality), 6) AS avg_quality,
+        CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+        CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_dup_docs
+      FROM documents d
+      JOIN qual q ON d.doc_id = q.doc_id
+      LEFT JOIN dup ON d.doc_id = dup.doc_id
+      GROUP BY 1""",
     "cur_sample_weighted" -> s"""
       WITH ${CorpusPipeline.qualityCte}
       SELECT d.doc_id, d.lang, d.source, q.quality

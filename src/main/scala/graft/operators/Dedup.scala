@@ -341,8 +341,31 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
   }
 
+  /** Edit-distance VERIFICATION of the LSH candidates: a near-dup
+    * pipeline's final exactness stage — sketch similarity is an estimate,
+    * Levenshtein on the candidate pair is ground truth (normalized by the
+    * longer text; kept when ≥ `tau`). The quadratic edit-distance cost is
+    * paid ONLY on the LSH candidate set (O(pairs), never O(n²) — the
+    * whole point of sketching first); texts join back to the pair ids by
+    * doc_id, so the corpus shuffles once per side.
+    */
+  def dedupFuzzyVerify(spark: SparkSession, dir: String,
+      tau: Double = 0.6): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    minhashPairs(spark, dir)
+      .filter(col("sim_est") >= 0.5) // the dedupMinhashLsh pair contract
+      .join(docs.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+      .join(docs.select(col("doc_id").as("db"), col("text").as("tb")), "db")
+      .withColumn("edit_sim",
+        round(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+          greatest(length(col("ta")), length(col("tb"))), 6))
+      .filter(col("edit_sim") >= tau)
+      .select(col("da"), col("db"), col("sim_est"), col("edit_sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_fuzzy_verify" -> ((s: SparkSession, d: String) => dedupFuzzyVerify(s, d)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -445,6 +468,16 @@ object Dedup {
       FROM documents d
       WHERE d.doc_id % 7 = 3
         AND d.doc_id NOT IN (SELECT doc_id FROM rej)""",
+    "dedup_fuzzy_verify" -> s"""
+      WITH $minhashPairsCte
+      SELECT p.da, p.db, p.sim_est,
+        round(1.0 - levenshtein(a.text, b.text)::DOUBLE
+          / greatest(length(a.text), length(b.text)), 6) AS edit_sim
+      FROM pairs p
+      JOIN documents a ON p.da = a.doc_id
+      JOIN documents b ON p.db = b.doc_id
+      WHERE 1.0 - levenshtein(a.text, b.text)::DOUBLE
+          / greatest(length(a.text), length(b.text)) >= 0.6""",
     "dedup_span" -> """
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       sp AS (SELECT doc_id,

@@ -213,6 +213,31 @@ class Round7bSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("fuzzy verify: a subset of the LSH pairs, sims in range") {
+    val out = Dedup.dedupFuzzyVerify(spark, dir).cache()
+    try {
+      assert(out.filter(col("edit_sim") < 0.6 || col("edit_sim") > 1.0)
+        .isEmpty)
+      val lsh = Dedup.dedupMinhashLsh(spark, dir)
+        .select("da", "db")
+      assert(out.select("da", "db").exceptAll(lsh).isEmpty,
+        "verification can only REMOVE candidates, never add")
+    } finally out.unpersist()
+  }
+
+  test("data card: one row per source, doc counts reconcile") {
+    val card = Curation.corpusDataCard(spark, dir).cache()
+    try {
+      val docs = t(spark, dir, "documents")
+      assert(card.count() ==
+        docs.select("source").distinct().count())
+      assert(card.agg(sum("n_docs")).collect()(0).getLong(0) == docs.count())
+      assert(card.filter(col("n_dup_docs") > col("n_docs")).isEmpty)
+      assert(card.filter(col("avg_quality") < 0 || col("avg_quality") > 1)
+        .isEmpty)
+    } finally card.unpersist()
+  }
+
   test("session window: built-in operator agrees with hand-rolled twin") {
     val builtin = graft.streaming.EventConsumer.batchSessionWindow(spark, dir)
     val handRolled = graft.streaming.EventConsumer.batchSessionize(spark, dir)
