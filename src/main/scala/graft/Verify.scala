@@ -6,17 +6,30 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg (dev iteration only; the driver always passes 2):
-    // comma-separated query keys — run just those
+    // comma-separated query keys — run just those. A typo'd name must
+    // fail fast (ADVICE r7: a silently-empty filter made an all-skip run
+    // look green).
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in subset arg: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local("graft-verify", cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    val attempted = SparkEntry.queries.keys.toSeq.sorted
+      .filter(name => only.forall(_.contains(name)))
+    // Manifest FIRST, listing every query this run will attempt: a query
+    // that crashes (dir never written) must read as a FAILURE downstream,
+    // not as "not dumped" (ADVICE r7 — check_oracle.py skips missing dirs
+    // to support subset runs, which hid crashed queries in full runs).
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      attempted.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    attempted.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

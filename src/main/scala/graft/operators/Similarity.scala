@@ -41,6 +41,29 @@ object Similarity {
          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
          CAST(0 AS DOUBLE), (a, v) -> a + v))"""))
 
+  /** Rerank idiom for every ANN variant: the native TopKPerKey operator
+    * (plans/TopK.scala) caps the scored relation at k rows per qid with
+    * bounded heaps — partial pass before the shuffle, NO sort of the
+    * candidate set — and only the k×|queries| survivors reach the
+    * row_number window that assigns the output ranks. The window idiom
+    * alone (`row_number().over(partitionBy(qid))` on the full scored
+    * relation) shuffles and SORTS every candidate per query: harmless at
+    * 10 queries, the dominant cost at production query volume. Heap
+    * ordering (ord, then tie=vec_id asc) matches the window's ordering
+    * exactly, so results are identical; SimilaritySpec pins the plan shape
+    * (TopKPerKeyExec present, no Sort below it).
+    */
+  private def rankTopK(scored: DataFrame, ordCol: String, desc: Boolean,
+      k: Int = 5): DataFrame = {
+    graft.plans.GraftFunctions.register(scored.sparkSession)
+    val capped = scored.filter(call_function("graft_topk", lit(k),
+      col(ordCol), lit(if (desc) "desc" else "asc"),
+      col("vec_id"), col("qid")))
+    val w = Window.partitionBy(col("qid")).orderBy(
+      if (desc) col(ordCol).desc else col(ordCol).asc, col("vec_id").asc)
+    capped.withColumn("rank", row_number().over(w))
+  }
+
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(t(spark, dir, "embeddings"))
@@ -48,10 +71,7 @@ object Similarity {
     val scored = q.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("cos", expr(dotAB) / (col("a.nrm") * col("b.nrm")))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"), col("cos"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    rankTopK(scored, "cos", desc = true)
       .select(col("qid"), col("rank"), col("vec_id"),
         round(col("cos"), 6).as("cos_sim"))
   }
@@ -78,10 +98,7 @@ object Similarity {
           col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("cos", expr(dotAB) / (col("a.nrm") * col("b.nrm")))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"), col("cos"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    rankTopK(scored, "cos", desc = true)
       .select(col("qid"), col("rank"), col("vec_id"),
         round(col("cos"), 6).as("cos_sim"))
   }
@@ -107,10 +124,7 @@ object Similarity {
           col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("cos", expr(dotAB) / (col("a.nrm") * col("b.nrm")))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"), col("cos"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    rankTopK(scored, "cos", desc = true)
       .select(col("qid"), col("rank"), col("vec_id"),
         round(col("cos"), 6).as("cos_sim"))
   }
@@ -194,10 +208,7 @@ object Similarity {
            CAST(0 AS DOUBLE), (acc, v) -> acc + v)""") /
         (col("a.q_nrm") * col("b.nrm")), 6))
       .select(col("a.qid"), col("b.vec_id"), col("cos"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    rankTopK(scored, "cos", desc = true)
       .select(col("qid"), col("rank"), col("vec_id"),
         col("cos").as("cos_sim"))
   }
@@ -391,6 +402,14 @@ object Similarity {
       .select(col("vec_id"), col("embedding")).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    // ADVICE r7: a thin corpus (fewer than 16 seed vectors, or short
+    // vectors) would make element_at past the centroid list yield NULLs
+    // and the argmin codes silently null — fail loudly instead.
+    require(seeds.length == 16,
+      s"PQ codebook needs seed vectors vec_id 0..15; found ${seeds.length}")
+    require(seeds.forall(_.length == 64),
+      s"PQ codebook expects 64-dim embeddings; found dims " +
+        seeds.map(_.length).distinct.mkString(","))
     typedLit((0 until 8).map(s => seeds.map(_.slice(s * 8, s * 8 + 8)).toSeq))
   }
 
@@ -423,10 +442,7 @@ object Similarity {
         zip_with(col("b.codes"), col("a.dtab"),
           (c, tab) => element_at(tab, c + 1)),
         lit(0.0), (acc, v) => acc + v), 6))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("approx_d2").asc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    rankTopK(scored, "approx_d2", desc = false)
       .select(col("qid"), col("rank").cast("int").as("rank"),
         col("vec_id"), col("approx_d2"))
   }
@@ -461,10 +477,7 @@ object Similarity {
         zip_with(col("b.codes"), col("a.dtab"),
           (c, tab) => element_at(tab, c + 1)),
         lit(0.0), (acc, v) => acc + v), 6))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("approx_d2").asc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    rankTopK(scored, "approx_d2", desc = false)
       .select(col("qid"), col("rank").cast("int").as("rank"),
         col("vec_id"), col("approx_d2"))
   }

@@ -41,6 +41,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sp.subsetOf(mp) || rMp > rSp) // more probes never lose candidates
   }
 
+  test("ANN rerank runs through the native TopKPerKeyExec, not a full sort") {
+    // The rerank contract (VERDICT r7 #4): the scored candidate relation
+    // is capped by the bounded-heap operator; the only Sort+Window in the
+    // plan runs ABOVE it, over the ≤ k-per-query survivors.
+    Seq(
+      Similarity.simTopkBruteforce(spark, dir),
+      Similarity.simLshAnn(spark, dir),
+      Similarity.simLshMultiprobe(spark, dir),
+      Similarity.simPqAnn(spark, dir),
+      Similarity.simIvfPqAnn(spark, dir),
+    ).foreach { df =>
+      // collect() does not traverse into AdaptiveSparkPlanExec — unwrap it
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val topks = plan.collect { case t: graft.plans.TopKPerKeyExec => t }
+      assert(topks.nonEmpty, s"no TopKPerKeyExec in:\n$plan")
+      // no Sort anywhere BELOW the partial top-k (the scored relation is
+      // never sorted); the rank window's sort sits above the final phase
+      val partial = topks.last // deepest = partial phase
+      val sortsBelow = partial.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sortsBelow.isEmpty,
+        s"Sort below the partial TopKPerKeyExec:\n$plan")
+    }
+  }
+
   test("centroid aggregator: per-label element-wise mean, 64 dims") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

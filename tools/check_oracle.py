@@ -42,12 +42,24 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # manifest.json lists every query the Verify run ATTEMPTED: a name in
+    # the manifest whose output dir is missing means the query crashed and
+    # must FAIL; a name absent from the manifest was a deliberate subset
+    # exclusion and is skipped. No manifest (pre-r8 dump) -> treat every
+    # oracle name as attempted, so a crashed query can never read as a
+    # silent skip.
+    manifest_path = f"{out_dir}/manifest.json"
+    attempted = (set(json.load(open(manifest_path)))
+                 if os.path.exists(manifest_path) else set(oracle))
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
-        # subset Verify runs (3rd arg to graft.Verify) dump only some
-        # queries — skip the rest instead of failing on a missing dir
         if not os.path.isdir(f"{out_dir}/{name}"):
-            n_skip += 1
+            if name in attempted:
+                print(f"FAIL {name}: attempted but no output dir "
+                      "(query crashed in graft.Verify)")
+                n_fail += 1
+            else:
+                n_skip += 1
             continue
         try:
             got_rel = con.sql(
