@@ -313,6 +313,13 @@ object Dedup {
       .select(col("doc_id"), md5(col("text")).as("digest"))
   }
 
+  /** Defaults shared by the operator signatures and their oracle SQL so
+    * the pairs cannot drift (ADVICE r7): non-default args are honored by
+    * the Scala side and the oracle interpolates the same constants.
+    */
+  val SpanTokens: Int = 16
+  val FuzzyVerifyTau: Double = 0.6
+
   /** Span-level dedup signal (C4-style): cut each doc into NON-overlapping
     * `span`-token windows, hash each window, and count per doc how many of
     * its spans occur elsewhere in the corpus — the "remove repeated
@@ -325,7 +332,8 @@ object Dedup {
     * and the rejoin keys on the digest again — the same
     * digest-only-movement contract as [[dedupExact]].
     */
-  def dedupSpan(spark: SparkSession, dir: String, span: Int = 16): DataFrame = {
+  def dedupSpan(spark: SparkSession, dir: String,
+      span: Int = SpanTokens): DataFrame = {
     require(span > 0, "span must be positive")
     val spans = t(spark, dir, "documents")
       .withColumn("w", tokens(col("text")))
@@ -350,7 +358,7 @@ object Dedup {
     * doc_id, so the corpus shuffles once per side.
     */
   def dedupFuzzyVerify(spark: SparkSession, dir: String,
-      tau: Double = 0.6): DataFrame = {
+      tau: Double = FuzzyVerifyTau): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     minhashPairs(spark, dir)
       .filter(col("sim_est") >= 0.5) // the dedupMinhashLsh pair contract
@@ -477,13 +485,14 @@ object Dedup {
       JOIN documents a ON p.da = a.doc_id
       JOIN documents b ON p.db = b.doc_id
       WHERE 1.0 - levenshtein(a.text, b.text)::DOUBLE
-          / greatest(length(a.text), length(b.text)) >= 0.6""",
-    "dedup_span" -> """
+          / greatest(length(a.text), length(b.text)) >= $FuzzyVerifyTau""",
+    "dedup_span" -> s"""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       sp AS (SELECT doc_id,
-               md5(array_to_string(list_slice(w, s, s + 15), ' ')) AS h
+               md5(array_to_string(list_slice(w, s, s + ${SpanTokens - 1}),
+                 ' ')) AS h
              FROM (SELECT doc_id, w,
-                     unnest(generate_series(1, len(w), 16)) AS s
+                     unnest(generate_series(1, len(w), $SpanTokens)) AS s
                    FROM tok)),
       freq AS (SELECT h, count(*) AS n FROM sp GROUP BY 1)
       SELECT sp.doc_id, count(*) AS n_spans,

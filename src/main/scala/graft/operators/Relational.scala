@@ -1005,9 +1005,15 @@ object Relational {
     * drop-and-recreate load (dags/projectde_dag.py:144-150) is the
     * history-destroying version of this; [[upsert]] is the
     * history-less one. Pure projection + union: changed keys emit a
-    * closed old row and an open new row, unchanged keys pass through —
-    * one broadcast of the (small) changeset, the dimension streams
-    * through map-side, no window, no shuffle of the dim.
+    * closed old row and an open new row, unchanged keys pass through.
+    *
+    * Join strategy is SIZE-AWARE by delegation (VERDICT r7 #5): no
+    * forced `broadcast(delta)` — a typical dimension changeset is small
+    * and AQE broadcasts it from its measured runtime size, but an
+    * over-threshold delta (a backfill, a mass re-rate) degrades to a
+    * shuffle join instead of an executor OOM. RelationalOpsSpec pins
+    * both paths: broadcast chosen at default conf, shuffle join + same
+    * rows with broadcast disabled.
     *
     * The demo changeset is deterministic: customers with custkey % 10 = 3
     * get +100.00 to their balance effective 2000-01-01.
@@ -1023,15 +1029,14 @@ object Relational {
       .select(col("c_custkey").as("d_key"),
         (round(col("c_acctbal") * 100).cast("long") + 10000L)
           .cast("double")./(100.0).as("d_bal"))
-    base.join(broadcast(delta), col("c_custkey") === col("d_key"),
-        "left_outer")
+    base.join(delta, col("c_custkey") === col("d_key"), "left_outer")
       .select(col("c_custkey"), col("c_name"),
         col("c_acctbal"), col("valid_from"),
         // changed keys: close the current version at the effective date
         when(col("d_key").isNotNull, effective)
           .otherwise(col("valid_to")).as("valid_to"))
       .unionByName(
-        base.join(broadcast(delta), col("c_custkey") === col("d_key"))
+        base.join(delta, col("c_custkey") === col("d_key"))
           .select(col("c_custkey"), col("c_name"),
             col("d_bal").as("c_acctbal"), effective.as("valid_from"),
             lit(null).cast("date").as("valid_to")))

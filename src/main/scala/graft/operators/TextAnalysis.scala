@@ -191,6 +191,11 @@ object TextAnalysis {
         (col("messy") =!= lower(trim(regexp_replace(col("messy"), " +", " "))))
           .as("changed"))
 
+  /** Defaults shared by [[textChunk]]'s signature and its oracle SQL
+    * (ADVICE r7: keep the pair from drifting). */
+  val ChunkSize: Int = 32
+  val ChunkStride: Int = 24
+
   /** Sliding-window chunking: split each doc into `size`-token chunks
     * every `stride` tokens (overlap = size − stride) — the shape a RAG
     * indexer or a fixed-context trainer consumes. Chunk starts cover the
@@ -201,7 +206,7 @@ object TextAnalysis {
     * the longest single document at any corpus size.
     */
   def textChunk(spark: SparkSession, dir: String,
-      chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+      chunkSize: Int = ChunkSize, stride: Int = ChunkStride): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunk size and stride must be positive")
     t(spark, dir, "documents")
       .withColumn("w", tokens(col("text")))
@@ -246,17 +251,28 @@ object TextAnalysis {
         col("rn").cast("int").as("rank"))
   }
 
+  /** Defaults shared by [[textBm25]]'s signature and its oracle SQL, so
+    * the operator/oracle pair cannot drift (ADVICE r7: the oracle used to
+    * bake the same numbers as unlabeled constants).
+    */
+  val Bm25Query: Seq[String] = Seq("spark", "table", "merge")
+  val Bm25K: Int = 20
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double = 0.75
+
   /** BM25 ranking for a fixed keyword query — the retrieval scorer behind
     * every lexical search engine (k1 = 1.2, b = 0.75, the Robertson
-    * defaults). All corpus statistics are computed in-plan: doc lengths
-    * map-side, avgdl and N as broadcast 1-row aggregates, df from the
-    * exploded term counts. The per-(doc, term) partial scores sum per doc
-    * and the top-20 plans as TakeOrderedAndProject. Pure double math with
-    * one rounding at emit — engine-exact.
+    * defaults; both parameters are real knobs with the derived terms
+    * k1+1 / 1−b computed from them). All corpus statistics are computed
+    * in-plan: doc lengths map-side, avgdl and N as broadcast 1-row
+    * aggregates, df from the exploded term counts. The per-(doc, term)
+    * partial scores sum per doc and the top-20 plans as
+    * TakeOrderedAndProject. Pure double math with one rounding at emit —
+    * engine-exact.
     */
   def textBm25(spark: SparkSession, dir: String,
-      query: Seq[String] = Seq("spark", "table", "merge"),
-      k: Int = 20): DataFrame = {
+      query: Seq[String] = Bm25Query,
+      k: Int = Bm25K, k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast("double").as("dl"))
@@ -271,8 +287,9 @@ object TextAnalysis {
     tf.join(broadcast(df), "term").join(broadcast(stats))
       .select(col("doc_id"),
         (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-          (col("tf") * 2.2) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
           .as("s"))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("s")), 6).as("bm25"))
@@ -474,13 +491,16 @@ object TextAnalysis {
           AS n_chars_removed,
         messy <> lower(trim(regexp_replace(messy, ' +', ' ', 'g'))) AS changed
       FROM messy""",
-    "text_chunk" -> """
+    "text_chunk" -> s"""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      st AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS s
+      st AS (SELECT doc_id, w,
+               unnest(generate_series(1, len(w), $ChunkStride)) AS s
              FROM tok)
-      SELECT doc_id, CAST((s - 1) / 24 AS INT) AS chunk_id,
-        array_to_string(list_slice(w, s, s + 31), ' ') AS chunk_text,
-        CAST(len(list_slice(w, s, s + 31)) AS INT) AS chunk_tokens
+      SELECT doc_id, CAST((s - 1) / $ChunkStride AS INT) AS chunk_id,
+        array_to_string(list_slice(w, s, s + ${ChunkSize - 1}), ' ')
+          AS chunk_text,
+        CAST(len(list_slice(w, s, s + ${ChunkSize - 1})) AS INT)
+          AS chunk_tokens
       FROM st""",
     "text_tfidf" -> """
       WITH tf AS (
@@ -498,7 +518,7 @@ object TextAnalysis {
               ORDER BY tfidf DESC, term ASC) AS rank FROM s)
       SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 5""",
-    "text_bm25" -> """
+    "text_bm25" -> s"""
       WITH dl AS (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl
                   FROM documents),
       st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -506,15 +526,16 @@ object TextAnalysis {
              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                    FROM documents) t
              JOIN dl d USING (doc_id)
-             WHERE term IN ('spark', 'table', 'merge')
+             WHERE term IN (${Bm25Query.map("'" + _ + "'").mkString(", ")})
              GROUP BY 1, 2, 3),
       df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
       SELECT tf.doc_id,
         round(sum(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-          * (tf.tf * 2.2)
-          / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 6) AS bm25
+          * (tf.tf * ${Bm25K1 + 1.0})
+          / (tf.tf + $Bm25K1 * (${1.0 - Bm25B}
+               + $Bm25B * tf.dl / st.avgdl))), 6) AS bm25
       FROM tf JOIN df USING (term) CROSS JOIN st
-      GROUP BY 1 ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
+      GROUP BY 1 ORDER BY bm25 DESC, doc_id ASC LIMIT $Bm25K""",
     "text_inverted_index" -> """
       WITH pairs AS (
         SELECT DISTINCT doc_id, term

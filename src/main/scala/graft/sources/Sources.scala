@@ -20,6 +20,30 @@ import graft.Tables.t
   */
 object Sources {
 
+  /** All sink/layout round-trip scratch dirs live under ONE per-process
+    * root that a JVM shutdown hook deletes recursively (ADVICE r7:
+    * per-call createTempDirectory dirs were never cleaned up, so repeated
+    * Verify/test runs accumulated unbounded data under the system temp
+    * dir). A fresh subdir per call keeps concurrently-running suites
+    * race-free; eager deletion is impossible because the returned
+    * DataFrames are lazy and read the dir when the caller materializes
+    * them, so the hook is the earliest safe point.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = Files.createTempDirectory("graft-scratch-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  private def scratchDir(label: String): java.nio.file.Path =
+    Files.createTempDirectory(scratchRoot, label)
+
   // ---------------------------------------------------------------- S1 HTML
 
   /** S1 — HTML-table scan (ref dags/projectde_dag.py:28-57: GET + bs4 over
@@ -81,7 +105,7 @@ object Sources {
     * Spark source instead of on the driver.
     */
   def s1bHtmlDsv2(spark: SparkSession, dir: String): DataFrame = {
-    val f = Files.createTempDirectory("graft_html")
+    val f = scratchDir("graft_html")
     Files.writeString(f.resolve("page.html"), htmlFixture)
     spark.read.format("graft.sources.HtmlTableProvider")
       .option("path", f.toString).option("columns", "4").load()
@@ -102,7 +126,7 @@ object Sources {
     * oracle-checkable against the parquet original.
     */
   def s2CsvScan(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_csv_scan").toString
+    val tmp = scratchDir("graft_csv_scan").toString
     t(spark, dir, "region").write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(tmp)
     val schema = StructType(Seq(
@@ -116,7 +140,7 @@ object Sources {
     * coalesce(1) on the write only, then read back for the oracle check.
     */
   def s5CsvSink(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_csv_sink").toString
+    val tmp = scratchDir("graft_csv_sink").toString
     t(spark, dir, "nation").coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(tmp)
     val schema = StructType(Seq(
@@ -133,7 +157,7 @@ object Sources {
     * exactly.
     */
   def s10JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_json_sink").toString
+    val tmp = scratchDir("graft_json_sink").toString
     t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .write.mode(SaveMode.Overwrite).json(tmp)
@@ -163,7 +187,7 @@ object Sources {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
 
   def s11SortedLayout(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_sorted_layout").toString
+    val tmp = scratchDir("graft_sorted_layout").toString
     sortedLayoutWrite(t(spark, dir, "orders"), "o_totalprice", tmp,
       partitions = 8)
     spark.read.parquet(tmp)
@@ -237,7 +261,7 @@ object Sources {
   }
 
   def s12ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_zorder_layout").toString
+    val tmp = scratchDir("graft_zorder_layout").toString
     zorderLayoutWrite(t(spark, dir, "orders"), "o_custkey", "o_orderkey",
       tmp, partitions = 8)
     val back = spark.read.parquet(tmp)
@@ -348,7 +372,7 @@ object Sources {
     * exactly as through parquet.
     */
   def s13OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_orc_sink").toString
+    val tmp = scratchDir("graft_orc_sink").toString
     t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .write.mode(SaveMode.Overwrite).orc(tmp)
@@ -369,7 +393,7 @@ object Sources {
     * aggregates one partition through the pruned read-back.
     */
   def s14PartitionedScan(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_part_layout").toString
+    val tmp = scratchDir("graft_part_layout").toString
     t(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
       .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(tmp)
@@ -389,7 +413,7 @@ object Sources {
     * quarantine-table variant; same reader options.)
     */
   def s16MalformedCsv(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_badcsv").toString
+    val tmp = scratchDir("graft_badcsv").toString
     val csv = Seq(
       "id,name,score",
       "1,alpha,10",
@@ -425,8 +449,8 @@ object Sources {
     * checks the aggregate; SourcesSpec pins the file counts).
     */
   def s17Compaction(spark: SparkSession, dir: String): DataFrame = {
-    val frag = Files.createTempDirectory("graft_frag").toString
-    val compacted = Files.createTempDirectory("graft_compact").toString
+    val frag = scratchDir("graft_frag").toString
+    val compacted = scratchDir("graft_compact").toString
     t(spark, dir, "orders").repartition(64)
       .write.mode(SaveMode.Overwrite).parquet(frag)
     compactParquet(spark, frag, compacted, targetFiles = 4)
