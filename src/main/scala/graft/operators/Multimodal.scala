@@ -223,6 +223,115 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "out_w", "out_h")
   }
 
+  // ------------------------------------------------------- perceptual hash
+
+  /** Near-dup admission threshold for [[mmDhashNeardup]], shared with its
+    * oracle SQL (the pair can't drift). */
+  val DhashMaxDist: Int = 20
+
+  /** PNG payloads with PLANTED near-duplicate structure for the perceptual
+    * hash: groups of 4 consecutive doc_ids share a base image (dims
+    * 9..16 × 8..15 and md5-seeded pixels, both functions of
+    * gid = doc_id / 4); each member then INVERTS the pixels at
+    * k ≡ doc_id (mod 16) — the "same image, small edit" shape an image
+    * dedup stage exists to catch. Every quantity is integer/md5
+    * arithmetic, so a SQL engine can replay the expected pixels without
+    * decoding (the [[withPngPayload]] trick, with controlled duplicates).
+    * Dims start at 9×8 so the dHash sample grid below never degenerates.
+    */
+  def withDhashPayload(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val gid = id / 4
+          val w = (9 + gid % 8).toInt
+          val h = (8 + (gid / 8) % 8).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var k = 0
+          while (k < w * h) {
+            val hex = md.digest(s"$gid:$k".getBytes("UTF-8"))
+              .take(3).map("%02x".format(_)).mkString
+            val base = Integer.parseInt(hex, 16)
+            val v = if (k % 16 == (id % 4).toInt) 0xffffff ^ base else base
+            img.setRGB(k % w, k / w, v)
+            k += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Perceptual dHash (64-bit difference hash) over the REAL decoded
+    * pixels: decode the PNG executor-side, sample a 9×8 integer grid
+    * (px = gx·w/9, py = gy·h/8 — pure integer math, no resampling
+    * filter to negotiate between engines), grayscale each sample as
+    * r+g+b, and emit bit (gy, gx) = 1 iff gray strictly increases to the
+    * right — the standard "gradient direction survives brightness/scale
+    * changes" perceptual signature. Map-side, zero shuffle; the oracle
+    * replays the same arithmetic from the generator formula, so a hash
+    * match proves real pixels flowed through the codec (the
+    * [[mmFeatureExtract]] contract).
+    */
+  def mmDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withDhashPayload(spark, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        def gray(px: Int, py: Int): Int = {
+          val v = img.getRGB(px, py) & 0xffffff
+          ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)
+        }
+        val out = new Array[Char](64)
+        var gy = 0
+        while (gy < 8) {
+          val py = gy * h / 8
+          var gx = 0
+          while (gx < 8) {
+            val a = gray(gx * w / 9, py)
+            val b = gray((gx + 1) * w / 9, py)
+            out(gy * 8 + gx) = if (a < b) '1' else '0'
+            gx += 1
+          }
+          gy += 1
+        }
+        (id, new String(out))
+      })
+      .toDF("doc_id", "dhash")
+  }
+
+  /** Hamming-banded near-dup IMAGE join — [[mmDhash]] composed with the
+    * SimHash banding machinery (Dedup.bandedCandidates): 4×16-bit band
+    * buckets make candidate generation an equi-join (hot buckets guarded
+    * by the anchor-star cap), exact hamming is paid on candidates only,
+    * and pairs dedupe on the tiny (da, db, dist) projection. Within a
+    * planted group the members' hashes differ only where the inverted
+    * pixel residue lands on the sample grid, so the group's pairs pass
+    * `maxDist`; cross-group hashes are md5-random (expected hamming 32)
+    * and rarely even share a band.
+    */
+  def mmDhashNeardup(spark: SparkSession, dir: String,
+      maxDist: Int = DhashMaxDist): DataFrame = {
+    val bands = mmDhash(spark, dir)
+      .select(col("doc_id"), col("dhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key", expr("substr(dhash, 1 + band * 16, 16)"))
+    Dedup.bandedCandidates(bands, "dhash")
+      .select(col("da"), col("db"),
+        graft.functions.TextFunctions.hammingDist(col("sa"), col("sb"))
+          .cast("int").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   // ----------------------------------------------------------------- audio
 
   /** Typed row for the decoded-audio contract. */
@@ -285,12 +394,65 @@ object Multimodal {
     "mm_audio_stats" -> (mmAudioStats _),
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_decode_real" -> (mmDecodeReal _),
+    "mm_dhash" -> (mmDhash _),
+    "mm_dhash_neardup" ->
+      ((s: SparkSession, d: String) => mmDhashNeardup(s, d)),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_feature_extract" -> (mmFeatureExtract _),
     "mm_resize" -> (mmResize _),
   )
 
+  /** The dHash pipeline as DuckDB CTEs ending in `dh(doc_id, dhash)` —
+    * replays the generator's pixel arithmetic (md5-seeded base, per-doc
+    * residue inversion), the integer sample grid, and the strict-<
+    * gradient bits. Shared by both perceptual-hash oracle keys.
+    */
+  private val dhashCte: String = """
+    g AS (SELECT doc_id, doc_id // 4 AS gid,
+            CAST(9 + (doc_id // 4) % 8 AS INT) AS w,
+            CAST(8 + ((doc_id // 4) // 8) % 8 AS INT) AS h
+          FROM documents),
+    pts AS (SELECT doc_id, gid, gy, gx,
+              ((gy * h) // 8) * w + ((gx * w) // 9) AS k
+            FROM g,
+              UNNEST(generate_series(0, 7)) AS a(gy),
+              UNNEST(generate_series(0, 8)) AS b(gx)),
+    px AS (SELECT doc_id, gy, gx, k, doc_id % 4 AS res,
+             CAST(list_sum(list_transform(generate_series(1, 6), j ->
+               (strpos('0123456789abcdef',
+                  substr(md5(gid::VARCHAR || ':' || k::VARCHAR), j, 1)) - 1)
+               * (CASE j WHEN 1 THEN 1048576 WHEN 2 THEN 65536
+                  WHEN 3 THEN 4096 WHEN 4 THEN 256 WHEN 5 THEN 16
+                  ELSE 1 END))) AS BIGINT) AS base
+           FROM pts),
+    gr AS (SELECT doc_id, gy, gx,
+             ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255) AS gray
+           FROM (SELECT doc_id, gy, gx,
+                   CASE WHEN k % 16 = res THEN 16777215 - base
+                        ELSE base END AS v
+                 FROM px)),
+    bits AS (SELECT l.doc_id, l.gy, l.gx,
+               CASE WHEN l.gray < r.gray THEN '1' ELSE '0' END AS bit
+             FROM gr l JOIN gr r
+               ON l.doc_id = r.doc_id AND l.gy = r.gy AND r.gx = l.gx + 1
+             WHERE l.gx < 8),
+    dh AS (SELECT doc_id, string_agg(bit, '' ORDER BY gy, gx) AS dhash
+           FROM bits GROUP BY 1)"""
+
   val oracle: Map[String, String] = Map(
+    "mm_dhash" -> s"""
+      WITH $dhashCte
+      SELECT doc_id, dhash FROM dh""",
+    "mm_dhash_neardup" -> s"""
+      WITH $dhashCte,
+      band AS (SELECT doc_id, b, substr(dhash, 1 + b * 16, 16) AS key, dhash
+               FROM dh, UNNEST(generate_series(0, 3)) AS g2(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                 a.dhash AS sa, b.dhash AS sb
+               FROM band a JOIN band b ON a.b = b.b AND a.key = b.key
+               WHERE a.doc_id < b.doc_id)
+      SELECT da, db, CAST(hamming(sa, sb) AS INT) AS dist
+      FROM cand WHERE hamming(sa, sb) <= $DhashMaxDist""",
     "mm_audio_stats" -> """
       WITH s AS (SELECT doc_id, 256 + doc_id % 256 AS n FROM documents),
       v AS (SELECT doc_id, n,

@@ -357,7 +357,50 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** N-gram LANGUAGE-MODEL quality score — the KenLM-ish perplexity
+    * filter every web-scale cleaning pipeline runs (docs whose token
+    * stream the corpus LM finds improbable are boilerplate/garbled/
+    * off-distribution): train bigram MLE counts on the corpus itself,
+    * then score each doc by its mean bigram log-likelihood
+    * ll = (1/n) Σ log(c(w1,w2)/c(w1)) and the perplexity proxy
+    * exp(−ll). Self-trained MLE means every doc bigram has a nonzero
+    * count (no smoothing needed for the score to be finite).
+    *
+    * Scale shape: the count tables aggregate partial+final on the bigram
+    * key; docs' bigrams hash-join to them (vocabulary-sized relations,
+    * never the corpus²); everything else is per-doc. ENGINE-EXACT
+    * summation: each bigram's log-prob is rounded to integer MICRO-units
+    * (×1e6) and summed as longs — a plain double sum over hundreds of
+    * terms is addition-order-dependent, and Spark's partial aggregation
+    * order differs from any oracle's. In a production pipeline the count
+    * tables are the trained-model artifact; scoring new batches reuses
+    * them unchanged.
+    */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val uni = docs.select(explode(col("w")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bg = docs.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 2
+           THEN transform(sequence(0, size(w) - 2),
+                  i -> named_struct('w1', w[i], 'w2', w[i + 1]))
+           ELSE CAST(array() AS array<struct<w1: string, w2: string>>)
+           END""")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    bg.join(cb, Seq("w1", "w2")).join(uni, "w1")
+      .withColumn("ll_u",
+        round(log(col("cb").cast("double") / col("c1")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ll_u")).as("llu"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("llu") / 1e6 / col("n_bigrams"), 6).as("avg_ll"),
+        round(exp(-(col("llu") / 1e6 / col("n_bigrams"))), 6).as("ppl"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> (textLmScore _),
     "text_token_topk" -> ((s: SparkSession, d: String) => textTokenTopk(s, d)),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -376,6 +419,20 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_lm_score" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      uni AS (SELECT t AS w1, count(*) AS c1
+              FROM (SELECT unnest(w) AS t FROM tok) GROUP BY 1),
+      bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+             FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS g(i)),
+      cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+      s AS (SELECT bg.doc_id,
+              CAST(round(ln(cb.cb::DOUBLE / uni.c1) * 1e6) AS BIGINT) AS ll_u
+            FROM bg JOIN cb USING (w1, w2) JOIN uni USING (w1))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(CAST(sum(ll_u) AS BIGINT) / 1e6 / count(*), 6) AS avg_ll,
+        round(exp(-(CAST(sum(ll_u) AS BIGINT) / 1e6 / count(*))), 6) AS ppl
+      FROM s GROUP BY 1""",
     "text_token_topk" -> """
       SELECT tok, count(*) AS n
       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

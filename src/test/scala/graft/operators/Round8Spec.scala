@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -51,6 +52,53 @@ class Round8Spec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got.exists { case (id, s) =>
       defaults.get(id).exists(d => math.abs(d - s) > 1e-9) })
+  }
+
+  test("lm score: finite, non-positive avg ll, ppl = exp(-avg_ll), " +
+      "bigram count = tokens - 1") {
+    val out = TextAnalysis.textLmScore(spark, dir).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.length == t(spark, dir, "documents").count())
+      rows.foreach { r =>
+        val (ll, ppl) = (r.getAs[Double]("avg_ll"), r.getAs[Double]("ppl"))
+        assert(ll <= 0.0, s"self-trained MLE log-likelihood must be <= 0: $ll")
+        assert(ppl >= 1.0 && math.abs(ppl - math.exp(-ll)) < 1e-4)
+      }
+      val tokCounts = t(spark, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      assert(out.join(tokCounts, "doc_id")
+        .filter(col("n_bigrams") =!= col("n") - 1).isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("dhash: 64-bit strings from real decoded pixels; planted groups " +
+      "surface as near-dup pairs; buckets stay under the anchor-star cap") {
+    val hashes = Multimodal.mmDhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hashes.nonEmpty)
+    assert(hashes.values.forall(h => h.length == 64 &&
+      h.forall(c => c == '0' || c == '1')))
+    val pairs = Multimodal.mmDhashNeardup(spark, dir).collect()
+    assert(pairs.nonEmpty, "planted groups must yield near-dup pairs")
+    pairs.foreach { p =>
+      val (da, db, dist) = (p.getLong(0), p.getLong(1), p.getInt(2))
+      assert(da < db && dist <= Multimodal.DhashMaxDist)
+      // reported distance equals the true hamming distance of the hashes
+      val hd = hashes(da).zip(hashes(db)).count { case (a, b) => a != b }
+      assert(hd == dist, s"pair ($da,$db): reported $dist, true $hd")
+    }
+    // at least one same-group (planted) pair is recovered
+    assert(pairs.exists(p => p.getLong(0) / 4 == p.getLong(1) / 4))
+    // oracle parity precondition: no (band, key) bucket exceeds the
+    // anchor-star cap, so the exhaustive SQL band join is identical
+    val buckets = Multimodal.mmDhash(spark, dir)
+      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("band"),
+        col("dhash"))
+      .withColumn("key", expr("substr(dhash, 1 + band * 16, 16)"))
+      .groupBy("band", "key").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(buckets <= 64, s"max dhash band bucket $buckets exceeds cap")
   }
 
   test("scd2 merge: small changeset broadcasts, disabled broadcast " +
