@@ -83,6 +83,14 @@ object EventConsumer {
     * consumer scripts are absent — Makefile:173-179), so these builders
     * configure the real production source/sink without starting it; the
     * transform they feed is byte-identical to the file/batch paths.
+    *
+    * Vendoring re-attempted and re-failed each round (r7 commit 8d3bee7;
+    * r8: full-filesystem jar search finds no spark-sql-kafka /
+    * kafka-clients / commons-pool2 anywhere, and offline sbt resolution
+    * of spark-sql-kafka-0-10_2.13:4.1.2 still 404s against the
+    * pre-warmed cache). The clean-failure contract below remains the
+    * final state for this environment; on any cluster with the connector
+    * jar on the classpath these builders run unchanged.
     */
   def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
     spark.readStream.format("kafka")
