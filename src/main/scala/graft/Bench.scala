@@ -83,8 +83,11 @@ object Bench {
     "text_bm25", "text_inverted_index", "text_bigram_pmi",
     "ev_stickiness", "ev_transitions", "u5_scd2_merge", "dq_anomaly",
     "st7_session_window", "mm_audio_stats", "o10_percent_change",
-    // round-8 operators: corpus LM scoring, perceptual-hash image dedup
+    // round-8 operators: corpus LM scoring, perceptual-hash image dedup,
+    // classic outer-join/HAVING/anti-join query shapes, graph centrality
     "text_lm_score", "mm_dhash_neardup",
+    "q9_custdist", "q10_large_orders", "q11_sales_opportunity",
+    "graph_pagerank", "sim_knn_label_eval",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -137,6 +137,60 @@ object Curation {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** PageRank (power iteration, fixed `iters` rounds, GraphX's
+    * unnormalized `(1-d) + d·Σ rank/deg` formulation) over the near-dup
+    * pair graph — "which documents sit at the center of a duplication
+    * web", the graph-centrality sibling of [[dedupClusters]]'s
+    * membership labels. A boilerplate hub (a licence page pasted into
+    * thousands of crawls) out-ranks every leaf that copied it, so the
+    * ranking orders candidates for canonical-document election.
+    *
+    * Scale shape: the iteration runs over PAIR-GRAPH NODES only (docs in
+    * ≥1 near-dup pair — orders of magnitude below corpus size), never
+    * the corpus. Edges and degrees come from the memoized candidate-pair
+    * index (no re-pairing), are localCheckpoint'd once, and every
+    * iteration is exactly one shuffle: edges ⋈ ranks (map-side on the
+    * checkpointed edge frame) then groupBy(dst) with partial aggregation.
+    * Per-iteration lineage is truncated the same way [[clusterLabels]]
+    * does (nested plan towers dominate otherwise); on a cluster the same
+    * role is played by reliable checkpointing.
+    *
+    * Cross-engine determinism: each iteration's rank is rounded to 9
+    * decimals in BOTH engines, so IEEE summation-order drift (~1e-15)
+    * resets every round instead of compounding; emitted ranks round to 6.
+    * Undirected doubling gives every node an out-edge, so no dangling
+    * mass correction is needed.
+    */
+  def graphPagerank(spark: SparkSession, dir: String, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val pairs = Dedup.dedupMinhashLsh(spark, dir).select(col("da"), col("db"))
+    val scratch = scala.collection.mutable.Buffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); scratch += c; c
+    }
+    val edges = ckpt(pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst"))))
+    val deg = ckpt(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+      .select(col("src").as("dn"), col("deg"))
+    var ranks = deg.select(col("dn").as("node"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = ckpt(edges
+        .join(ranks, col("src") === col("node"))
+        .join(deg, col("src") === col("dn"))
+        .groupBy(col("dst"))
+        .agg(round(lit(1.0 - damping) +
+          lit(damping) * sum(col("rank") / col("deg")), 9).as("rank"))
+        .select(col("dst").as("node"), col("rank")))
+    }
+    val out = ranks.join(deg, col("node") === col("dn"))
+      .select(col("node").as("doc_id"), round(col("rank"), 6).as("pagerank"),
+        col("deg").cast("long").as("degree"))
+      .orderBy(col("pagerank").desc, col("doc_id").asc)
+      .localCheckpoint() // eager: safe to drop the per-iteration frames
+    scratch.foreach(freeCheckpoint)
+    out
+  }
+
   /** The stratum membership predicate: first byte of md5(doc_id) under the
     * per-language rate — 128/256 for English, 64/256 otherwise.
     */
@@ -462,6 +516,7 @@ object Curation {
     "cur_data_card" -> ((s, d) => corpusDataCard(s, d)),
     "cur_shard_plan" -> ((s, d) => shardPlan(s, d)),
     "cur_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+    "graph_pagerank" -> ((s, d) => graphPagerank(s, d)),
     "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "cur_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "cur_corpus_curate" -> ((s, d) => corpusCurate(s, d)),
@@ -535,6 +590,28 @@ object Curation {
              CAST(sum(d.n_chars) AS BIGINT) AS n_bytes
       FROM assigned a JOIN documents d ON a.doc_id = d.doc_id
       GROUP BY 1""",
+    "graph_pagerank" -> s"""
+      WITH ${Dedup.minhashPairsCte},
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION ALL SELECT db, da FROM pairs),
+      deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+      r0 AS (SELECT node, 1.0 AS rank FROM deg),
+      r1 AS (SELECT e.dst AS node,
+               round(0.15 + 0.85 * sum(r.rank / d.deg), 9) AS rank
+             FROM edges e JOIN r0 r ON e.src = r.node
+                          JOIN deg d ON e.src = d.node GROUP BY 1),
+      r2 AS (SELECT e.dst AS node,
+               round(0.15 + 0.85 * sum(r.rank / d.deg), 9) AS rank
+             FROM edges e JOIN r1 r ON e.src = r.node
+                          JOIN deg d ON e.src = d.node GROUP BY 1),
+      r3 AS (SELECT e.dst AS node,
+               round(0.15 + 0.85 * sum(r.rank / d.deg), 9) AS rank
+             FROM edges e JOIN r2 r ON e.src = r.node
+                          JOIN deg d ON e.src = d.node GROUP BY 1)
+      SELECT r3.node AS doc_id, round(r3.rank, 6) AS pagerank,
+             CAST(d.deg AS BIGINT) AS degree
+      FROM r3 JOIN deg d ON r3.node = d.node
+      ORDER BY pagerank DESC, doc_id ASC""",
     "cur_dedup_clusters" -> s"""
       WITH RECURSIVE ${Dedup.minhashPairsCte},
       edges AS (SELECT da AS src, db AS dst FROM pairs

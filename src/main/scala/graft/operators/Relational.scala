@@ -1042,11 +1042,91 @@ object Relational {
             lit(null).cast("date").as("valid_to")))
   }
 
+  /** Q9 — the TPC-H Q13 "customer distribution" shape: how many
+    * customers placed 0, 1, 2… qualifying orders. The outer-join +
+    * double-aggregation classic, built scale-first: orders PRE-AGGREGATE
+    * to (custkey, n) before the join — the only wide shuffle runs over
+    * the already-collapsed per-customer counts, never the raw fact — and
+    * customers with no orders surface via the left join's null →
+    * `coalesce(n, 0)`. The second aggregate groups on the tiny count
+    * domain (a few hundred keys at any scale), so its shuffle is
+    * negligible; partial aggregation collapses it map-side.
+    */
+  def q9Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q10 — the TPC-H Q18 "large volume customer" shape: orders whose
+    * lineitems total more than `minQty` units, with their customer.
+    * The HAVING-on-grouped-fact classic: lineitem collapses to
+    * (orderkey, total_qty) FIRST (map-side partial sums make this the
+    * cheap pass over the big fact), the >minQty filter drops ~99.9% of
+    * groups before any join, and the two joins that follow probe with
+    * only the surviving handful of orderkeys. The top-100 plans as
+    * TakeOrderedAndProject — no global sort. Quantities are
+    * integer-valued doubles, so the sum is exact in any partial-agg
+    * order (no centSum needed).
+    */
+  def q10LargeOrders(spark: SparkSession, dir: String,
+      minQty: Double = 250.0): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    t(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** Q11 — the TPC-H Q22 "global sales opportunity" shape: well-funded
+    * customers (balance above the positive-balance average) who have
+    * placed no URGENT order, counted per nation. Composes the two
+    * subquery classics: the scalar average arrives as a broadcast 1-row
+    * aggregate (every executor compares against the same constant — no
+    * shuffle), and the NOT-EXISTS is a LEFT ANTI hash join against the
+    * pre-filtered urgent-order keys (keys-only build side). The average
+    * is computed cent-exactly (long cent sum ÷ 100.0 ÷ count, the same
+    * IEEE expression the oracle evaluates) so the > comparison can never
+    * flip on summation-order ulps; totacctbal is centSum for the same
+    * reason.
+    */
+  def q11SalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((centSum(col("c_acctbal")) / count(lit(1))).as("ab"))
+    val urgent = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        centSum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_nationkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_pct_of_total" -> (a13PctOfTotal _),
     "j8_fuzzy_match" -> (j8FuzzyMatch _),
     "q7_shipping_priority" -> (q7ShippingPriority _),
     "q8_exists_agg" -> (q8ExistsAgg _),
+    "q9_custdist" -> (q9Custdist _),
+    "q10_large_orders" -> ((s: SparkSession, d: String) => q10LargeOrders(s, d)),
+    "q11_sales_opportunity" -> (q11SalesOpportunity _),
     "o10_percent_change" -> (o10PercentChange _),
     "u5_scd2_merge" -> (u5Scd2Merge _),
     "a16_mode_median" -> (a16ModeMedian _),
@@ -1116,6 +1196,35 @@ object Relational {
              WHERE rn = 1)
       SELECT m.o_orderstatus, m.median_price, md.mode_priority, md.mode_n
       FROM med m JOIN md ON m.o_orderstatus = md.o_orderstatus""",
+    "q9_custdist" -> """
+      WITH cnt AS (SELECT o_custkey, count(*) AS n FROM orders
+                   WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+      SELECT coalesce(n, 0) AS c_count, count(*) AS custdist
+      FROM customer LEFT JOIN cnt ON c_custkey = o_custkey
+      GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+    "q10_large_orders" -> """
+      WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                   FROM lineitem GROUP BY 1
+                   HAVING sum(l_quantity) > 250)
+      SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice, b.total_qty
+      FROM orders o
+      JOIN big b ON o.o_orderkey = b.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100""",
+    "q11_sales_opportunity" -> """
+      WITH ab AS (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 / count(*) AS ab
+                  FROM customer WHERE c_acctbal > 0)
+      SELECT c.c_nationkey, count(*) AS numcust,
+        CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS totacctbal
+      FROM customer c, ab
+      WHERE c.c_acctbal > ab.ab
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY 1 ORDER BY c.c_nationkey ASC""",
     "q7_shipping_priority" -> """
       SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
         CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)

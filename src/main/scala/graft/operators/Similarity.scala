@@ -322,6 +322,50 @@ object Similarity {
     * corpus. One broadcast-sized join of two k×queries frames — the eval
     * is free next to either search.
     */
+  /** k-NN label evaluation — the standard embedding-quality probe a
+    * training-data pipeline runs before trusting vectors for retrieval
+    * or clustering: classify each query vector by MAJORITY VOTE of its
+    * k nearest neighbors' labels and report per-label accuracy. A label
+    * whose accuracy is near 1/|labels| has embeddings no better than
+    * chance for that class.
+    *
+    * The query set is a fixed deterministic sample (`vec_id % 20 == 0`)
+    * — eval protocols pin their query set; the corpus side is the full
+    * table. Scoring reuses the exact fold-order dot product and the
+    * native TopKPerKey cap (bounded heaps, no per-query sort of the
+    * candidate set). At billion-vector scale the scored join swaps to
+    * the IVF/LSH candidate generation ([[simIvfAnn]]) with this same
+    * vote/accuracy tail — the eval contract is independent of how
+    * candidates are produced. Vote ties break to the smallest label
+    * (deterministic in both engines); accuracy is one small-int
+    * division rounded at emit.
+    */
+  def simKnnLabelEval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = withNorm(t(spark, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") % 20 === 0)
+    val scored = q.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", expr(dotAB) / (col("a.nrm") * col("b.nrm")))
+      .select(col("a.vec_id").as("qid"), col("a.label").as("true_label"),
+        col("b.vec_id").as("vec_id"), col("b.label").as("nbr_label"),
+        col("cos"))
+    val votes = rankTopK(scored, "cos", desc = true, k = k)
+      .groupBy(col("qid"), col("true_label"), col("nbr_label"))
+      .agg(count(lit(1)).as("v"))
+    val pred = votes.groupBy(col("qid"), col("true_label"))
+      .agg(max(struct(col("v"), (-col("nbr_label")).as("neg"))).as("m"))
+      .select(col("qid"), col("true_label"),
+        (-col("m.neg")).as("pred_label"))
+    pred.groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred_label") === col("true_label"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .select(col("true_label").as("label"), col("n_queries"),
+        col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_queries"), 6)
+          .as("accuracy"))
+      .orderBy(col("label").asc)
+  }
+
   def simRecallAtK(spark: SparkSession, dir: String): DataFrame = {
     val bf = simTopkBruteforce(spark, dir).select(col("qid"), col("vec_id"))
     val approx = simLshAnn(spark, dir)
@@ -484,6 +528,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
+    "sim_knn_label_eval" -> ((s: SparkSession, d: String) => simKnnLabelEval(s, d)),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_lsh_multiprobe" -> (simLshMultiprobe _),
     "sim_ivf_ann" -> (simIvfAnn _),
@@ -538,6 +583,30 @@ object Similarity {
               (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
             FROM scored)
       WHERE rank <= 5""",
+    "sim_knn_label_eval" -> s"""
+      WITH $normCte,
+      nl AS (SELECT n.vec_id, e.label, n.embedding, n.nrm
+             FROM n JOIN embeddings e ON n.vec_id = e.vec_id),
+      scored AS (SELECT a.vec_id AS qid, a.label AS true_label,
+                   b.vec_id AS vec_id, b.label AS nbr_label, $cosAB AS cos
+                 FROM nl a JOIN nl b
+                   ON a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id),
+      top AS (SELECT * FROM
+                (SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, vec_id ASC) AS rn FROM scored)
+              WHERE rn <= 5),
+      votes AS (SELECT qid, true_label, nbr_label, count(*) AS v
+                FROM top GROUP BY 1, 2, 3),
+      pred AS (SELECT qid, true_label, nbr_label AS pred_label FROM
+                 (SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY v DESC, nbr_label ASC) AS rn FROM votes)
+               WHERE rn = 1)
+      SELECT true_label AS label, count(*) AS n_queries,
+        CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_correct,
+        round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*), 6) AS accuracy
+      FROM pred GROUP BY 1 ORDER BY 1""",
     "sim_lsh_ann" -> s"""
       WITH $normCte,
       bk AS (SELECT vec_id, embedding, nrm,

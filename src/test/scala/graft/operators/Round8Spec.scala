@@ -123,4 +123,129 @@ class Round8Spec extends AnyFunSuite {
         "over-threshold changeset must not broadcast")
     } finally spark.conf.set(key, prev)
   }
+
+  test("q9 custdist: partitions the customer base exactly once") {
+    val out = Relational.q9Custdist(spark, dir).collect()
+    val nCust = t(spark, dir, "customer").count()
+    // every customer lands in exactly one count bucket
+    assert(out.map(_.getLong(1)).sum == nCust)
+    // buckets match an independent recompute via the raw outer join
+    val expect = t(spark, dir, "customer")
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+  }
+
+  test("q10 large orders: only over-threshold orders, top-ordered, " +
+      "TakeOrderedAndProject in the plan") {
+    val df = Relational.q10LargeOrders(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // recomputed per-order quantity really exceeds the threshold
+    val qty = t(spark, dir, "lineitem").groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(qty(r.getLong(2)) > 250.0, s"order ${r.getLong(2)} under threshold")
+      assert(r.getDouble(5) == qty(r.getLong(2)))
+    }
+    val prices = rows.map(_.getDouble(4)).toSeq
+    assert(prices == prices.sorted.reverse)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "top-100 should avoid a global sort")
+  }
+
+  test("q11 sales opportunity: anti join in the plan, matches recompute") {
+    val df = Relational.q11SalesOpportunity(spark, dir)
+    assert(df.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "NOT EXISTS must plan as a left anti join")
+    val out = df.collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.nonEmpty)
+    // driver-side recompute
+    val cust = t(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val cents = cust.filter(_._3 > 0).map(c => math.round(c._3 * 100)).sum
+    val ab = cents.toDouble / 100.0 / cust.count(_._3 > 0)
+    val urgent = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val expect = cust
+      .filter(c => c._3 > ab && !urgent.contains(c._1))
+      .groupBy(_._2).map { case (nk, cs) =>
+        nk -> ((cs.length.toLong,
+          cs.map(c => math.round(c._3 * 100)).sum.toDouble / 100.0))
+      }
+    assert(out == expect)
+  }
+
+  test("knn label eval: accuracies in [0,1], counts partition the query " +
+      "sample, majority vote matches a driver-side recompute") {
+    val out = Similarity.simKnnLabelEval(spark, dir).collect()
+    assert(out.nonEmpty)
+    val emb = t(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    val nQueries = emb.count(_._1 % 20 == 0)
+    assert(out.map(_.getLong(1)).sum == nQueries)
+    out.foreach { r =>
+      val acc = r.getDouble(3)
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    // full driver-side recompute: vote every query, tally per label
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val preds = emb.filter(_._1 % 20 == 0).map { q =>
+      val top5 = emb.filter(_._1 != q._1)
+        .map(e => (e._1, e._3, cos(q._2, e._2)))
+        .sortBy(e => (-e._3, e._1)).take(5)
+      val pred = top5.groupBy(_._2).toSeq
+        .map { case (l, vs) => (vs.length, -l) }.max match {
+          case (_, negL) => -negL
+        }
+      (q._3, pred)
+    }
+    val expect = preds.groupBy(_._1).map { case (l, ps) =>
+      l -> ((ps.length.toLong, ps.count(p => p._2 == p._1).toLong))
+    }
+    val got = out.map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+  }
+
+  test("pagerank: matches a driver-side 3-iteration power recompute") {
+    val pairs = Dedup.dedupMinhashLsh(spark, dir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "sf0.001 corpus should have planted near-dups")
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length }
+    def round9(x: Double) = math.rint(x * 1e9) / 1e9
+    var ranks: Map[Long, Double] = deg.map { case (n, _) => n -> 1.0 }
+    for (_ <- 1 to 3) {
+      ranks = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> round9(0.15 + 0.85 * es.map { case (src, _) =>
+          ranks(src) / deg(src) }.sum)
+      }
+    }
+    val out = Curation.graphPagerank(spark, dir).collect()
+    assert(out.length == deg.size)
+    out.foreach { r =>
+      val (id, pr, d) = (r.getLong(0), r.getDouble(1), r.getLong(2))
+      assert(d == deg(id))
+      assert(math.abs(pr - ranks(id)) < 1e-6, s"doc $id: $pr vs ${ranks(id)}")
+    }
+    // emitted in rank-descending order
+    val prs = out.map(_.getDouble(1)).toSeq
+    assert(prs == prs.sorted.reverse)
+  }
 }
