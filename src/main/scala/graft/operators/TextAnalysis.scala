@@ -394,9 +394,18 @@ object TextAnalysis {
         round(log(col("cb").cast("double") / col("c1")) * 1e6).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("ll_u")).as("llu"))
+      // The per-doc mean is rounded to INTEGER micro-units before the
+      // final 1e6 divide: half-integer micro quotients are exactly
+      // representable doubles, so both engines see the identical value
+      // and round it the same way. Dividing first and rounding the
+      // 6th decimal instead puts the result one ulp from a .5 boundary,
+      // where Spark (shortest-decimal BigDecimal) and DuckDB (binary
+      // std::round) disagree — observed at sf0.1 (doc 3093).
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("llu") / 1e6 / col("n_bigrams"), 6).as("avg_ll"),
-        round(exp(-(col("llu") / 1e6 / col("n_bigrams"))), 6).as("ppl"))
+        (round(col("llu").cast("double") / col("n_bigrams")).cast("long")
+          / 1e6).as("avg_ll"),
+        round(exp(-(round(col("llu").cast("double") / col("n_bigrams"))
+          .cast("long") / lit(1e6))), 6).as("ppl"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -430,8 +439,10 @@ object TextAnalysis {
               CAST(round(ln(cb.cb::DOUBLE / uni.c1) * 1e6) AS BIGINT) AS ll_u
             FROM bg JOIN cb USING (w1, w2) JOIN uni USING (w1))
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        round(CAST(sum(ll_u) AS BIGINT) / 1e6 / count(*), 6) AS avg_ll,
-        round(exp(-(CAST(sum(ll_u) AS BIGINT) / 1e6 / count(*))), 6) AS ppl
+        CAST(round(CAST(sum(ll_u) AS BIGINT)
+          / CAST(count(*) AS DOUBLE)) AS BIGINT) / 1e6 AS avg_ll,
+        round(exp(-(CAST(round(CAST(sum(ll_u) AS BIGINT)
+          / CAST(count(*) AS DOUBLE)) AS BIGINT) / 1e6)), 6) AS ppl
       FROM s GROUP BY 1""",
     "text_token_topk" -> """
       SELECT tok, count(*) AS n
