@@ -93,13 +93,59 @@ object Profiling {
         col("o_totalprice"), round(col("zscore"), 6).as("zscore"))
   }
 
+  /** DQ4 — exact heavy hitters via a two-pass sketch-then-verify: pass 1
+    * is ONE scan computing the native Misra–Gries candidate sketch
+    * ([[graft.plans.MisraGriesCandidates]]) and the exact row count in
+    * the same aggregate; pass 2 exact-counts ONLY the candidate keys
+    * (broadcast semi join — the scan streams, the shuffle carries ≤ k
+    * keys' partial counts) and keeps those with `n·k > total` — the MG
+    * guarantee says every such key is in the candidate list, so the
+    * output equals the exact `GROUP BY … HAVING count·k > total` at a
+    * fraction of its shuffle: an exact groupBy moves the full key domain
+    * through the shuffle; the sketch path moves O(k) per partition in
+    * pass 1 and only candidate-key partials in pass 2. The win is real
+    * when the domain is huge (URLs, user agents, n-grams) and the
+    * heavies are few — the billion-row regime this is built for; the
+    * demo column is the corpus' only frequency-shaped field.
+    *
+    * Deterministic by construction: sketch-survivor noise is filtered
+    * out by the exact verify, so partitioning and merge order never
+    * reach the result. The threshold compare is integer (`n·k > total`),
+    * immune to division ulps.
+    */
+  def dqHeavyHitters(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val ev = t(spark, dir, "events")
+    val pass1 = ev.agg(
+      call_function("graft_mg_candidates", lit(k), col("event_type"))
+        .as("cands"),
+      count(lit(1)).as("total"))
+    val cand = pass1.select(explode(col("cands")).as("event_type"))
+    val counts = ev
+      .join(broadcast(cand), Seq("event_type"), "left_semi")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    counts.join(broadcast(pass1.select(col("total"))))
+      .filter(col("n_events") * k > col("total"))
+      .select(col("event_type"), col("n_events"),
+        round(col("n_events").cast("double") / col("total"), 6).as("share"))
+      .orderBy(col("n_events").desc, col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_anomaly" -> ((s: SparkSession, d: String) => dqAnomaly(s, d)),
     "dq_profile" -> (dqProfile _),
     "dq_expectations" -> (dqExpectations _),
+    "dq_heavy_hitters" -> ((s: SparkSession, d: String) => dqHeavyHitters(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_heavy_hitters" -> """
+      WITH tot AS (SELECT count(*) AS total FROM events)
+      SELECT event_type, count(*) AS n_events,
+        round(CAST(count(*) AS DOUBLE) / total, 6) AS share
+      FROM events, tot
+      GROUP BY 1, total HAVING count(*) * 8 > total
+      ORDER BY n_events DESC, event_type ASC""",
     "dq_anomaly" -> """
       WITH s AS (SELECT o_orderpriority, avg(o_totalprice) AS mu,
                    stddev_pop(o_totalprice) AS sd

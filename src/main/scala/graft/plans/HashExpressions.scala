@@ -173,6 +173,10 @@ object GraftFunctions {
       "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_topk", exprs => TopKMarker(exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_mg_candidates",
+      exprs => MisraGriesCandidates(exprs(1),
+        exprs(0).eval().asInstanceOf[Int]), "built-in")
     // Spark's own runtime-filter predicate, exposed for the explicit
     // bloom-pruned join (Relational.bloomPrunedSemiJoin): codegen'd, and
     // the serialized sketch rides along as a foldable binary literal —
@@ -223,6 +227,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKMarker].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKMarker(exprs)))
+    e.injectFunction((FunctionIdentifier("graft_mg_candidates"),
+      new ExpressionInfo(classOf[MisraGriesCandidates].getName,
+        "graft_mg_candidates"),
+      (exprs: Seq[Expression]) => MisraGriesCandidates(exprs(1),
+        exprs(0).eval().asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

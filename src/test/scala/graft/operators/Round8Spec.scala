@@ -223,6 +223,48 @@ class Round8Spec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("misra-gries sketch: bounded buffer under decrement/merge churn, " +
+      "guaranteed heavies always survive, two-pass verify is exact") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val k = 10
+    // two true heavies over a 300-key uniform tail: tail churn forces the
+    // decrement path in update and the subtract path in merge; 13
+    // partitions force cross-buffer merges through serialize/deserialize
+    val rows = Seq.fill(3000)("h1") ++ Seq.fill(1200)("h2") ++
+      (0 until 6000).map(i => s"t${i % 300}")
+    val df = rows.toDF("key").repartition(13)
+    val cands = df
+      .agg(call_function("graft_mg_candidates", lit(k), col("key")))
+      .collect()(0).getSeq[String](0)
+    assert(cands.size <= k, s"buffer exceeded k: ${cands.size}")
+    assert(cands == cands.sorted, "candidates must emit sorted")
+    val n = rows.length
+    val exact = rows.groupBy(identity).map { case (w, ws) => w -> ws.length }
+    val heavies = exact.collect {
+      case (w, c) if c.toLong * k > n => w
+    }.toSet
+    assert(heavies == Set("h1", "h2"))
+    assert(heavies.subsetOf(cands.toSet),
+      s"MG guarantee violated: $heavies not in $cands")
+    // the two-pass pattern: exact-verify candidates, keep n*k > total
+    val verified = cands.filter(c =>
+      exact.getOrElse(c, 0).toLong * k > n).toSet
+    assert(verified == heavies)
+  }
+
+  test("dq heavy hitters: equals the exact group-by-having recompute") {
+    val out = Profiling.dqHeavyHitters(spark, dir).collect()
+    assert(out.nonEmpty)
+    val ev = t(spark, dir, "events").groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = ev.values.sum
+    val expect = ev.filter { case (_, c) => c * 8 > total }
+    assert(out.map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+    out.foreach(r => assert(
+      math.abs(r.getDouble(2) - r.getLong(1).toDouble / total) < 1e-6))
+  }
+
   test("pagerank: matches a driver-side 3-iteration power recompute") {
     val pairs = Dedup.dedupMinhashLsh(spark, dir)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
