@@ -239,14 +239,71 @@ object EventConsumer {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** The per-window Misra–Gries sketch pass of [[batchWindowHeavyHitters]]
+    * as a standalone transform: tumbling 1-hour windows, each carrying
+    * its ≤k candidate list and exact total. The SAME expression runs
+    * under `readStream` + watermark in append mode — the custom
+    * `TypedImperativeAggregate` serializes its bounded buffer into the
+    * streaming state store exactly as it does into a batch shuffle, so a
+    * live deployment streams this pass and exact-verifies downstream
+    * (foreachBatch or a daily batch); StreamingSpec pins the streaming
+    * flavor's guarantee.
+    */
+  def windowHeavyHitterSketch(events: DataFrame, k: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.register(events.sparkSession)
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(call_function("graft_mg_candidates", lit(k), col("event_type"))
+          .as("cands"),
+        count(lit(1)).as("total"))
+      .select(col("window.start").as("window_start"), col("cands"),
+        col("total"))
+  }
+
+  /** ST8 — windowed heavy hitters: per tumbling hour, the event types
+    * taking more than 1/k of that window's traffic, exact. The two-pass
+    * sketch-then-verify of `Profiling.dqHeavyHitters` per window: the
+    * sketch pass keeps ≤k counters per (window) group in ONE scan, the
+    * verify pass counts only (window, candidate) pairs — a broadcast
+    * join at candidate cardinality (windows × k) — and the integer
+    * `n·k > total` filter makes the result independent of sketch
+    * internals. Per-window totals ride the sketch row, so no third pass.
+    */
+  def batchWindowHeavyHitters(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    val ev = Tables.t(spark, dir, "events")
+    val sketch = windowHeavyHitterSketch(ev, k)
+    val cand = sketch.select(col("window_start"), col("total"),
+      explode(col("cands")).as("event_type"))
+    ev.select(window(col("ts"), "1 hour").getField("start")
+          .as("window_start"), col("event_type"))
+      .join(broadcast(cand), Seq("window_start", "event_type"))
+      .groupBy(col("window_start"), col("event_type"), col("total"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") * k > col("total"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        round(col("n_events").cast("double") / col("total"), 6).as("share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st3_window_agg" -> (batchWindowAgg _),
     "st4_sessionize" -> (batchSessionize _),
     "st6_sliding_window" -> (batchSlidingWindow _),
     "st7_session_window" -> (batchSessionWindow _),
+    "st8_window_heavy_hitters" ->
+      ((s: SparkSession, d: String) => batchWindowHeavyHitters(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
+    "st8_window_heavy_hitters" -> """
+      WITH tot AS (SELECT time_bucket(INTERVAL '1 hour', ts)
+                     AS window_start, count(*) AS total
+                   FROM events GROUP BY 1)
+      SELECT t.window_start, e.event_type, count(*) AS n_events,
+        round(CAST(count(*) AS DOUBLE) / t.total, 6) AS share
+      FROM events e JOIN tot t
+        ON time_bucket(INTERVAL '1 hour', e.ts) = t.window_start
+      GROUP BY 1, 2, t.total HAVING count(*) * 8 > t.total""",
     "st3_window_agg" -> """
       SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
              event_type, count(*) AS n_events,

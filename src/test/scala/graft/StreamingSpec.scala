@@ -50,6 +50,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed MG sketch: closed windows emit bounded " +
+      "candidate lists that contain every true heavy hitter") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val sketch = EventConsumer.windowHeavyHitterSketch(
+      mem.toDF().toDF("ts", "event_type", "value")
+        .withWatermark("ts", "10 minutes"), k = 3)
+    val q = sketch.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("st8_test").start()
+    try {
+      // window 00:00–01:00: 'hot' is 5/9 of traffic (> 1/3), the six
+      // distinct tail types churn the 3-counter buffer
+      val tail = Seq("a", "b", "c", "d", "e", "f")
+      val hotRows = (1 to 5).map(i =>
+        (ts(f"2024-01-01 00:0$i:00"), "hot", 1.0))
+      val tailRows = tail.zipWithIndex.map { case (t, i) =>
+        (ts(f"2024-01-01 00:1$i:00"), t, 1.0)
+      }
+      mem.addData(hotRows ++ tailRows: _*)
+      // advance the watermark past the window
+      mem.addData((ts("2024-01-01 02:00:00"), "later", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("st8_test").collect()
+      assert(rows.length == 1) // only the closed window emitted
+      val (cands, total) = (rows(0).getSeq[String](1), rows(0).getLong(2))
+      assert(total == 11L)
+      assert(cands.length <= 3, s"state exceeded k: $cands")
+      assert(cands.contains("hot"), s"guaranteed heavy missing: $cands")
+    } finally q.stop()
+  }
+
   test("stateful sessionization: sessions close on gap or watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
