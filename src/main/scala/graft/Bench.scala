@@ -88,7 +88,7 @@ object Bench {
     "text_lm_score", "mm_dhash_neardup",
     "q9_custdist", "q10_large_orders", "q11_sales_opportunity",
     "graph_pagerank", "sim_knn_label_eval", "dq_heavy_hitters",
-    "st8_window_heavy_hitters",
+    "st8_window_heavy_hitters", "dq_skew_report",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -131,14 +131,63 @@ object Profiling {
       .orderBy(col("n_events").desc, col("event_type").asc)
   }
 
+  /** DQ5 — join-key skew report: the pre-flight for any big join or
+    * aggregation — would this key distribution hot-spot a task? One
+    * aggregation over the key column yields per-key counts; the top-5
+    * hottest keys are reported with corpus-level stats on every row:
+    * `skew_ratio` (max frequency ÷ mean frequency — ~1 is uniform, ≥10
+    * means the hottest task does 10× the average work) and
+    * `recommended_salt`, the integer fan-out that levels the hottest key
+    * to the mean (`⌈max·n_keys ∕ n_rows⌉`, the factor
+    * [[Relational.j6SaltedJoin]] would apply), computed in INTEGER
+    * arithmetic (cross-multiplied ceiling division) so both engines
+    * agree exactly.
+    *
+    * Scale: the per-key count is one map-side-partial aggregation (the
+    * same shuffle the audited join would pay on its small side); the
+    * stats collapse to one row and broadcast back over the top-5 — no
+    * second scan, nothing driver-side.
+    */
+  def dqSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val freq = t(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("freq"))
+    val stats = freq.agg(
+      sum(col("freq")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("freq")).as("max_freq"))
+    freq.join(broadcast(stats))
+      .orderBy(col("freq").desc, col("l_suppkey").asc)
+      .limit(5)
+      .select(col("l_suppkey"), col("freq"), col("n_rows"), col("n_keys"),
+        col("max_freq"),
+        round(col("max_freq") * col("n_keys").cast("double")
+          / col("n_rows"), 6).as("skew_ratio"),
+        expr("(max_freq * n_keys + n_rows - 1) DIV n_rows")
+          .as("recommended_salt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_anomaly" -> ((s: SparkSession, d: String) => dqAnomaly(s, d)),
     "dq_profile" -> (dqProfile _),
     "dq_expectations" -> (dqExpectations _),
     "dq_heavy_hitters" -> ((s: SparkSession, d: String) => dqHeavyHitters(s, d)),
+    "dq_skew_report" -> (dqSkewReport _),
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_skew_report" -> """
+      WITH freq AS (SELECT l_suppkey, count(*) AS freq
+                    FROM lineitem GROUP BY 1),
+      stats AS (SELECT CAST(sum(freq) AS BIGINT) AS n_rows,
+                  count(*) AS n_keys, CAST(max(freq) AS BIGINT) AS max_freq
+                FROM freq)
+      SELECT f.l_suppkey, f.freq, s.n_rows, s.n_keys, s.max_freq,
+        round(s.max_freq * CAST(s.n_keys AS DOUBLE) / s.n_rows, 6)
+          AS skew_ratio,
+        (s.max_freq * s.n_keys + s.n_rows - 1) // s.n_rows
+          AS recommended_salt
+      FROM freq f, stats s
+      ORDER BY f.freq DESC, f.l_suppkey ASC LIMIT 5""",
     "dq_heavy_hitters" -> """
       WITH tot AS (SELECT count(*) AS total FROM events)
       SELECT event_type, count(*) AS n_events,

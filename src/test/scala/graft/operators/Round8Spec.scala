@@ -265,6 +265,27 @@ class Round8Spec extends AnyFunSuite {
       math.abs(r.getDouble(2) - r.getLong(1).toDouble / total) < 1e-6))
   }
 
+  test("skew report: stats match a driver recompute; salt levels the " +
+      "hottest key to at most one mean-sized extra task") {
+    val out = Profiling.dqSkewReport(spark, dir).collect()
+    assert(out.length == 5)
+    val freqs = t(spark, dir, "lineitem").groupBy("l_suppkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (nRows, nKeys, maxF) =
+      (freqs.values.sum, freqs.size.toLong, freqs.values.max)
+    // rows are the true top-5 keys, descending, key-asc ties
+    val expectTop = freqs.toSeq.sortBy { case (k, c) => (-c, k) }.take(5)
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toSeq == expectTop)
+    out.foreach { r =>
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((nRows, nKeys, maxF)))
+      val salt = r.getLong(6)
+      assert(salt == (maxF * nKeys + nRows - 1) / nRows)
+      // the recommendation levels the hot key: max/salt <= mean (+1 rem)
+      assert(maxF / salt <= nRows / nKeys + 1)
+    }
+  }
+
   test("pagerank: matches a driver-side 3-iteration power recompute") {
     val pairs = Dedup.dedupMinhashLsh(spark, dir)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
