@@ -285,6 +285,40 @@ object EventConsumer {
         round(col("n_events").cast("double") / col("total"), 6).as("share"))
   }
 
+  /** ST9 — distinct users per tumbling hour, the audience-dashboard
+    * staple. BATCH is exact: `count(DISTINCT user_id)` plans as the
+    * two-phase Expand + partial-distinct aggregate (per-partition
+    * dedup before the shuffle — the wire carries distinct (window,
+    * user) pairs, not events). STREAMING cannot run an exact distinct
+    * in append mode (state would be unbounded per window and Spark
+    * rejects the plan), so the streaming flavor
+    * ([[windowApproxDistinctUsers]]) swaps in `approx_count_distinct`
+    * — HLL++ state is a fixed few KB per window and the sketch is
+    * deterministic for a given input set, so stream == batch-approx
+    * exactly; StreamingSpec pins that parity plus the error envelope
+    * against the exact count. The two flavors are the documented
+    * exact/approx contract pair, not a silent accuracy downgrade.
+    */
+  def batchWindowDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_users"),
+        col("n_events"))
+
+  /** The streaming-safe approx flavor of [[batchWindowDistinctUsers]]:
+    * identical shape with HLL++ distinct (rsd 2%), runnable under
+    * `readStream` + watermark in append mode.
+    */
+  def windowApproxDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("n_users_approx"), col("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st3_window_agg" -> (batchWindowAgg _),
     "st4_sessionize" -> (batchSessionize _),
@@ -292,9 +326,14 @@ object EventConsumer {
     "st7_session_window" -> (batchSessionWindow _),
     "st8_window_heavy_hitters" ->
       ((s: SparkSession, d: String) => batchWindowHeavyHitters(s, d)),
+    "st9_window_distinct_users" -> (batchWindowDistinctUsers _),
   )
 
   val oracle: Map[String, String] = Map(
+    "st9_window_distinct_users" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      FROM events GROUP BY 1""",
     "st8_window_heavy_hitters" -> """
       WITH tot AS (SELECT time_bucket(INTERVAL '1 hour', ts)
                      AS window_start, count(*) AS total

@@ -81,6 +81,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming approx distinct users: closed windows emit, stream " +
+      "equals batch-approx exactly, approx within the HLL envelope") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    def evDf(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("ts", "user_id", "value")
+    val q = EventConsumer.windowApproxDistinctUsers(
+      evDf(mem.toDF()).withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("st9_test").start()
+    try {
+      // 40 events from 25 distinct users in the 00:00 window
+      val rows = (0 until 40).map(i =>
+        (ts(f"2024-01-01 00:${i % 60}%02d:00"), s"u${i % 25}", 1.0))
+      mem.addData(rows: _*)
+      mem.addData((ts("2024-01-01 02:00:00"), "uX", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val emitted = spark.table("st9_test").collect()
+      assert(emitted.length == 1)
+      val streamed = emitted(0).getLong(1)
+      // deterministic parity with the batch twin over the same rows
+      val batchApprox = EventConsumer.windowApproxDistinctUsers(
+        evDf(rows.toDF())).collect()(0).getLong(1)
+      assert(streamed == batchApprox)
+      // within the 2%-rsd HLL envelope of the exact count (generous 3σ)
+      assert(math.abs(streamed - 25.0) / 25.0 < 0.06,
+        s"approx $streamed too far from exact 25")
+      assert(emitted(0).getLong(2) == 40L)
+    } finally q.stop()
+  }
+
   test("stateful sessionization: sessions close on gap or watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
