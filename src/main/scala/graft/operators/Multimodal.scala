@@ -320,7 +320,14 @@ object Multimodal {
     */
   def mmDhashNeardup(spark: SparkSession, dir: String,
       maxDist: Int = DhashMaxDist): DataFrame = {
-    val bands = mmDhash(spark, dir)
+    // Materialize the hash sketch ONCE: the banded candidate join references
+    // this frame on BOTH sides, and without the checkpoint each side
+    // re-runs the full render+decode subtree (no ReusedExchange across join
+    // inputs — measured 2× the decode cost at sf0.1). 64 chars/doc, so the
+    // checkpoint is KBs; its blocks live exactly as long as the result
+    // frame that references them (ContextCleaner frees on GC) — the
+    // ingest-time analogue of Dedup's memoized signature index.
+    val bands = mmDhash(spark, dir).localCheckpoint()
       .select(col("doc_id"), col("dhash"),
         explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("key", expr("substr(dhash, 1 + band * 16, 16)"))
