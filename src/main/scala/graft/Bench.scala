@@ -89,7 +89,7 @@ object Bench {
     "q9_custdist", "q10_large_orders", "q11_sales_opportunity",
     "graph_pagerank", "sim_knn_label_eval", "dq_heavy_hitters",
     "st8_window_heavy_hitters", "dq_skew_report",
-    "st9_window_distinct_users",
+    "st9_window_distinct_users", "dedup_containment",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -250,6 +250,53 @@ object Dedup {
       .filter(col("sim_est") >= 0.5)
       .select(col("da"), col("db"), col("sim_est"))
 
+  /** ASYMMETRIC containment dedup — catches what symmetric Jaccard
+    * structurally misses: a short document wholly quoted inside a long
+    * one scores containment ≈ 1 in the short→long direction while its
+    * Jaccard stays near |short|∕|long|. The training-data use is quote /
+    * subset / excerpt detection (press-release fragments, licence
+    * blocks, chunked re-posts). Directed: `(src, dst, containment)`
+    * where containment = |rare-shingles(src) ∩ shingles(dst)| ∕
+    * |shingles(src)|.
+    *
+    * Scale shape: an inverted-index join, NOT an all-pairs pass —
+    * documents meet only through shared shingles, and STOP-SHINGLES
+    * (document frequency > `dfCap`) are dropped from the index first,
+    * the same posting-cap idea as `textInvertedIndex`: a boilerplate
+    * phrase pairs everything with everything, so its posting list is
+    * exactly the quadratic term the cap removes. Join volume is then
+    * bounded by Σ_rare df² ≤ dfCap · Σ df (linear in corpus shingles).
+    * Excluded stop-shingles also leave the NUMERATOR (evidence must be
+    * rare to count) while the denominator stays the full profile — so
+    * boilerplate can never manufacture a high containment score; the
+    * trade-off is a conservative (under-) estimate for docs that are
+    * mostly boilerplate, stated here as the contract.
+    */
+  def dedupContainment(spark: SparkSession, dir: String, tau: Double = 0.9,
+      dfCap: Int = 64): DataFrame = {
+    val sh = docShingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val rare = sh.join(
+      sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select(col("s")),
+      "s")
+    val inter = rare.as("a").join(rare.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .agg(count(lit(1)).as("shared"))
+    // cnt is O(docs) — NOT forced broadcast (a 100 TB corpus' profile
+    // table exceeds any broadcast budget); AQE broadcasts when it fits,
+    // else both sides shuffle on the doc key the pair side already has
+    inter
+      .join(cnt.withColumnRenamed("doc_id", "src")
+        .withColumnRenamed("c", "c_src"), "src")
+      .withColumn("containment", col("shared").cast("double") / col("c_src"))
+      .filter(col("containment") >= tau)
+      .select(col("src"), col("dst"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Verified SimHash candidate index: ALL candidate pairs with hamming
     * distance (no threshold), memoized per (session, corpus).
     */
@@ -380,6 +427,7 @@ object Dedup {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_span" -> ((s: SparkSession, d: String) => dedupSpan(s, d)),
+    "dedup_containment" -> ((s: SparkSession, d: String) => dedupContainment(s, d)),
   )
 
   private[operators] val shinglesCte = """
@@ -418,6 +466,20 @@ object Dedup {
       SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
              count(*) AS n_copies
       FROM documents GROUP BY 1""",
+    "dedup_containment" -> s"""
+      WITH $shinglesCte,
+      cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+      dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+      rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)
+               WHERE df <= 64),
+      inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS shared
+                FROM rare a JOIN rare b
+                  ON a.s = b.s AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2)
+      SELECT i.src, i.dst,
+        round(CAST(i.shared AS DOUBLE) / c.c, 6) AS containment
+      FROM inter i JOIN cnt c ON i.src = c.doc_id
+      WHERE CAST(i.shared AS DOUBLE) / c.c >= 0.9""",
     "dedup_ngram_jaccard" -> s"""
       WITH $shinglesCte,
       cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),

@@ -286,6 +286,37 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("containment: directed pairs match a driver-side all-pairs " +
+      "recompute with the stop-shingle cap") {
+    val out = Dedup.dedupContainment(spark, dir).collect()
+    assert(out.nonEmpty)
+    val docs = t(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    def shingleSet(ws: Seq[String]): Set[String] =
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+      else Set.empty
+    val sh = docs.map { case (id, ws) => id -> shingleSet(ws) }.toMap
+    val dfreq = sh.values.toSeq.flatten.groupBy(identity)
+      .map { case (s, os) => s -> os.size }
+    val rare = sh.map { case (id, ss) =>
+      id -> ss.filter(s => dfreq(s) <= 64)
+    }
+    val expect = (for {
+      (src, rs) <- rare.toSeq; (dst, ds) <- sh.toSeq
+      if src != dst
+      shared = (rs & ds).size
+      if sh(src).nonEmpty && shared.toDouble / sh(src).size >= 0.9
+    } yield (src, dst) ->
+      math.rint(shared.toDouble / sh(src).size * 1e6) / 1e6).toMap
+    val got = out.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - expect(k)) < 1e-6) }
+    // the operator is genuinely directed: every emitted pair scores from
+    // the src side (containment of src in dst)
+    assert(got.keys.forall { case (s, d) => s != d })
+  }
+
   test("pagerank: matches a driver-side 3-iteration power recompute") {
     val pairs = Dedup.dedupMinhashLsh(spark, dir)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
