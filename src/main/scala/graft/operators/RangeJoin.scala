@@ -50,11 +50,82 @@ object RangeJoin {
       .select(col("o_orderkey"), col("o_totalprice"), col("tier"))
   }
 
+  /** J9 — INTERVAL-OVERLAP self-join: which user sessions were live at
+    * the same time (concurrency analysis — ad-slot collision, capacity
+    * sizing, co-presence). Distinct from [[j4RangeJoin]]'s point-in-band
+    * shape: both sides are intervals, and a bare `a.st <= b.en AND
+    * b.st <= a.en` join is a nested loop over all session pairs.
+    *
+    * The banded rewrite for intervals: each session explodes into the
+    * 1-hour buckets it covers, the join runs as an EQUI-join on the
+    * bucket, and the exact overlap predicate filters inside. The classic
+    * hazard — a pair sharing many buckets emits once per shared bucket —
+    * is removed WITHOUT a distinct by the FIRST-SHARED-BUCKET guard:
+    * a pair is kept only in the bucket containing the LATER of the two
+    * starts (both intervals cover it whenever they overlap, and only one
+    * bucket can contain it), so each overlapping pair survives exactly
+    * once and no dedup shuffle exists in the plan. Fan-out is
+    * |session length| / 1 h per row — bounded by the session-gap
+    * contract; time is in exact integer micros end-to-end (bucket ids,
+    * guard, and the emitted overlap seconds are all integer arithmetic —
+    * no float anywhere for engines to disagree on).
+    *
+    * The session frame is materialized once (localCheckpoint) — it feeds
+    * both join sides, which would otherwise re-run the sessionize window
+    * twice; on a cluster the same role is played by reliable
+    * checkpointing or a staging write.
+    */
+  def j9IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val W = 3600L * 1000000L // 1-hour buckets, micros
+    val sess = graft.streaming.EventConsumer.batchSessionize(spark, dir)
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("session_start")).as("st"),
+        unix_micros(col("session_end")).as("en"))
+      .localCheckpoint()
+    def side(p: String) = sess.select(
+      col("user_id").as(s"u$p"), col("session_id").as(s"s$p"),
+      col("st").as(s"st$p"), col("en").as(s"en$p"),
+      explode(sequence(expr(s"st DIV ${W}L"), expr(s"en DIV ${W}L")))
+        .as(s"bk$p"))
+    side("a").join(side("b"),
+        col("bka") === col("bkb") && col("ua") < col("ub") &&
+          col("sta") <= col("enb") && col("stb") <= col("ena") &&
+          col("bka") === expr(s"greatest(sta, stb) DIV ${W}L"))
+      .select(col("ua"), col("sa"), col("ub"), col("sb"),
+        expr("(least(ena, enb) - greatest(sta, stb)) DIV 1000000L")
+          .as("overlap_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j4_range_join" -> (j4RangeJoin _),
+    "j9_interval_overlap" -> (j9IntervalOverlap _),
   )
 
   val oracle: Map[String, String] = Map(
+    "j9_interval_overlap" -> """
+      WITH d AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                    > 1800 * 1000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      s AS (
+        SELECT user_id, ts,
+          CAST(sum(new_s) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_id
+        FROM d),
+      sess AS (SELECT user_id, session_id,
+                 epoch_us(min(ts)) AS st, epoch_us(max(ts)) AS en
+               FROM s GROUP BY 1, 2)
+      SELECT a.user_id AS ua, a.session_id AS sa,
+             b.user_id AS ub, b.session_id AS sb,
+        (least(a.en, b.en) - greatest(a.st, b.st)) // 1000000 AS overlap_s
+      FROM sess a JOIN sess b
+        ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en""",
     "j4_range_join" -> """
       WITH bands(lo, hi, tier) AS (VALUES
         (0.0, 2000.0, 'micro'), (2000.0, 10000.0, 'small'),

@@ -317,6 +317,34 @@ class Round8Spec extends AnyFunSuite {
     assert(got.keys.forall { case (s, d) => s != d })
   }
 
+  test("interval overlap: equals the bucket-free brute force, and the " +
+      "first-shared-bucket guard emits each pair exactly once") {
+    val out = RangeJoin.j9IntervalOverlap(spark, dir).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      // exactly-once: no (sa, sb) pair appears twice despite bucket fanout
+      assert(rows.length ==
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).distinct.length)
+      // brute-force recompute without buckets
+      val sess = graft.streaming.EventConsumer.batchSessionize(spark, dir)
+        .select(col("user_id"), col("session_id"),
+          unix_micros(col("session_start")).as("st"),
+          unix_micros(col("session_end")).as("en"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      val expect = (for {
+        a <- sess; b <- sess
+        if a._1 < b._1 && a._3 <= b._4 && b._3 <= a._4
+      } yield ((a._1, a._2, b._1, b._2),
+        (math.min(a._4, b._4) - math.max(a._3, b._3)) / 1000000L)).toMap
+      val got = rows.map(r => ((r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)), r.getLong(4))).toMap
+      assert(got == expect)
+    } finally out.unpersist()
+  }
+
   test("pagerank: matches a driver-side 3-iteration power recompute") {
     val pairs = Dedup.dedupMinhashLsh(spark, dir)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
