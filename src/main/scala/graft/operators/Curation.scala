@@ -161,8 +161,18 @@ object Curation {
     * Undirected doubling gives every node an out-edge, so no dangling
     * mass correction is needed.
     */
-  def graphPagerank(spark: SparkSession, dir: String, iters: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+  /** PageRank defaults; the oracle's unrolled CTE chain is GENERATED from
+    * these (ADVICE r7 pattern), so iteration count and damping cannot
+    * drift between the Spark plan and the SQL — including the
+    * `1 - damping` teleport constant, which is interpolated as the same
+    * IEEE double Spark computes rather than a hand-typed decimal.
+    */
+  private[operators] val PagerankIters = 3
+  private[operators] val PagerankDamping = 0.85
+
+  def graphPagerank(spark: SparkSession, dir: String,
+      iters: Int = PagerankIters,
+      damping: Double = PagerankDamping): DataFrame = {
     val pairs = Dedup.dedupMinhashLsh(spark, dir).select(col("da"), col("db"))
     val scratch = scala.collection.mutable.Buffer.empty[DataFrame]
     def ckpt(df: DataFrame): DataFrame = {
@@ -590,28 +600,27 @@ object Curation {
              CAST(sum(d.n_chars) AS BIGINT) AS n_bytes
       FROM assigned a JOIN documents d ON a.doc_id = d.doc_id
       GROUP BY 1""",
-    "graph_pagerank" -> s"""
+    "graph_pagerank" -> {
+      val steps = (1 to PagerankIters).map { i =>
+        s"""r$i AS (SELECT e.dst AS node,
+               round(${1.0 - PagerankDamping}
+                 + $PagerankDamping * sum(r.rank / d.deg), 9) AS rank
+             FROM edges e JOIN r${i - 1} r ON e.src = r.node
+                          JOIN deg d ON e.src = d.node GROUP BY 1)"""
+      }.mkString(",\n      ")
+      s"""
       WITH ${Dedup.minhashPairsCte},
       edges AS (SELECT da AS src, db AS dst FROM pairs
                 UNION ALL SELECT db, da FROM pairs),
       deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
       r0 AS (SELECT node, 1.0 AS rank FROM deg),
-      r1 AS (SELECT e.dst AS node,
-               round(0.15 + 0.85 * sum(r.rank / d.deg), 9) AS rank
-             FROM edges e JOIN r0 r ON e.src = r.node
-                          JOIN deg d ON e.src = d.node GROUP BY 1),
-      r2 AS (SELECT e.dst AS node,
-               round(0.15 + 0.85 * sum(r.rank / d.deg), 9) AS rank
-             FROM edges e JOIN r1 r ON e.src = r.node
-                          JOIN deg d ON e.src = d.node GROUP BY 1),
-      r3 AS (SELECT e.dst AS node,
-               round(0.15 + 0.85 * sum(r.rank / d.deg), 9) AS rank
-             FROM edges e JOIN r2 r ON e.src = r.node
-                          JOIN deg d ON e.src = d.node GROUP BY 1)
-      SELECT r3.node AS doc_id, round(r3.rank, 6) AS pagerank,
+      $steps
+      SELECT r$PagerankIters.node AS doc_id,
+             round(r$PagerankIters.rank, 6) AS pagerank,
              CAST(d.deg AS BIGINT) AS degree
-      FROM r3 JOIN deg d ON r3.node = d.node
-      ORDER BY pagerank DESC, doc_id ASC""",
+      FROM r$PagerankIters JOIN deg d ON r$PagerankIters.node = d.node
+      ORDER BY pagerank DESC, doc_id ASC"""
+    },
     "cur_dedup_clusters" -> s"""
       WITH RECURSIVE ${Dedup.minhashPairsCte},
       edges AS (SELECT da AS src, db AS dst FROM pairs

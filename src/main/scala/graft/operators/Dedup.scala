@@ -272,8 +272,14 @@ object Dedup {
     * trade-off is a conservative (under-) estimate for docs that are
     * mostly boilerplate, stated here as the contract.
     */
-  def dedupContainment(spark: SparkSession, dir: String, tau: Double = 0.9,
-      dfCap: Int = 64): DataFrame = {
+  /** Containment defaults, interpolated into the oracle SQL so the pair
+    * cannot drift (ADVICE r7 pattern).
+    */
+  private[operators] val ContainmentTau = 0.9
+  private[operators] val ContainmentDfCap = 64
+
+  def dedupContainment(spark: SparkSession, dir: String,
+      tau: Double = ContainmentTau, dfCap: Int = ContainmentDfCap): DataFrame = {
     val sh = docShingles(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("s")).distinct()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
@@ -471,7 +477,7 @@ object Dedup {
       cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
       dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
       rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)
-               WHERE df <= 64),
+               WHERE df <= $ContainmentDfCap),
       inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS shared
                 FROM rare a JOIN rare b
                   ON a.s = b.s AND a.doc_id <> b.doc_id
@@ -479,7 +485,7 @@ object Dedup {
       SELECT i.src, i.dst,
         round(CAST(i.shared AS DOUBLE) / c.c, 6) AS containment
       FROM inter i JOIN cnt c ON i.src = c.doc_id
-      WHERE CAST(i.shared AS DOUBLE) / c.c >= 0.9""",
+      WHERE CAST(i.shared AS DOUBLE) / c.c >= $ContainmentTau""",
     "dedup_ngram_jaccard" -> s"""
       WITH $shinglesCte,
       cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),

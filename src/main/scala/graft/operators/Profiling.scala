@@ -113,7 +113,11 @@ object Profiling {
     * reach the result. The threshold compare is integer (`n·k > total`),
     * immune to division ulps.
     */
-  def dqHeavyHitters(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  /** Heavy-hitter sketch size, interpolated into the oracle (no drift). */
+  private[operators] val HeavyHitterK = 8
+
+  def dqHeavyHitters(spark: SparkSession, dir: String,
+      k: Int = HeavyHitterK): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val ev = t(spark, dir, "events")
     val pass1 = ev.agg(
@@ -188,12 +192,12 @@ object Profiling {
           AS recommended_salt
       FROM freq f, stats s
       ORDER BY f.freq DESC, f.l_suppkey ASC LIMIT 5""",
-    "dq_heavy_hitters" -> """
+    "dq_heavy_hitters" -> s"""
       WITH tot AS (SELECT count(*) AS total FROM events)
       SELECT event_type, count(*) AS n_events,
         round(CAST(count(*) AS DOUBLE) / total, 6) AS share
       FROM events, tot
-      GROUP BY 1, total HAVING count(*) * 8 > total
+      GROUP BY 1, total HAVING count(*) * $HeavyHitterK > total
       ORDER BY n_events DESC, event_type ASC""",
     "dq_anomaly" -> """
       WITH s AS (SELECT o_orderpriority, avg(o_totalprice) AS mu,

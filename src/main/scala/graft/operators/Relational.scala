@@ -1075,8 +1075,11 @@ object Relational {
     * integer-valued doubles, so the sum is exact in any partial-agg
     * order (no centSum needed).
     */
+  /** Q10 threshold, interpolated into the oracle so the pair can't drift. */
+  private[operators] val LargeOrderMinQty = 250.0
+
   def q10LargeOrders(spark: SparkSession, dir: String,
-      minQty: Double = 250.0): DataFrame = {
+      minQty: Double = LargeOrderMinQty): DataFrame = {
     val big = t(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("total_qty"))
@@ -1202,10 +1205,10 @@ object Relational {
       SELECT coalesce(n, 0) AS c_count, count(*) AS custdist
       FROM customer LEFT JOIN cnt ON c_custkey = o_custkey
       GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
-    "q10_large_orders" -> """
+    "q10_large_orders" -> s"""
       WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
                    FROM lineitem GROUP BY 1
-                   HAVING sum(l_quantity) > 250)
+                   HAVING sum(l_quantity) > $LargeOrderMinQty)
       SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
              o.o_totalprice, b.total_qty
       FROM orders o

@@ -340,7 +340,11 @@ object Similarity {
     * (deterministic in both engines); accuracy is one small-int
     * division rounded at emit.
     */
-  def simKnnLabelEval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  /** kNN-eval vote size, interpolated into the oracle (no drift). */
+  private[operators] val KnnEvalK = 5
+
+  def simKnnLabelEval(spark: SparkSession, dir: String,
+      k: Int = KnnEvalK): DataFrame = {
     val emb = withNorm(t(spark, dir, "embeddings"))
     val q = emb.filter(col("vec_id") % 20 === 0)
     val scored = q.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
@@ -594,7 +598,7 @@ object Similarity {
       top AS (SELECT * FROM
                 (SELECT *, row_number() OVER (PARTITION BY qid
                    ORDER BY cos DESC, vec_id ASC) AS rn FROM scored)
-              WHERE rn <= 5),
+              WHERE rn <= $KnnEvalK),
       votes AS (SELECT qid, true_label, nbr_label, count(*) AS v
                 FROM top GROUP BY 1, 2, 3),
       pred AS (SELECT qid, true_label, nbr_label AS pred_label FROM

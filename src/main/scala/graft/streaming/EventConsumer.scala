@@ -249,7 +249,10 @@ object EventConsumer {
     * (foreachBatch or a daily batch); StreamingSpec pins the streaming
     * flavor's guarantee.
     */
-  def windowHeavyHitterSketch(events: DataFrame, k: Int = 8): DataFrame = {
+  /** Per-window sketch size, interpolated into the st8 oracle (no drift). */
+  private val WindowHhK = 8
+
+  def windowHeavyHitterSketch(events: DataFrame, k: Int = WindowHhK): DataFrame = {
     graft.plans.GraftFunctions.register(events.sparkSession)
     events
       .groupBy(window(col("ts"), "1 hour"))
@@ -270,7 +273,7 @@ object EventConsumer {
     * internals. Per-window totals ride the sketch row, so no third pass.
     */
   def batchWindowHeavyHitters(spark: SparkSession, dir: String,
-      k: Int = 8): DataFrame = {
+      k: Int = WindowHhK): DataFrame = {
     val ev = Tables.t(spark, dir, "events")
     val sketch = windowHeavyHitterSketch(ev, k)
     val cand = sketch.select(col("window_start"), col("total"),
@@ -334,7 +337,7 @@ object EventConsumer {
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
              count(DISTINCT user_id) AS n_users, count(*) AS n_events
       FROM events GROUP BY 1""",
-    "st8_window_heavy_hitters" -> """
+    "st8_window_heavy_hitters" -> s"""
       WITH tot AS (SELECT time_bucket(INTERVAL '1 hour', ts)
                      AS window_start, count(*) AS total
                    FROM events GROUP BY 1)
@@ -342,7 +345,7 @@ object EventConsumer {
         round(CAST(count(*) AS DOUBLE) / t.total, 6) AS share
       FROM events e JOIN tot t
         ON time_bucket(INTERVAL '1 hour', e.ts) = t.window_start
-      GROUP BY 1, 2, t.total HAVING count(*) * 8 > t.total""",
+      GROUP BY 1, 2, t.total HAVING count(*) * $WindowHhK > t.total""",
     "st3_window_agg" -> """
       SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
              event_type, count(*) AS n_events,
