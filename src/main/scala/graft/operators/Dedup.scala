@@ -280,13 +280,21 @@ object Dedup {
 
   def dedupContainment(spark: SparkSession, dir: String,
       tau: Double = ContainmentTau, dfCap: Int = ContainmentDfCap): DataFrame = {
+    // Two materializations, each an index a production deployment would
+    // persist anyway: the (doc, shingle) posting set feeds THREE consumers
+    // (profile counts, document frequencies, the capped index) and the
+    // capped index feeds BOTH self-join sides — without them the planner
+    // re-runs the scan+explode+distinct subtree per consumer (10 fact
+    // scans measured in the formatted plan).
     val sh = docShingles(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+      .localCheckpoint()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val rare = sh.join(
       sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCap).select(col("s")),
       "s")
+      .localCheckpoint()
     val inter = rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))

@@ -120,10 +120,15 @@ object Profiling {
       k: Int = HeavyHitterK): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val ev = t(spark, dir, "events")
+    // localCheckpoint pins pass 1 to ONE execution: the frame feeds both
+    // the candidate explode and the total, and without it each consumer
+    // re-runs the sketch scan (the result is a single row, so the
+    // materialization is bytes)
     val pass1 = ev.agg(
       call_function("graft_mg_candidates", lit(k), col("event_type"))
         .as("cands"),
       count(lit(1)).as("total"))
+      .localCheckpoint()
     val cand = pass1.select(explode(col("cands")).as("event_type"))
     val counts = ev
       .join(broadcast(cand), Seq("event_type"), "left_semi")
@@ -153,8 +158,15 @@ object Profiling {
     * second scan, nothing driver-side.
     */
   def dqSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the per-key counts once: the frame feeds both the 1-row
+    // stats aggregate and the top-5 selection, and the planner does NOT
+    // reuse the scan+shuffle subtree across those consumers (verified in
+    // the formatted plan — two full fact scans without this). O(distinct
+    // keys), the operator's natural working-set size; recomputing the
+    // fact-table aggregation twice is strictly worse at any scale.
     val freq = t(spark, dir, "lineitem")
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
     val stats = freq.agg(
       sum(col("freq")).as("n_rows"),
       count(lit(1)).as("n_keys"),
