@@ -90,7 +90,7 @@ object Bench {
     "graph_pagerank", "sim_knn_label_eval", "dq_heavy_hitters",
     "st8_window_heavy_hitters", "dq_skew_report",
     "st9_window_distinct_users", "dedup_containment",
-    "j9_interval_overlap",
+    "j9_interval_overlap", "j10_temporal_dim_join",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -1122,7 +1122,41 @@ object Relational {
       .orderBy(col("c_nationkey").asc)
   }
 
+  /** J10 — TEMPORAL dimension join: each fact row enriched with the
+    * dimension version that was VALID AT ITS EVENT TIME — the read side
+    * of [[u5Scd2Merge]]'s history-keeping write, and the join every
+    * `dim_customer`-with-validity warehouse runs ("what was the
+    * customer's balance when the order was placed"). Orders before the
+    * change date resolve to the closed original version, later orders to
+    * the open one.
+    *
+    * Plan shape: ONE equi hash join on the dimension key with the
+    * validity interval riding as a post-probe predicate — never a range
+    * join, because SCD2 validity intervals PARTITION time per key (2–3
+    * versions per key in practice), so the equi-join's fan-out is the
+    * version count and each fact row survives exactly once. A banded
+    * range join (the [[RangeJoin.banded]] machinery) would be strictly
+    * worse here: the equi key already co-locates everything. Date
+    * comparison is whole-day ([from, to) with NULL = open), integer
+    * date arithmetic both engines share.
+    */
+  def j10TemporalDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = u5Scd2Merge(spark, dir)
+      .select(col("c_custkey").as("d_custkey"), col("c_acctbal"),
+        col("valid_from"), col("valid_to"))
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"))
+      .join(dim, col("o_custkey") === col("d_custkey") &&
+        col("o_date") >= col("valid_from") &&
+        (col("valid_to").isNull || col("o_date") < col("valid_to")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_date"),
+        col("o_totalprice"), col("c_acctbal").as("acctbal_asof"),
+        col("valid_from"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j10_temporal_dim_join" -> (j10TemporalDimJoin _),
     "a13_pct_of_total" -> (a13PctOfTotal _),
     "j8_fuzzy_match" -> (j8FuzzyMatch _),
     "q7_shipping_priority" -> (q7ShippingPriority _),
@@ -1247,6 +1281,26 @@ object Relational {
                     WHERE l.l_orderkey = o.o_orderkey
                       AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
       GROUP BY 1""",
+    "j10_temporal_dim_join" -> """
+      WITH delta AS (
+        SELECT c_custkey AS d_key,
+          (CAST(round(c_acctbal * 100) AS BIGINT) + 10000)::DOUBLE / 100.0
+            AS d_bal
+        FROM customer WHERE c_custkey % 10 = 3),
+      dim AS (
+        SELECT c.c_custkey AS d_custkey, c.c_acctbal,
+               DATE '1990-01-01' AS valid_from,
+               CASE WHEN d.d_key IS NOT NULL THEN DATE '2000-01-01' END
+                 AS valid_to
+        FROM customer c LEFT JOIN delta d ON c.c_custkey = d.d_key
+        UNION ALL
+        SELECT c.c_custkey, d.d_bal, DATE '2000-01-01', CAST(NULL AS DATE)
+        FROM customer c JOIN delta d ON c.c_custkey = d.d_key)
+      SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS o_date,
+             o.o_totalprice, dim.c_acctbal AS acctbal_asof, dim.valid_from
+      FROM orders o JOIN dim ON o.o_custkey = dim.d_custkey
+        AND CAST(o.o_orderdate AS DATE) >= dim.valid_from
+        AND (dim.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < dim.valid_to)""",
     "u5_scd2_merge" -> """
       WITH delta AS (
         SELECT c_custkey AS d_key,

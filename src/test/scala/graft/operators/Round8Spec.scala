@@ -345,6 +345,31 @@ class Round8Spec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("temporal dim join: every order matches exactly one version, and " +
+      "the version boundary routes balances correctly") {
+    val out = Relational.j10TemporalDimJoin(spark, dir).cache()
+    try {
+      // exactly-once: validity intervals partition time per key
+      assert(out.count() == t(spark, dir, "orders").count())
+      assert(out.groupBy("o_orderkey").count()
+        .filter(col("count") > 1).isEmpty)
+      val boundary = java.sql.Date.valueOf("2000-01-01")
+      val base = t(spark, dir, "customer")
+        .select("c_custkey", "c_acctbal").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      out.collect().foreach { r =>
+        val (ck, date, bal) = (r.getLong(1), r.getDate(2), r.getDouble(4))
+        val changed = ck % 10 == 3
+        val expected =
+          if (changed && !date.before(boundary))
+            (math.round(base(ck) * 100) + 10000L).toDouble / 100.0
+          else base(ck)
+        assert(bal == expected,
+          s"order ${r.getLong(0)} cust $ck @ $date: $bal vs $expected")
+      }
+    } finally out.unpersist()
+  }
+
   test("pagerank: matches a driver-side 3-iteration power recompute") {
     val pairs = Dedup.dedupMinhashLsh(spark, dir)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
