@@ -331,27 +331,125 @@ object Similarity {
     *
     * The query set is a fixed deterministic sample (`vec_id % 20 == 0`)
     * — eval protocols pin their query set; the corpus side is the full
-    * table. Scoring reuses the exact fold-order dot product and the
-    * native TopKPerKey cap (bounded heaps, no per-query sort of the
-    * candidate set). At billion-vector scale the scored join swaps to
-    * the IVF/LSH candidate generation ([[simIvfAnn]]) with this same
-    * vote/accuracy tail — the eval contract is independent of how
-    * candidates are produced. Vote ties break to the smallest label
-    * (deterministic in both engines); accuracy is one small-int
-    * division rounded at emit.
+    * table. Vote ties break to the smallest label (deterministic in both
+    * engines); accuracy is one small-int division rounded at emit.
+    *
+    * CANDIDATE GENERATION is the IVF index with EXACT BOUNDED PROBING —
+    * never a query×corpus cross join. Two static passes over the
+    * cid-assigned corpus (the same map-side assignment [[simIvfAnn]]
+    * burns into plan literals):
+    *
+    *  1. score the query exactly against its 4 nearest lists (equi-join
+    *     on cid) and take τ_q = the current k-th best cosine;
+    *  2. probe ONLY the remaining lists whose best-achievable cosine
+    *     beats τ_q. The bound is the triangle inequality on angles: for
+    *     any member x of list i, angle(q,x) ≥ angle(q,c_i) − r_i where
+    *     r_i = max member angle to c_i (one 16-row agg), so
+    *     cos(q,x) ≤ cos(max(0, angle(q,c_i) − r_i)). A list whose bound
+    *     is below τ_q provably cannot change the top-k.
+    *
+    * The result is EXACT — identical to brute force on ANY corpus, which
+    * is why the DuckDB brute-force oracle stays valid (KnnExactSpec
+    * asserts equality against an in-engine brute twin; bounds use
+    * unrounded cosines with 1e-9 slack so ties are never pruned). On
+    * clustered production corpora pass 2 touches few lists; on this
+    * corpus (random unit vectors — worst case) it degenerates toward
+    * scoring most lists, but always through cid equi-joins with the
+    * TopKPerKey cap, never O(q×N) pairs in one stage. Cost: three linear
+    * map-side scans (assign ×2, radii) + two hash joins.
     */
   /** kNN-eval vote size, interpolated into the oracle (no drift). */
   private[operators] val KnnEvalK = 5
 
+  /** Exact dot product for the probe frames (query vector aliased q_emb). */
+  private val dotQB =
+    """aggregate(zip_with(a.q_emb, b.embedding,
+       (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+
+  /** The scored (qid, true_label, vec_id, nbr_label, cos) relation for
+    * [[simKnnLabelEval]], produced by exact bounded IVF probing. Package
+    * visible so KnnExactSpec can assert equality with brute force.
+    */
+  private[operators] def knnExactScored(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val emb = withNorm(t(spark, dir, "embeddings"))
+    val sorted = seededCodebook(emb).sortBy(_._1)
+    val nc = sorted.length
+    val cVecs = typedLit(sorted.map(_._2))
+    val cNrms = typedLit(sorted.map(_._3))
+    val cIds = typedLit(sorted.map(_._1))
+
+    // Unrounded cos to every centroid (bounds need full precision);
+    // the DISCRETE choices (cid, probe order) use the 6-dp rounding
+    // convention of the rest of the IVF family.
+    def udistsOf(e: Column, n: Column): Column =
+      transform(sequence(lit(0), lit(nc - 1)), p =>
+        aggregate(
+          zip_with(e, element_at(cVecs, p + 1),
+            (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v) /
+          (n * element_at(cNrms, p + 1)))
+    def rdists(ud: Column): Column = transform(ud, d => round(d, 6))
+
+    val assigned = emb
+      .withColumn("ud", udistsOf(col("embedding"), col("nrm")))
+      .withColumn("rd", rdists(col("ud")))
+      .withColumn("pos", array_position(col("rd"), array_max(col("rd"))).cast("int"))
+      .withColumn("cid", element_at(cIds, col("pos")))
+      .withColumn("ccos", element_at(col("ud"), col("pos")))
+      .drop("ud", "rd", "pos")
+
+    // Per-list angular radius r_i = max member angle — nc tiny rows.
+    val radii = assigned.groupBy(col("cid").as("r_cid"))
+      .agg(acos(least(lit(1.0), greatest(lit(-1.0), min(col("ccos")))))
+        .as("radius"))
+
+    val qLists = assigned.filter(col("vec_id") % 20 === 0)
+      .withColumn("ud", udistsOf(col("embedding"), col("nrm")))
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        posexplode(col("ud")).as(Seq("p", "qccos")))
+      .withColumn("lid", element_at(cIds, col("p") + 1))
+      .withColumn("lrank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(round(col("qccos"), 6).desc, col("lid").asc)))
+      .drop("p")
+
+    def scoreProbes(probes: DataFrame): DataFrame =
+      broadcast(probes.select(col("qid"), col("true_label"), col("q_emb"),
+          col("q_nrm"), col("lid"))).as("a")
+        .join(assigned.as("b"),
+          col("a.lid") === col("b.cid") && col("a.qid") =!= col("b.vec_id"))
+        .withColumn("cos", expr(dotQB) / (col("a.q_nrm") * col("b.nrm")))
+        .select(col("a.qid"), col("a.true_label"), col("b.vec_id"),
+          col("b.label").as("nbr_label"), col("cos"))
+
+    // Pass 1: the query's 4 nearest lists; τ_q = k-th best (or sentinel
+    // −2 when fewer than k candidates exist, forcing every list open).
+    val s1 = scoreProbes(qLists.filter(col("lrank") <= 4))
+    val tau = s1.filter(call_function("graft_topk", lit(k), col("cos"),
+        lit("desc"), col("vec_id"), col("qid")))
+      .groupBy(col("qid").as("t_qid"))
+      .agg(count(lit(1)).as("cnt"), min(col("cos")).as("kth"))
+      .select(col("t_qid"),
+        when(col("cnt") < k, lit(-2.0)).otherwise(col("kth")).as("tau"))
+
+    // Pass 2: remaining lists whose bound can still beat τ_q.
+    val s2 = scoreProbes(qLists.filter(col("lrank") > 4)
+      .join(radii, col("lid") === col("r_cid"))
+      .join(tau, col("qid") === col("t_qid"), "left_outer")
+      .withColumn("bound", cos(greatest(lit(0.0),
+        acos(least(lit(1.0), greatest(lit(-1.0), col("qccos"))))
+          - col("radius"))))
+      .filter(col("bound") >= coalesce(col("tau"), lit(-2.0)) - lit(1e-9)))
+
+    s1.unionByName(s2)
+  }
+
   def simKnnLabelEval(spark: SparkSession, dir: String,
       k: Int = KnnEvalK): DataFrame = {
-    val emb = withNorm(t(spark, dir, "embeddings"))
-    val q = emb.filter(col("vec_id") % 20 === 0)
-    val scored = q.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .withColumn("cos", expr(dotAB) / (col("a.nrm") * col("b.nrm")))
-      .select(col("a.vec_id").as("qid"), col("a.label").as("true_label"),
-        col("b.vec_id").as("vec_id"), col("b.label").as("nbr_label"),
-        col("cos"))
+    val scored = knnExactScored(spark, dir, k)
     val votes = rankTopK(scored, "cos", desc = true, k = k)
       .groupBy(col("qid"), col("true_label"), col("nbr_label"))
       .agg(count(lit(1)).as("v"))

@@ -1,0 +1,193 @@
+#!/usr/bin/env python3
+"""Deterministic scale-factor generator for the graft test tables.
+
+Mirrors the driver's /root/testdata/sf* distributions (measured at
+sf0.1; see TESTDATA.md) so larger scale factors can be generated
+locally for scale benchmarking.  The driver's own data is read-only
+and stops at sf0.1; the judge's round-8 directive asks for a measured
+sf1 run ("convert every plan-read scale claim into a measured one").
+
+Usage: python3 tools/gen_sf.py <sf> <outdir>
+  e.g. python3 tools/gen_sf.py 1 /root/repo/localdata/sf1
+
+Distributions replicated from sf0.1 (seed fixed; rows scale linearly):
+  orders     1.5M/sf  keys dense 0..N-1, custkey uniform, date uniform 1995-01-01..2001-08-01
+  lineitem   ~6M/sf   lines/order ~ Poisson(4) truncated >=1, qty U{1..50},
+                      extprice U(900,105000), disc U{0,.01,..,.10}, tax U{0,..,.08},
+                      shipdate uniform 1995-01-02..2001-11-04 (independent of orderdate)
+  customer   150k/sf  nationkey U{0..24}, acctbal U(-1000,10000), 5 segments
+  part       200k/sf  name = adj x noun (8x8), Brand#0..24, 6 types, size U{1..50},
+                      retailprice = 900 + (key % 1000)/10
+  supplier   10k/sf   acctbal U(-1000,10000)
+  nation/region       copied verbatim from the driver's sf0.1 (invariant across sf)
+  events     1M/sf    ts uniform over Jan 2024, users 15k/sf, 5 types,
+                      value ~ Exp(mean 50), props = {"k": U{0..99}}
+  documents  50k/sf   31-word vocab, 10..100 tokens, lang en 41%/4x~15%,
+                      20 sources, ~4% near-dup mutations + ~0.3% exact dups
+  embeddings 20k/sf   64-dim unit-normalized gaussians, label U{0..9}
+"""
+import sys, json
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pathlib import Path
+
+SEED = 1042  # distinct from the driver's seed=42: same shape, different draws
+
+def write(outdir, name, table):
+    pq.write_table(table, str(Path(outdir) / f"{name}.parquet"))
+    print(f"{name}: {table.num_rows} rows", flush=True)
+
+def ts_ms(days_arr, base="1995-01-01"):
+    base_ms = np.datetime64(base).astype("datetime64[ms]").astype(np.int64)
+    return (base_ms + days_arr.astype(np.int64) * 86400_000).astype("datetime64[ms]")
+
+def main(sf, outdir):
+    rng = np.random.default_rng(SEED)
+    Path(outdir).mkdir(parents=True, exist_ok=True)
+    n_orders = int(1_500_000 * sf)
+    n_cust = int(150_000 * sf)
+    n_part = int(200_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_events = int(1_000_000 * sf)
+    n_users = int(15_000 * sf)
+    n_docs = int(50_000 * sf)
+    n_vecs = int(20_000 * sf)
+
+    # nation / region: invariant, copy from driver data
+    for t in ("nation", "region"):
+        write(outdir, t, pq.read_table(f"/root/testdata/sf0.1/{t}.parquet"))
+
+    # orders ---------------------------------------------------------------
+    order_days = rng.integers(0, 2405, n_orders)  # 1995-01-01 .. 2001-08-01
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_orders), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, n_orders), pa.int64()),
+        "o_orderstatus": pa.array(np.array(["O", "P", "F"])[rng.integers(0, 3, n_orders)]),
+        "o_totalprice": pa.array(np.round(rng.uniform(1000, 500000, n_orders), 2)),
+        "o_orderdate": pa.array(ts_ms(order_days), pa.timestamp("ms")),
+        "o_orderpriority": pa.array(
+            np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])[
+                rng.integers(0, 5, n_orders)]),
+    })
+    write(outdir, "orders", orders)
+
+    # lineitem -------------------------------------------------------------
+    lines_per = np.maximum(1, rng.poisson(4.0, n_orders))
+    n_li = int(lines_per.sum())
+    l_orderkey = np.repeat(np.arange(n_orders), lines_per)
+    l_linenumber = (np.arange(n_li) - np.repeat(np.cumsum(lines_per) - lines_per, lines_per) + 1)
+    ship_days = rng.integers(1, 2500, n_li)  # 1995-01-02 .. ~2001-11
+    lineitem = pa.table({
+        "l_orderkey": pa.array(l_orderkey, pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+        "l_linenumber": pa.array(l_linenumber.astype(np.int32), pa.int32()),
+        "l_quantity": pa.array(rng.integers(1, 51, n_li).astype(np.float64)),
+        "l_extendedprice": pa.array(np.round(rng.uniform(900, 105000, n_li), 2)),
+        "l_discount": pa.array(np.round(rng.integers(0, 11, n_li) * 0.01, 2)),
+        "l_tax": pa.array(np.round(rng.integers(0, 9, n_li) * 0.01, 2)),
+        "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]),
+        "l_linestatus": pa.array(np.array(["F", "O"])[rng.integers(0, 2, n_li)]),
+        "l_shipdate": pa.array(ts_ms(ship_days), pa.timestamp("ms")),
+    })
+    write(outdir, "lineitem", lineitem)
+
+    # customer -------------------------------------------------------------
+    customer = pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust).astype(np.int32), pa.int32()),
+        "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n_cust), 2)),
+        "c_mktsegment": pa.array(
+            np.array(["MACHINERY", "BUILDING", "HOUSEHOLD", "FURNITURE", "AUTOMOBILE"])[
+                rng.integers(0, 5, n_cust)]),
+    })
+    write(outdir, "customer", customer)
+
+    # part -----------------------------------------------------------------
+    adjs = np.array(["red", "new", "hot", "large", "blue", "cold", "small", "old"])
+    nouns = np.array(["gear", "gizmo", "bolt", "ring", "widget", "anvil", "plate", "rod"])
+    pk = np.arange(n_part)
+    names = np.char.add(np.char.add(adjs[rng.integers(0, 8, n_part)], " "),
+                        nouns[rng.integers(0, 8, n_part)])
+    part = pa.table({
+        "p_partkey": pa.array(pk, pa.int64()),
+        "p_name": pa.array(names),
+        "p_brand": pa.array([f"Brand#{b}" for b in rng.integers(0, 25, n_part)]),
+        "p_type": pa.array(
+            np.array(["STANDARD", "MEDIUM", "ECONOMY", "SMALL", "LARGE", "PROMO"])[
+                rng.integers(0, 6, n_part)]),
+        "p_size": pa.array(rng.integers(1, 51, n_part).astype(np.int32), pa.int32()),
+        "p_retailprice": pa.array(np.round(900 + (pk % 1000) * 0.1, 1)),
+    })
+    write(outdir, "part", part)
+
+    # supplier -------------------------------------------------------------
+    supplier = pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp).astype(np.int32), pa.int32()),
+        "s_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n_supp), 2)),
+    })
+    write(outdir, "supplier", supplier)
+
+    # events ---------------------------------------------------------------
+    month_ns = 30 * 86400 * 10**9
+    ts = np.sort(rng.integers(0, month_ns, n_events)) + np.datetime64("2024-01-01").astype(
+        "datetime64[ns]").astype(np.int64)
+    events = pa.table({
+        "event_id": pa.array(np.arange(n_events), pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[ns]"), pa.timestamp("ns")),
+        "user_id": pa.array(rng.integers(0, n_users, n_events), pa.int64()),
+        "event_type": pa.array(
+            np.array(["signup", "purchase", "view", "click", "error"])[
+                rng.integers(0, 5, n_events)]),
+        "value": pa.array(np.round(rng.exponential(50.0, n_events), 2)),
+        "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, n_events)]),
+    })
+    write(outdir, "events", events)
+
+    # documents ------------------------------------------------------------
+    vocab = np.array([
+        "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+        "filter", "group", "hash", "join", "key", "line", "merge", "order", "part",
+        "query", "row", "scan", "slow", "small", "sort", "spark", "stream", "table",
+        "the", "value", "vector", "window"])
+    langs = np.array(["en", "zh", "es", "fr", "de"])
+    lang_p = np.array([0.41, 0.15, 0.15, 0.15, 0.14])
+    texts = []
+    for i in range(n_docs):
+        r = rng.random()
+        if r < 0.003 and texts:          # exact duplicate of a recent doc
+            texts.append(texts[rng.integers(max(0, i - 200), i)])
+        elif r < 0.043 and texts:        # near-duplicate: mutate a few tail tokens
+            toks = texts[rng.integers(max(0, i - 200), i)].split(" ")
+            for _ in range(rng.integers(1, 4)):
+                toks[rng.integers(len(toks) // 2, len(toks))] = vocab[rng.integers(len(vocab))]
+            texts.append(" ".join(toks))
+        else:
+            k = rng.integers(10, 101)
+            texts.append(" ".join(vocab[rng.integers(0, len(vocab), k)]))
+    documents = pa.table({
+        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs[rng.choice(5, n_docs, p=lang_p)]),
+        "source": pa.array([f"src{s}" for s in rng.integers(0, 20, n_docs)]),
+        "n_chars": pa.array(np.array([len(t) for t in texts]), pa.int64()),
+    })
+    write(outdir, "documents", documents)
+
+    # embeddings -----------------------------------------------------------
+    vecs = rng.standard_normal((n_vecs, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    embeddings = pa.table({
+        "vec_id": pa.array(np.arange(n_vecs), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, n_vecs).astype(np.int32), pa.int32()),
+    })
+    write(outdir, "embeddings", embeddings)
+    print(json.dumps({"sf": sf, "outdir": str(outdir), "lineitem": n_li}), flush=True)
+
+if __name__ == "__main__":
+    main(float(sys.argv[1]), sys.argv[2])
