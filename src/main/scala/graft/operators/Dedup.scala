@@ -124,8 +124,15 @@ object Dedup {
     * exploded/sized intermediates instead costs more in materialization
     * than the explode saves (measured: 8.1 s vs 4 s at sf0.1).
     */
+  /** Anchor-star hot-bucket cap, interpolated into every oracle that
+    * mirrors the banded join (mm_dhash_neardup) so the two sides cannot
+    * drift — a bucket crossing the cap switches BOTH engines to
+    * anchor-star pairs.
+    */
+  private[graft] val BandBucketCap = 64
+
   private[operators] def bandedCandidates(bands: DataFrame, payload: String,
-      cap: Int = 64): DataFrame = {
+      cap: Int = BandBucketCap): DataFrame = {
     val stats = bands.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("anchor"))
     // same shuffle key (band, key) as the pair joins below

@@ -317,6 +317,17 @@ object Multimodal {
     * pixel residue lands on the sample grid, so the group's pairs pass
     * `maxDist`; cross-group hashes are md5-random (expected hamming 32)
     * and rarely even share a band.
+    *
+    * RECALL BOUND (ADVICE r8): 4 bands over 64 bits GUARANTEE a shared
+    * band only for pairs at hamming distance ≤ 3 (pigeonhole — 4+ bit
+    * differences can land one per band). Pairs at dist 4..`maxDist` are
+    * recalled only probabilistically (all differences must miss one
+    * band), so `maxDist` = 20 is a FILTER bound on reported pairs, not
+    * a recall guarantee. The DuckDB oracle mirrors the banding AND the
+    * anchor-star cap exactly (both interpolated from shared constants),
+    * so engine parity holds at any corpus size and bucket skew — both
+    * engines see the identical candidate set and miss the identical
+    * far pairs.
     */
   def mmDhashNeardup(spark: SparkSession, dir: String,
       maxDist: Int = DhashMaxDist): DataFrame = {
@@ -454,10 +465,24 @@ object Multimodal {
       WITH $dhashCte,
       band AS (SELECT doc_id, b, substr(dhash, 1 + b * 16, 16) AS key, dhash
                FROM dh, UNNEST(generate_series(0, 3)) AS g2(b)),
-      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-                 a.dhash AS sa, b.dhash AS sb
-               FROM band a JOIN band b ON a.b = b.b AND a.key = b.key
-               WHERE a.doc_id < b.doc_id)
+      stats AS (SELECT b, key, count(*) AS bn, min(doc_id) AS anchor
+                FROM band GROUP BY 1, 2),
+      sized AS (SELECT band.doc_id, band.b, band.key, band.dhash,
+                  stats.bn, stats.anchor
+                FROM band JOIN stats USING (b, key)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+               a.dhash AS sa, b.dhash AS sb
+        FROM sized a JOIN sized b ON a.b = b.b AND a.key = b.key
+        WHERE a.bn <= ${graft.operators.Dedup.BandBucketCap}
+          AND a.doc_id < b.doc_id
+        UNION
+        SELECT DISTINCT s.anchor AS da, s.doc_id AS db,
+               a2.dhash AS sa, s.dhash AS sb
+        FROM sized s JOIN sized a2
+          ON a2.b = s.b AND a2.key = s.key AND a2.doc_id = s.anchor
+        WHERE s.bn > ${graft.operators.Dedup.BandBucketCap}
+          AND s.doc_id <> s.anchor)
       SELECT da, db, CAST(hamming(sa, sb) AS INT) AS dist
       FROM cand WHERE hamming(sa, sb) <= $DhashMaxDist""",
     "mm_audio_stats" -> """

@@ -389,19 +389,24 @@ object TextAnalysis {
            END""")).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
     val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    bg.join(cb, Seq("w1", "w2")).join(uni, "w1")
+    val scored = bg.join(cb, Seq("w1", "w2")).join(uni, "w1")
       .withColumn("ll_u",
         round(log(col("cb").cast("double") / col("c1")) * 1e6).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("ll_u")).as("llu"))
-      // The per-doc mean is rounded to INTEGER micro-units before the
-      // final 1e6 divide: half-integer micro quotients are exactly
-      // representable doubles, so both engines see the identical value
-      // and round it the same way. Dividing first and rounding the
-      // 6th decimal instead puts the result one ulp from a .5 boundary,
-      // where Spark (shortest-decimal BigDecimal) and DuckDB (binary
-      // std::round) disagree — observed at sf0.1 (doc 3093).
-      .select(col("doc_id"), col("n_bigrams"),
+    // Every doc gets a row — docs with < 2 tokens have no bigrams, so
+    // the group-by alone would silently drop them (ADVICE r8); they
+    // come back through the left join as n_bigrams=0, null avg_ll/ppl.
+    // The per-doc mean is rounded to INTEGER micro-units before the
+    // final 1e6 divide: half-integer micro quotients are exactly
+    // representable doubles, so both engines see the identical value
+    // and round it the same way. Dividing first and rounding the
+    // 6th decimal instead puts the result one ulp from a .5 boundary,
+    // where Spark (shortest-decimal BigDecimal) and DuckDB (binary
+    // std::round) disagree — observed at sf0.1 (doc 3093).
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         (round(col("llu").cast("double") / col("n_bigrams")).cast("long")
           / 1e6).as("avg_ll"),
         round(exp(-(round(col("llu").cast("double") / col("n_bigrams"))
@@ -437,13 +442,14 @@ object TextAnalysis {
       cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
       s AS (SELECT bg.doc_id,
               CAST(round(ln(cb.cb::DOUBLE / uni.c1) * 1e6) AS BIGINT) AS ll_u
-            FROM bg JOIN cb USING (w1, w2) JOIN uni USING (w1))
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        CAST(round(CAST(sum(ll_u) AS BIGINT)
-          / CAST(count(*) AS DOUBLE)) AS BIGINT) / 1e6 AS avg_ll,
-        round(exp(-(CAST(round(CAST(sum(ll_u) AS BIGINT)
-          / CAST(count(*) AS DOUBLE)) AS BIGINT) / 1e6)), 6) AS ppl
-      FROM s GROUP BY 1""",
+            FROM bg JOIN cb USING (w1, w2) JOIN uni USING (w1)),
+      g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(round(CAST(sum(ll_u) AS BIGINT)
+                / CAST(count(*) AS DOUBLE)) AS BIGINT) / 1e6 AS avg_ll
+            FROM s GROUP BY 1)
+      SELECT d.doc_id, COALESCE(g.n_bigrams, 0) AS n_bigrams,
+        g.avg_ll AS avg_ll, round(exp(-g.avg_ll), 6) AS ppl
+      FROM documents d LEFT JOIN g USING (doc_id)""",
     "text_token_topk" -> """
       SELECT tok, count(*) AS n
       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

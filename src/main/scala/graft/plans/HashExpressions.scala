@@ -175,8 +175,7 @@ object GraftFunctions {
       "graft_topk", exprs => TopKMarker(exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_mg_candidates",
-      exprs => MisraGriesCandidates(exprs(1),
-        exprs(0).eval().asInstanceOf[Int]), "built-in")
+      exprs => MisraGriesCandidates.fromArgs(exprs), "built-in")
     // Spark's own runtime-filter predicate, exposed for the explicit
     // bloom-pruned join (Relational.bloomPrunedSemiJoin): codegen'd, and
     // the serialized sketch rides along as a foldable binary literal —
@@ -230,8 +229,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_mg_candidates"),
       new ExpressionInfo(classOf[MisraGriesCandidates].getName,
         "graft_mg_candidates"),
-      (exprs: Seq[Expression]) => MisraGriesCandidates(exprs(1),
-        exprs(0).eval().asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => MisraGriesCandidates.fromArgs(exprs)))
     e.injectFunction((FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

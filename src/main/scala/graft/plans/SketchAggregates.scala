@@ -6,11 +6,11 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream,
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Misra–Gries heavy-hitter candidate sketch as a native
@@ -43,9 +43,14 @@ case class MisraGriesCandidates(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
-  with UnaryLike[Expression] {
+  with UnaryLike[Expression] with ExpectsInputTypes {
 
   require(k >= 2 && k <= 65536, s"sketch size k=$k out of range [2, 65536]")
+
+  // Analysis-time contract: the tracked column must be STRING (ADVICE
+  // r8 — an unconditional UTF8String cast in update() turned a
+  // non-string child into a runtime ClassCastException mid-job).
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
@@ -115,4 +120,24 @@ case class MisraGriesCandidates(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_mg_candidates"
+}
+
+object MisraGriesCandidates {
+  /** Validated construction from SQL call args `(k, col)` — every
+    * registration site routes through here so a long/column/null k
+    * fails at resolution time with a usable message instead of a raw
+    * ClassCastException from `eval().asInstanceOf[Int]` (ADVICE r8).
+    */
+  def fromArgs(exprs: Seq[Expression]): MisraGriesCandidates = {
+    require(exprs.length == 2,
+      s"graft_mg_candidates expects 2 arguments (k INT, col STRING), " +
+        s"got ${exprs.length}")
+    val kExpr = exprs.head
+    require(kExpr.foldable && kExpr.dataType == IntegerType,
+      "graft_mg_candidates: k must be a foldable INT literal (e.g. 64), " +
+        s"got ${kExpr.dataType.simpleString} expression ${kExpr.sql}")
+    val k = kExpr.eval()
+    require(k != null, "graft_mg_candidates: k must not be NULL")
+    MisraGriesCandidates(exprs(1), k.asInstanceOf[Int])
+  }
 }

@@ -61,15 +61,43 @@ class Round8Spec extends AnyFunSuite {
       val rows = out.collect()
       assert(rows.length == t(spark, dir, "documents").count())
       rows.foreach { r =>
-        val (ll, ppl) = (r.getAs[Double]("avg_ll"), r.getAs[Double]("ppl"))
-        assert(ll <= 0.0, s"self-trained MLE log-likelihood must be <= 0: $ll")
-        assert(ppl >= 1.0 && math.abs(ppl - math.exp(-ll)) < 1e-4)
+        if (r.isNullAt(r.fieldIndex("avg_ll"))) {
+          // sub-bigram doc: kept with an explicit zero-bigram row
+          assert(r.getAs[Long]("n_bigrams") == 0L)
+          assert(r.isNullAt(r.fieldIndex("ppl")))
+        } else {
+          val (ll, ppl) = (r.getAs[Double]("avg_ll"), r.getAs[Double]("ppl"))
+          assert(ll <= 0.0, s"self-trained MLE log-likelihood must be <= 0: $ll")
+          assert(ppl >= 1.0 && math.abs(ppl - math.exp(-ll)) < 1e-4)
+        }
       }
       val tokCounts = t(spark, dir, "documents")
         .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
       assert(out.join(tokCounts, "doc_id")
         .filter(col("n_bigrams") =!= col("n") - 1).isEmpty)
     } finally out.unpersist()
+  }
+
+  test("lm score keeps sub-bigram docs: n_bigrams=0, null avg_ll/ppl " +
+      "(ADVICE r8 — the score-every-doc contract on corpora with short docs)") {
+    val tmp = java.nio.file.Files.createTempDirectory("lmshort").toString
+    import spark.implicits._
+    Seq(
+      (0L, "one", "en", "src0", 3L),                 // 1 token: no bigrams
+      (1L, "spark fast spark", "en", "src0", 16L),
+      (2L, "", "en", "src1", 0L))                    // empty text
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.textLmScore(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L), "every doc must get a row")
+    Seq(0L, 2L).foreach { id =>
+      assert(rows(id).getAs[Long]("n_bigrams") == 0L)
+      assert(rows(id).isNullAt(rows(id).fieldIndex("avg_ll")))
+      assert(rows(id).isNullAt(rows(id).fieldIndex("ppl")))
+    }
+    assert(rows(1L).getAs[Long]("n_bigrams") == 2L)
+    assert(rows(1L).getAs[Double]("avg_ll") <= 0.0)
   }
 
   test("dhash: 64-bit strings from real decoded pixels; planted groups " +
@@ -251,6 +279,39 @@ class Round8Spec extends AnyFunSuite {
     val verified = cands.filter(c =>
       exact.getOrElse(c, 0).toLong * k > n).toSet
     assert(verified == heavies)
+  }
+
+  test("mg sketch rejects bad args at resolution time with clear errors " +
+      "(ADVICE r8 — no raw ClassCastException from k or the column type)") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val strs = Seq("a", "b").toDF("key")
+    // non-string tracked column -> analysis-time type error, not a CCE
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1, 2, 3).toDF("n")
+        .agg(call_function("graft_mg_candidates", lit(4), col("n"))).collect()
+    }
+    // long literal k -> descriptive message
+    val e2 = intercept[Exception] {
+      strs.agg(call_function("graft_mg_candidates", lit(4L), col("key"))).collect()
+    }
+    assert(e2.getMessage.contains("foldable INT literal"), e2.getMessage)
+    // column-valued k
+    val e3 = intercept[Exception] {
+      strs.agg(call_function("graft_mg_candidates", col("key"), col("key"))).collect()
+    }
+    assert(e3.getMessage.contains("foldable INT literal"), e3.getMessage)
+    // null k
+    val e4 = intercept[Exception] {
+      strs.agg(call_function("graft_mg_candidates",
+        lit(null).cast("int"), col("key"))).collect()
+    }
+    assert(e4.getMessage.contains("NULL"), e4.getMessage)
+    // wrong arity
+    val e5 = intercept[Exception] {
+      strs.agg(call_function("graft_mg_candidates", lit(4))).collect()
+    }
+    assert(e5.getMessage.contains("2 arguments"), e5.getMessage)
   }
 
   test("dq heavy hitters: equals the exact group-by-having recompute") {
