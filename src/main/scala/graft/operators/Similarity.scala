@@ -64,7 +64,13 @@ object Similarity {
     capped.withColumn("rank", row_number().over(w))
   }
 
-  /** Brute-force cosine top-5 for query vectors vec_id < 10. */
+  /** Brute-force cosine top-5 for query vectors vec_id < 10 — the EVAL
+    * BASELINE the ANN family's recall is measured against
+    * ([[simRecallAtK]]); quadratic by definition. The scale paths are
+    * the LSH buckets ([[simLshAnn]]/[[simLshMultiprobe]]) and the IVF
+    * lists ([[simIvfAnn]]); PlanShapeSpec gates this function to
+    * eval-only use.
+    */
   def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(t(spark, dir, "embeddings"))
     val q = emb.filter(col("vec_id") < 10)
