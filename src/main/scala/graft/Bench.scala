@@ -248,8 +248,14 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
+    // Both stats on stdout (round-8 judge #5): "value" (min — the
+    // load-robust headline) AND "value_median", so the driver's 2× gate
+    // and the judge can see load sensitivity without the sidecar. A
+    // real intermittent regression moves the median even when one fast
+    // rep keeps the min flattering.
+    val totalMedian = medians.collect { case (_, v) if v >= 0 => v }.sum
     def line(qsPart: String, extras: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsPart,"reps":$reps,"failed":$failed$extras,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMedian)},"unit":"sec","queries":$qsPart,"reps":$reps,"failed":$failed$extras,"sf":"$sfDir"}"""
     // Progressive trimming keeps the line parseable whatever the suite
     // grows to: full form → drop diagnostics → 2-decimal query times.
     val full = line(qs, s""","rss_mb":$rssMb,"gc_ms":$gcMs$ratioPart""")

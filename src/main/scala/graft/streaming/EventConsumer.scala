@@ -93,14 +93,43 @@ object EventConsumer {
     * jar on the classpath these builders run unchanged.
     */
   def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .load()
-      .selectExpr("CAST(value AS STRING) AS json")
-      .select(from_json(col("json"), Tables.eventsRawSchema).as("e"))
-      .select(col("e.*"))
+    decodeKafkaEvents(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load())
+
+  /** The consumer-side decode a Kafka deployment runs: value bytes →
+    * JSON → typed event columns → normalized event-time. ONE expression
+    * shared by the real broker source above and the [[kafkaReplaySource]]
+    * harness below, so what the replay proves is exactly what the broker
+    * path executes.
+    */
+  def decodeKafkaEvents(kafka: DataFrame): DataFrame =
+    Tables.normalizeEventTs(
+      kafka.selectExpr("CAST(value AS STRING) AS json")
+        .select(from_json(col("json"), Tables.eventsRawSchema).as("e"))
+        .select(col("e.*")))
+
+  /** Kafka-SHAPED stream without a broker (S7/ST1/ST2 proof path): the
+    * [[KafkaReplayProvider]] DSv2 source replays the events fixture with
+    * the connector's exact schema and offset semantics (partition
+    * buckets, dense offsets, admission control, checkpoint restart).
+    * Production swap is this one line → `format("kafka")` +
+    * bootstrap/subscribe; the decode and every transform downstream are
+    * shared verbatim. StreamingSpec runs the ST3/ST5/ST8/ST9 transforms
+    * through this source and pins them to their batch twins.
+    */
+  def kafkaReplaySource(spark: SparkSession, dir: String,
+      partitions: Int = 4, rowsPerBatch: Long = 0L): DataFrame =
+    decodeKafkaEvents(
+      spark.readStream.format("graft.streaming.KafkaReplayProvider")
+        .option("path", dir)
+        .option("topic", "events")
+        .option("partitions", partitions)
+        .option("rowsPerBatch", rowsPerBatch)
+        .load())
 
   def kafkaSink(df: DataFrame, bootstrap: String, topic: String,
       checkpoint: String) =
@@ -250,7 +279,7 @@ object EventConsumer {
     * flavor's guarantee.
     */
   /** Per-window sketch size, interpolated into the st8 oracle (no drift). */
-  private val WindowHhK = 8
+  private[graft] val WindowHhK = 8
 
   def windowHeavyHitterSketch(events: DataFrame, k: Int = WindowHhK): DataFrame = {
     graft.plans.GraftFunctions.register(events.sparkSession)
