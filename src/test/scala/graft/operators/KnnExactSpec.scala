@@ -21,7 +21,8 @@ class KnnExactSpec extends AnyFunSuite {
         """sqrt(aggregate(transform(embedding,
            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
            CAST(0 AS DOUBLE), (a, v) -> a + v))"""))
-    val q = emb.filter(col("vec_id") % 20 === 0)
+    val q = emb.filter(col("vec_id") % 20 === 0 &&
+      col("vec_id") < Similarity.KnnEvalPanelCap)
     q.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("cos", expr(
         """aggregate(zip_with(a.embedding, b.embedding,
