@@ -378,6 +378,22 @@ class Round8Spec extends AnyFunSuite {
     assert(got.keys.forall { case (s, d) => s != d })
   }
 
+  test("containment spill-safe index (judge r8 #6): DISK_ONLY placement " +
+      "yields the identical result and really lands on disk") {
+    import org.apache.spark.storage.StorageLevel
+    def pairs(diskOnly: Boolean) =
+      Dedup.dedupContainment(spark, dir, diskOnlyIndex = diskOnly)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val disk = pairs(diskOnly = true)
+    // the two materialized indexes are persisted DISK_ONLY while alive
+    assert(spark.sparkContext.getPersistentRDDs.values
+        .exists(_.getStorageLevel == StorageLevel.DISK_ONLY),
+      "diskOnlyIndex=true must place the posting indexes DISK_ONLY")
+    assert(disk == pairs(diskOnly = false),
+      "storage placement must never change results")
+  }
+
   test("interval overlap: equals the bucket-free brute force, and the " +
       "first-shared-bucket guard emits each pair exactly once") {
     val out = RangeJoin.j9IntervalOverlap(spark, dir).cache()
