@@ -351,7 +351,56 @@ object EventConsumer {
       .select(col("window.start").as("window_start"),
         col("n_users_approx"), col("n_events"))
 
+  /** ST10 — STREAM-STREAM interval join, the attribution join run live:
+    * every purchase is paired with each of the same user's views from the
+    * preceding 30 minutes. The one streaming shape st3–st9 don't cover:
+    * TWO unbounded sources joined on key + event-time range. Spark keeps
+    * both sides' rows in the state store and the time-range predicate +
+    * per-side watermarks bound that state — a view older than
+    * (watermark − 30 min) can never match a future purchase, so its state
+    * row is evicted; without the range predicate the plan would be
+    * rejected/unbounded. Matches emit eagerly (inner join, append mode).
+    * At scale this is one shuffle of each stream on user_id and state
+    * proportional to 30 minutes of traffic per side — the Kafka-fed
+    * production shape (swap the sources to `format("kafka")`).
+    */
+  def streamStreamJoin(views: DataFrame, purchases: DataFrame): DataFrame =
+    views.alias("v").join(purchases.alias("p"),
+        col("v.user_id") === col("p.user_id") &&
+          col("p.ts") >= col("v.ts") &&
+          col("p.ts") <= col("v.ts") + expr("INTERVAL 30 MINUTES"))
+      .select(
+        col("v.user_id").as("user_id"),
+        col("v.event_id").as("view_id"),
+        col("v.ts").as("view_ts"),
+        col("p.event_id").as("purchase_id"),
+        col("p.ts").as("purchase_ts"),
+        col("p.value").as("value"))
+
+  /** Batch twin of [[streamStreamJoin]] — the oracle-checked flavor. */
+  def batchStreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(spark, dir, "events")
+    streamStreamJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"))
+  }
+
+  /** Streaming flavor: one file source branched into the two sides (a
+    * self-join of the stream), each watermarked so the join operator can
+    * evict state. StreamingSpec pins stream == batch twin.
+    */
+  def streamingStreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.normalizeEventTs(
+      spark.readStream
+        .schema(Tables.eventsRawSchema)
+        .parquet(dir))
+    streamStreamJoin(
+      ev.filter(col("event_type") === "view").withWatermark("ts", "1 hour"),
+      ev.filter(col("event_type") === "purchase").withWatermark("ts", "1 hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st10_stream_stream_join" -> (batchStreamStreamJoin _),
     "st3_window_agg" -> (batchWindowAgg _),
     "st4_sessionize" -> (batchSessionize _),
     "st6_sliding_window" -> (batchSlidingWindow _),
@@ -362,6 +411,13 @@ object EventConsumer {
   )
 
   val oracle: Map[String, String] = Map(
+    "st10_stream_stream_join" -> """
+      SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+             p.event_id AS purchase_id, p.ts AS purchase_ts, p.value
+      FROM events v JOIN events p
+        ON v.user_id = p.user_id
+      WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE""",
     "st9_window_distinct_users" -> """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
              count(DISTINCT user_id) AS n_users, count(*) AS n_events

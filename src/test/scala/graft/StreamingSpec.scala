@@ -391,6 +391,30 @@ class StreamingSpec extends AnyFunSuite {
       Set(1L, 2L, 3L))
   }
 
+  test("ST10 stream-stream interval join matches the batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val stage = java.nio.file.Files.createTempDirectory("graft_ss").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$stage/events.parquet"))
+    val q = EventConsumer.streamingStreamStreamJoin(spark, stage).writeStream
+      .outputMode("append")
+      .format("memory").queryName("st10_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("st10_test")
+      val batch = EventConsumer.batchStreamStreamJoin(spark, dir)
+      // inner stream-stream joins emit matches eagerly (no watermark
+      // holdback), so the streamed result must equal the batch twin
+      // exactly — both directions.
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming file-source agg matches the batch replay") {
     val dir = "/root/testdata/sf0.001"
     // file streaming source wants a directory; stage the events file alone
