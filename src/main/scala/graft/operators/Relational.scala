@@ -1122,6 +1122,85 @@ object Relational {
       .orderBy(col("c_nationkey").asc)
   }
 
+  /** Q12 — the TPC-H Q12 conditional-pivot shape (two CASE-sums in one
+    * pass): among LATE lines (shipped > 90 days after the order date),
+    * how many came from high- vs low-priority orders, per return flag.
+    * One equi hash join on the order key (the lateness inequality rides
+    * as a post-probe predicate), then a single aggregation carrying both
+    * conditional counts — the ELSE-0 sum pivot that folds what would be
+    * two scans into one. Both sides project only the 2–3 columns the
+    * query touches before the join.
+    */
+  def q12PriorityLateness(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+      .join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  /** Q14 — the TPC-H Q14 promo-revenue-share shape: what fraction of one
+    * month's discounted revenue came from promo parts. The part side
+    * carries only (partkey, is-promo) into the join — a broadcast at
+    * dimension scale — and the month filter prunes the fact scan before
+    * the join. The share is a ratio of two cent-exact sums computed in
+    * the SAME aggregation (no second scan); the emitted share is one
+    * IEEE divide+multiply of those two exact longs — addition-order-proof
+    * on any cluster, bit-identical in any engine (no rounding step).
+    */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val cents = round(rev * 100).cast("long")
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo"), cents).otherwise(0L)).as("promo_cents"),
+        sum(cents).as("total_cents"))
+      .select((lit(100.0) *
+          (col("promo_cents").cast("double") / col("total_cents").cast("double")))
+        .as("promo_revenue_pct"))
+  }
+
+  /** Q19 — the TPC-H Q19 disjunctive-predicate shape: revenue over an
+    * OR of brand/size/quantity conjunctions. The interesting part is the
+    * plan: Catalyst extracts the common conjuncts from the disjunction
+    * (brand IN (...), size/quantity envelope bounds) and pushes them
+    * into BOTH scans, so the join probes only rows that can satisfy
+    * SOME branch; the full OR re-checks post-join. Without that
+    * extraction every lineitem row would reach the join. Part side
+    * broadcasts at dimension scale.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val branch = (col("p_brand") === "Brand#4" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#19" &&
+        col("p_size").between(1, 25) && col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#2" &&
+        col("p_size").between(1, 35) && col("l_quantity").between(20, 40))
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg(count(lit(1)).as("n_lines"),
+        centSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+  }
+
   /** J10 — TEMPORAL dimension join: each fact row enriched with the
     * dimension version that was VALID AT ITS EVENT TIME — the read side
     * of [[u5Scd2Merge]]'s history-keeping write, and the join every
@@ -1156,6 +1235,9 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_priority_lateness" -> (q12PriorityLateness _),
+    "q14_promo_effect" -> (q14PromoEffect _),
+    "q19_disjunctive" -> (q19Disjunctive _),
     "j10_temporal_dim_join" -> (j10TemporalDimJoin _),
     "a13_pct_of_total" -> (a13PctOfTotal _),
     "j8_fuzzy_match" -> (j8FuzzyMatch _),
@@ -1262,6 +1344,35 @@ object Relational {
                         WHERE o.o_custkey = c.c_custkey
                           AND o.o_orderpriority = '1-URGENT')
       GROUP BY 1 ORDER BY c.c_nationkey ASC""",
+    "q12_priority_lateness" -> """
+      SELECT l.l_returnflag,
+        CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+      GROUP BY 1 ORDER BY 1 ASC""",
+    "q14_promo_effect" -> """
+      SELECT 100.0 * (CAST(sum(CASE WHEN p.p_type = 'PROMO'
+          THEN CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+               AS BIGINT) ELSE 0 END) AS DOUBLE)
+        / CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+               AS BIGINT)) AS DOUBLE)) AS promo_revenue_pct
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1996-04-01'""",
+    "q19_disjunctive" -> """
+      SELECT count(*) AS n_lines,
+        CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+          AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity BETWEEN 1 AND 20)
+         OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 25
+             AND l.l_quantity BETWEEN 10 AND 30)
+         OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 35
+             AND l.l_quantity BETWEEN 20 AND 40)""",
     "q7_shipping_priority" -> """
       SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
         CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
