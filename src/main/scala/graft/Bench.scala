@@ -143,8 +143,10 @@ object Bench {
     // per-rep eviction for rows that memoize their own result
     val resetBeforeRep: Map[String, () => Unit] = Map(
       // each index_build rep measures a real build, not a cache read
-      indexBuildRow -> (() =>
-        graft.operators.Dedup.release(spark, Some(sfDir))),
+      indexBuildRow -> (() => {
+        graft.operators.Dedup.release(spark, Some(sfDir))
+        graft.operators.Similarity.release(spark, Some(sfDir))
+      }),
       "corpus_clean" -> (() =>
         graft.operators.CorpusPipeline.release(spark, Some(sfDir))),
       // each rep measures the propagation loop against the built pair
@@ -173,7 +175,10 @@ object Bench {
       sampleBuf(name) +=
         (try {
           if (name == indexBuildRow)
-            time(graft.operators.Dedup.buildIndexes(spark, sfDir))
+            time {
+              graft.operators.Dedup.buildIndexes(spark, sfDir)
+              graft.operators.Similarity.buildIvfIndex(spark, sfDir)
+            }
           else {
             val fn = SparkEntry.queries(name)
             time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())

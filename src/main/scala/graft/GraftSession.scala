@@ -55,6 +55,7 @@ object GraftSession {
     */
   def release(spark: SparkSession, dir: Option[String] = None): Unit = {
     graft.operators.Dedup.release(spark, dir)
+    graft.operators.Similarity.release(spark, dir)
     graft.operators.CorpusPipeline.release(spark, dir)
     graft.operators.Curation.release(spark, dir)
     graft.operators.EventAnalytics.release(spark, dir)

@@ -1,8 +1,11 @@
 package graft.operators
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables.t
 import graft.functions.CentroidAggregator
@@ -158,6 +161,87 @@ object Similarity {
     */
   private type Codebook = Seq[(Long, Seq[Double], Double)]
 
+  /** Unrounded cosine of `e` (norm `n`) to every centroid of `code` —
+    * full precision for the triangle-inequality bounds; DISCRETE choices
+    * round to 6 dp downstream (the IVF family convention).
+    */
+  private def udistsOf(code: Codebook)(e: Column, n: Column): Column = {
+    val sorted = code.sortBy(_._1)
+    val cVecs = typedLit(sorted.map(_._2))
+    val cNrms = typedLit(sorted.map(_._3))
+    transform(sequence(lit(0), lit(sorted.length - 1)), p =>
+      aggregate(
+        zip_with(e, element_at(cVecs, p + 1),
+          (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v) /
+        (n * element_at(cNrms, p + 1)))
+  }
+
+  /** Session-memoized IVF CORPUS INDEX per (session, corpus dir): the
+    * seeded codebook, the cid-ASSIGNED corpus (vec_id, label, embedding,
+    * nrm, cid, ccos — one argmax of 16 centroid cosines per vector, the
+    * step that touches all N rows) and the per-list angular radii
+    * (16 tiny rows), both persisted MEMORY_AND_DISK and materialized
+    * once.
+    *
+    * These are CORPUS properties, not query properties — in production
+    * the assigned table is written at INGEST time, exactly like Dedup's
+    * signature index, and every searcher ([[simIvfAnn]],
+    * [[simIvfPqAnn]], [[knnExactScored]]) reads it instead of
+    * recomputing the full-corpus centroid dots per run (the round-9
+    * verdict's top cost finding). Bench times the build as its
+    * `index_build` row; [[graft.GraftSession.release]] unpins it.
+    */
+  private val ivfCache =
+    TrieMap.empty[(String, String), (Codebook, DataFrame, DataFrame)]
+
+  /** Unpersist + evict this session's cached IVF index (all corpora, or
+    * just `dir`). Called via GraftSession.release.
+    */
+  private[graft] def release(spark: SparkSession, dir: Option[String]): Unit = {
+    val sid = graft.GraftSession.sessionId(spark)
+    ivfCache.keys.toSeq
+      .filter { case (s, d) => s == sid && dir.forall(_ == d) }
+      .foreach(ivfCache.remove(_).foreach { case (_, a, r) =>
+        a.unpersist(blocking = true); r.unpersist(blocking = true)
+      })
+  }
+
+  /** Materialize the session's IVF index for `dir` (ingest-time cost —
+    * Bench's `index_build` row).
+    */
+  def buildIvfIndex(spark: SparkSession, dir: String): Unit = {
+    ivfIndex(spark, dir); ()
+  }
+
+  private[operators] def ivfIndex(spark: SparkSession, dir: String)
+      : (Codebook, DataFrame, DataFrame) =
+    ivfCache.getOrElseUpdate((graft.GraftSession.sessionId(spark), dir), {
+      val emb = withNorm(t(spark, dir, "embeddings"))
+      val sorted = seededCodebook(emb).sortBy(_._1)
+      val cIds = typedLit(sorted.map(_._1))
+      // cid = argmax of ROUNDED cosine (ties to the lowest cid, the
+      // family's discrete-choice convention); ccos = UNROUNDED cosine to
+      // the chosen centroid (the bounds need full precision).
+      val assigned = emb
+        .withColumn("ud", udistsOf(sorted)(col("embedding"), col("nrm")))
+        .withColumn("rd", transform(col("ud"), d => round(d, 6)))
+        .withColumn("pos",
+          array_position(col("rd"), array_max(col("rd"))).cast("int"))
+        .withColumn("cid", element_at(cIds, col("pos")))
+        .withColumn("ccos", element_at(col("ud"), col("pos")))
+        .drop("ud", "rd", "pos")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      assigned.count() // materialize: the corpus pass runs exactly once
+      // Per-list angular radius r_i = max member angle — |codebook| rows.
+      val radii = assigned.groupBy(col("cid").as("r_cid"))
+        .agg(acos(least(lit(1.0), greatest(lit(-1.0), min(col("ccos")))))
+          .as("radius"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      radii.count()
+      (sorted, assigned, radii)
+    })
+
   /** The IVF search stage over a given codebook: map-side list assignment
     * (argmax of rounded cosine, ties to the lowest cid), 4-list probing
     * for queries vec_id < 10, exact rerank within probed lists. Rounding
@@ -168,31 +252,20 @@ object Similarity {
     * map-side list assignment (argmax of rounded cosine, ties to the
     * lowest cid) plus the 4-probe set for queries vec_id < 10.
     */
-  private def ivfAssign(emb: DataFrame, code: Codebook)
-      : (DataFrame, DataFrame) = {
+  /** The 4-nearest-centroid probe relation for queries vec_id < 10 —
+    * rounded cos desc, cid asc, computed map-side on the (tiny) query
+    * side only. `assigned` may be the session-memoized index or a
+    * freshly assigned frame (k-means path) — it only needs (vec_id,
+    * embedding, nrm).
+    */
+  private def ivfProbes(assigned: DataFrame, code: Codebook): DataFrame = {
     val sorted = code.sortBy(_._1)
     val k = sorted.length
-    val cVecs = typedLit(sorted.map(_._2))
-    val cNrms = typedLit(sorted.map(_._3))
     val cIds = typedLit(sorted.map(_._1))
-
-    def distsOf(e: Column, n: Column): Column =
-      transform(sequence(lit(0), lit(k - 1)), p =>
-        round(
-          aggregate(
-            zip_with(e, element_at(cVecs, p + 1),
-              (x, y) => x.cast("double") * y),
-            lit(0.0), (acc, v) => acc + v) /
-            (n * element_at(cNrms, p + 1)), 6))
-
-    val assigned = emb
-      .withColumn("dists", distsOf(col("embedding"), col("nrm")))
-      .withColumn("cid", element_at(cIds,
-        array_position(col("dists"), array_max(col("dists"))).cast("int")))
-      .drop("dists")
-    // probe the 4 nearest centroids (rounded cos desc, cid asc)
-    val probes = assigned.filter(col("vec_id") < 10)
-      .withColumn("dists", distsOf(col("embedding"), col("nrm")))
+    val dists = transform(udistsOf(sorted)(col("embedding"), col("nrm")),
+      d => round(d, 6))
+    assigned.filter(col("vec_id") < 10)
+      .withColumn("dists", dists)
       .withColumn("probe", explode(transform(
         slice(array_sort(transform(sequence(lit(0), lit(k - 1)), p =>
           struct((-element_at(col("dists"), p + 1)).as("nd"),
@@ -200,11 +273,30 @@ object Similarity {
         s => element_at(cIds, s.getField("p") + 1))))
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("probe"))
-    (assigned, probes)
+  }
+
+  private def ivfAssign(emb: DataFrame, code: Codebook)
+      : (DataFrame, DataFrame) = {
+    val sorted = code.sortBy(_._1)
+    val cIds = typedLit(sorted.map(_._1))
+    val dists = transform(udistsOf(sorted)(col("embedding"), col("nrm")),
+      d => round(d, 6))
+    val assigned = emb
+      .withColumn("dists", dists)
+      .withColumn("cid", element_at(cIds,
+        array_position(col("dists"), array_max(col("dists"))).cast("int")))
+      .drop("dists")
+    (assigned, ivfProbes(assigned, code))
   }
 
   private def ivfSearch(emb: DataFrame, code: Codebook): DataFrame = {
     val (assigned, probes) = ivfAssign(emb, code)
+    ivfSearchFrom(assigned, probes)
+  }
+
+  /** Exact in-list rerank over an already-assigned corpus. */
+  private def ivfSearchFrom(assigned: DataFrame, probes: DataFrame)
+      : DataFrame = {
     val scored = broadcast(probes).as("a")
       .join(assigned.as("b"),
         col("a.probe") === col("b.cid") && col("a.qid") =!= col("b.vec_id"))
@@ -231,8 +323,8 @@ object Similarity {
       .toSeq
 
   def simIvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(t(spark, dir, "embeddings"))
-    ivfSearch(emb, seededCodebook(emb))
+    val (code, assigned, _) = ivfIndex(spark, dir)
+    ivfSearchFrom(assigned, ivfProbes(assigned, code))
   }
 
   /** IVF with a k-means-TRAINED codebook: `iters` Lloyd rounds from the
@@ -397,41 +489,15 @@ object Similarity {
   private[operators] def knnExactScored(spark: SparkSession, dir: String,
       k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val emb = withNorm(t(spark, dir, "embeddings"))
-    val sorted = seededCodebook(emb).sortBy(_._1)
-    val nc = sorted.length
-    val cVecs = typedLit(sorted.map(_._2))
-    val cNrms = typedLit(sorted.map(_._3))
+    // Assigned corpus + per-list radii come from the session-memoized
+    // index ([[ivfIndex]]) — ingest-time cost, built once per (session,
+    // corpus); this query's own work is the two panel-sized probe joins.
+    val (sorted, assigned, radii) = ivfIndex(spark, dir)
     val cIds = typedLit(sorted.map(_._1))
-
-    // Unrounded cos to every centroid (bounds need full precision);
-    // the DISCRETE choices (cid, probe order) use the 6-dp rounding
-    // convention of the rest of the IVF family.
-    def udistsOf(e: Column, n: Column): Column =
-      transform(sequence(lit(0), lit(nc - 1)), p =>
-        aggregate(
-          zip_with(e, element_at(cVecs, p + 1),
-            (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, v) => acc + v) /
-          (n * element_at(cNrms, p + 1)))
-    def rdists(ud: Column): Column = transform(ud, d => round(d, 6))
-
-    val assigned = emb
-      .withColumn("ud", udistsOf(col("embedding"), col("nrm")))
-      .withColumn("rd", rdists(col("ud")))
-      .withColumn("pos", array_position(col("rd"), array_max(col("rd"))).cast("int"))
-      .withColumn("cid", element_at(cIds, col("pos")))
-      .withColumn("ccos", element_at(col("ud"), col("pos")))
-      .drop("ud", "rd", "pos")
-
-    // Per-list angular radius r_i = max member angle — nc tiny rows.
-    val radii = assigned.groupBy(col("cid").as("r_cid"))
-      .agg(acos(least(lit(1.0), greatest(lit(-1.0), min(col("ccos")))))
-        .as("radius"))
 
     val qLists = assigned.filter(col("vec_id") % 20 === 0 &&
         col("vec_id") < KnnEvalPanelCap)
-      .withColumn("ud", udistsOf(col("embedding"), col("nrm")))
+      .withColumn("ud", udistsOf(sorted)(col("embedding"), col("nrm")))
       .select(col("vec_id").as("qid"), col("label").as("true_label"),
         col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
         posexplode(col("ud")).as(Seq("p", "qccos")))
@@ -567,11 +633,7 @@ object Similarity {
     * argmin/rank so discrete choices never flip on engine ulps.
     */
   /** PQ sub-centroid literals: cent(s)(c) = seed c's dims [s·8, s·8+8). */
-  private def pqCentLit(emb: DataFrame): Column = {
-    val seeds: Seq[Seq[Double]] = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id"), col("embedding")).collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+  private def pqCentLitFrom(seeds: Seq[Seq[Double]]): Column = {
     // ADVICE r7: a thin corpus (fewer than 16 seed vectors, or short
     // vectors) would make element_at past the centroid list yield NULLs
     // and the argmin codes silently null — fail loudly instead.
@@ -582,6 +644,12 @@ object Similarity {
         seeds.map(_.length).distinct.mkString(","))
     typedLit((0 until 8).map(s => seeds.map(_.slice(s * 8, s * 8 + 8)).toSeq))
   }
+
+  private def pqCentLit(emb: DataFrame): Column =
+    pqCentLitFrom(emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq)
 
   /** Per-row 8×16 subspace-distance lookup table (rounded to 6 dp before
     * every downstream argmin/rank — discrete choices never flip on ulps).
@@ -627,15 +695,19 @@ object Similarity {
     * from an equi-join on the list id; corpus floats never shuffle.
     */
   def simIvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(t(spark, dir, "embeddings"))
-    val (assigned, probes) = ivfAssign(emb, seededCodebook(emb))
-    val centLit = pqCentLit(emb)
+    // The coarse stage reads the session-memoized assigned corpus; the PQ
+    // codebook derives from the same cached seeds (codebook == the 16
+    // seed vectors), so the only full-corpus work left is the map-side
+    // encode over cached blocks.
+    val (code, assigned, _) = ivfIndex(spark, dir)
+    val probes = ivfProbes(assigned, code)
+    val centLit = pqCentLitFrom(code.sortBy(_._1).map(_._2))
     val encoded = assigned
       .withColumn("dtab", pqDtab(centLit)(col("embedding")))
       .withColumn("codes", transform(col("dtab"), ds =>
         (array_position(ds, array_min(ds)) - 1).cast("int")))
       .select(col("vec_id"), col("cid"), col("codes"))
-    val qtab = emb.filter(col("vec_id") < 10)
+    val qtab = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"),
         pqDtab(centLit)(col("embedding")).as("dtab"))
     val qprobes = probes.select(col("qid"), col("probe"))
