@@ -326,13 +326,26 @@ object Dedup {
     // cnt is O(docs) — NOT forced broadcast (a 100 TB corpus' profile
     // table exceeds any broadcast budget); AQE broadcasts when it fits,
     // else both sides shuffle on the doc key the pair side already has
-    inter
+    val result = inter
       .join(cnt.withColumnRenamed("doc_id", "src")
         .withColumnRenamed("c", "c_src"), "src")
       .withColumn("containment", col("shared").cast("double") / col("c_src"))
       .filter(col("containment") >= tau)
       .select(col("src"), col("dst"),
         round(col("containment"), 6).as("containment"))
+    if (!diskOnlyIndex) result
+    else {
+      // ADVICE r9: the DISK_ONLY persists are NOT GC-cleanable the way
+      // the localCheckpoint default path is — the CacheManager would hold
+      // them for the session lifetime and repeated invocations (bench
+      // loops) would accumulate disk-cached entries. Materialize the
+      // (O(qualifying pairs), small) result eagerly, then drop both
+      // indexes deterministically before returning.
+      val out = result.localCheckpoint()
+      sh.unpersist(blocking = true)
+      rare.unpersist(blocking = true)
+      out
+    }
   }
 
   /** Verified SimHash candidate index: ALL candidate pairs with hamming

@@ -85,15 +85,19 @@ object KafkaReplay {
 
   /** (key bytes, value bytes, event-time micros) per Kafka partition. */
   private type PartitionLog = Array[Array[(Array[Byte], Array[Byte], Long)]]
-  private val cache = TrieMap.empty[(String, Int), PartitionLog]
+  private val cache = TrieMap.empty[(String, String, Int), PartitionLog]
 
   /** Materialize the fixture as partitioned, offset-ordered logs —
-    * memoized per (path, partitions) so every micro-batch plans against
-    * the same immutable "broker log".
+    * memoized per (session, path, partitions) so every micro-batch plans
+    * against the same immutable "broker log". The session id in the key
+    * (the Dedup/Curation cache convention) means a rewritten fixture at
+    * the same path is re-read by a fresh session instead of replaying
+    * the dead session's bytes.
     */
-  private[streaming] def load(path: String, nParts: Int): PartitionLog =
-    cache.getOrElseUpdate((path, nParts), {
-      val spark = SparkSession.active
+  private[streaming] def load(path: String, nParts: Int): PartitionLog = {
+    val spark = SparkSession.active
+    val sid = graft.GraftSession.sessionId(spark)
+    cache.getOrElseUpdate((sid, path, nParts), {
       // raw read (long-nanos ts): the serialized value must match what
       // the reference's producer puts on the real topic — see scaladoc
       val raw = spark.read.parquet(s"$path/events.parquet")
@@ -112,13 +116,15 @@ object KafkaReplay {
         Array.newBuilder[(Array[Byte], Array[Byte], Long)])
       rows.foreach { r =>
         val uid = r.getLong(0)
-        parts((uid % nParts).toInt) += ((
+        // floorMod: a negative key id must still land in [0, nParts)
+        parts(Math.floorMod(uid, nParts.toLong).toInt) += ((
           uid.toString.getBytes("UTF-8"),
           r.getString(1).getBytes("UTF-8"),
           r.getLong(2)))
       }
       parts.map(_.result())
     })
+  }
 }
 
 /** Per-partition next-offset vector; JSON array form for checkpoints. */

@@ -80,8 +80,10 @@ class PlanShapeSpec extends AnyFunSuite {
     }
 
   private lazy val budgets: Map[String, Int] = {
-    val src = scala.io.Source.fromFile(
-      "src/test/resources/scan_budget.tsv")
+    // classpath resource, not a CWD-relative path: forked test JVMs may
+    // run with a working directory other than the repo root
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/scan_budget.tsv"))
     try src.getLines().filterNot(_.startsWith("#")).map { l =>
       val Array(k, v) = l.split('\t'); k -> v.toInt
     }.toMap finally src.close()
@@ -96,6 +98,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // AdaptiveSparkPlan wrapper whose inner plan only exists at runtime.
     // sparkPlan would miss ALL exchanges — the SinglePartition gate and
     // the broadcast-side detection both need them.
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
@@ -141,7 +144,7 @@ class PlanShapeSpec extends AnyFunSuite {
             "(a multiply-consumed frame lost its materialization?)"
         case _ =>
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
     // stale budget entries (renamed/removed queries) rot the gate
     val stale = budgets.keySet -- SparkEntry.queries.keySet
     if (stale.nonEmpty) violations += s"scan_budget.tsv has stale entries: ${stale.toSeq.sorted.mkString(",")}"

@@ -379,19 +379,41 @@ class Round8Spec extends AnyFunSuite {
   }
 
   test("containment spill-safe index (judge r8 #6): DISK_ONLY placement " +
-      "yields the identical result and really lands on disk") {
+      "yields the identical result, really lands on disk, and is " +
+      "released before the call returns (ADVICE r9: no session-lifetime " +
+      "accumulation)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated}
     import org.apache.spark.storage.StorageLevel
     def pairs(diskOnly: Boolean) =
       Dedup.dedupContainment(spark, dir, diskOnlyIndex = diskOnly)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
-    val disk = pairs(diskOnly = true)
-    // the two materialized indexes are persisted DISK_ONLY while alive
-    assert(spark.sparkContext.getPersistentRDDs.values
-        .exists(_.getStorageLevel == StorageLevel.DISK_ONLY),
-      "diskOnlyIndex=true must place the posting indexes DISK_ONLY")
-    assert(disk == pairs(diskOnly = false),
-      "storage placement must never change results")
+    // disk-only blocks (useDisk, !useMemory) observed while the indexes
+    // are alive — localCheckpoint's MEMORY_AND_DISK doesn't match
+    val diskBlocks = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onBlockUpdated(b: SparkListenerBlockUpdated): Unit = {
+        val lvl = b.blockUpdatedInfo.storageLevel
+        if (lvl.useDisk && !lvl.useMemory) diskBlocks.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val disk = pairs(diskOnly = true)
+      // deterministic release: the DISK_ONLY posting indexes are
+      // unpersisted before dedupContainment returns
+      assert(!spark.sparkContext.getPersistentRDDs.values
+          .exists(_.getStorageLevel == StorageLevel.DISK_ONLY),
+        "diskOnlyIndex=true must drop its DISK_ONLY indexes on return")
+      // listener bus is async — poll briefly for the disk-block events
+      val deadline = System.currentTimeMillis + 10000
+      while (diskBlocks.get == 0 && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(diskBlocks.get > 0,
+        "diskOnlyIndex=true must place the posting indexes on disk")
+      assert(disk == pairs(diskOnly = false),
+        "storage placement must never change results")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("interval overlap: equals the bucket-free brute force, and the " +
