@@ -1201,6 +1201,83 @@ object Relational {
           .as("revenue"))
   }
 
+  /** Q17 — the TPC-H Q17 correlated-scalar-subquery shape ("small-quantity
+    * order revenue": lines of one brand's parts whose quantity is below
+    * 20% of that PART's average quantity), decorrelated the only way that
+    * scales: the per-partkey average is PRE-AGGREGATED once and equi-hash-
+    * joined back — never evaluated as a per-row subquery (which would
+    * re-scan lineitem per probe row). The brand filter broadcasts into
+    * BOTH lineitem passes (the avg is over all lines of the brand's
+    * parts, so filtering before the aggregate is semantics-preserving and
+    * prunes ~96% of the agg input); the aggregated side is |brand parts|
+    * rows, AQE-broadcastable. Quantities are small integers (exact in
+    * IEEE in any summation order), so avg and the 0.2× threshold are
+    * bit-identical in any engine; revenue is cent-exact.
+    *
+    * Adapted to this data model: no p_container column, so the part
+    * predicate is brand-only (ref has no Q17 either — this is the
+    * decorrelation classic the round-9 verdict prescribed).
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = t(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#3")
+      .select(col("p_partkey"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((centSum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  /** Q21 — the TPC-H Q21 EXISTS + NOT-EXISTS self-join shape ("waiting
+    * suppliers": suppliers who were the ONLY late supplier of a
+    * multi-supplier finalized order). The textbook form correlates
+    * lineitem against itself twice (EXISTS another supplier's line,
+    * NOT EXISTS another supplier's LATE line); executed literally that is
+    * two more lineitem scans. Decorrelated here into ONE per-order
+    * aggregate over the flagged lines — n_supp = distinct suppliers,
+    * n_late_supp = distinct late suppliers — where the EXISTS becomes
+    * `n_supp >= 2` and the NOT-EXISTS becomes `n_late_supp = 1` (the one
+    * late supplier is necessarily the probe row's), followed by ONE LEFT
+    * SEMI hash join of the late lines against the qualifying order keys:
+    * two lineitem scans total, zero nested loops, and the per-order
+    * relation is keys-only. Supplier is a broadcast dimension.
+    *
+    * Adapted to this data model: no l_receiptdate/l_commitdate, so
+    * "late" is the q8 convention (shipped > 60 days after the order
+    * date) and the order-status filter is o_orderstatus = 'F'.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val flagged = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val waitingOrders = flagged
+      .groupBy(col("l_orderkey").as("g_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey")))
+          .as("n_late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .select(col("g_orderkey"))
+    flagged.filter(col("is_late"))
+      .join(waitingOrders, col("l_orderkey") === col("g_orderkey"),
+        "left_semi")
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
   /** J10 — TEMPORAL dimension join: each fact row enriched with the
     * dimension version that was VALID AT ITS EVENT TIME — the read side
     * of [[u5Scd2Merge]]'s history-keeping write, and the join every
@@ -1237,7 +1314,9 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_priority_lateness" -> (q12PriorityLateness _),
     "q14_promo_effect" -> (q14PromoEffect _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q19_disjunctive" -> (q19Disjunctive _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "j10_temporal_dim_join" -> (j10TemporalDimJoin _),
     "a13_pct_of_total" -> (a13PctOfTotal _),
     "j8_fuzzy_match" -> (j8FuzzyMatch _),
@@ -1362,6 +1441,35 @@ object Relational {
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
         AND l.l_shipdate < TIMESTAMP '1996-04-01'""",
+    "q17_small_qty_revenue" -> """
+      WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'),
+      ag AS (SELECT l_partkey, avg(l_quantity) AS aq
+             FROM lineitem JOIN bp ON l_partkey = p_partkey
+             GROUP BY 1)
+      SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+          AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+      FROM lineitem l
+      JOIN bp ON l.l_partkey = bp.p_partkey
+      JOIN ag ON l.l_partkey = ag.l_partkey
+      WHERE l.l_quantity < 0.2 * ag.aq""",
+    "q21_waiting_suppliers" -> """
+      WITH fl AS (SELECT l.l_orderkey, l.l_suppkey,
+                    (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                      AS is_late
+                  FROM lineitem l
+                  JOIN orders o ON l.l_orderkey = o.o_orderkey
+                  WHERE o.o_orderstatus = 'F'),
+      po AS (SELECT l_orderkey FROM fl GROUP BY 1
+             HAVING count(DISTINCT l_suppkey) >= 2
+               AND count(DISTINCT CASE WHEN is_late THEN l_suppkey END) = 1)
+      SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM fl
+      JOIN po ON fl.l_orderkey = po.l_orderkey
+      JOIN supplier s ON fl.l_suppkey = s.s_suppkey
+      WHERE fl.is_late
+      GROUP BY 1
+      ORDER BY numwait DESC, s.s_name ASC
+      LIMIT 100""",
     "q19_disjunctive" -> """
       SELECT count(*) AS n_lines,
         CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
