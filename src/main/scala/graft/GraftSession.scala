@@ -18,10 +18,14 @@ import org.apache.spark.sql.SparkSession
   *    null-safe score split at :100-102). Spark 4's ANSI default would
   *    throw on the same inputs (to_date parse, map element_at miss,
   *    short-array index, bad casts).
-  *  - `spark.sql.legacy.parquet.nanosAsLong=true` — the events table is
-  *    physically TIMESTAMP(NANOS) parquet, which vanilla Spark rejects
-  *    ([PARQUET_TYPE_ILLEGAL]); Tables.t reads nanos as long and rebuilds
-  *    a microsecond timestamp with integer arithmetic.
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true` — fixture generations
+  *    of the events table that store TIMESTAMP(NANOS) parquet would
+  *    otherwise be rejected outright ([PARQUET_TYPE_ILLEGAL]); with the
+  *    conf set they arrive as LongType nanos and Tables.normalizeEventTs
+  *    rebuilds a microsecond timestamp with integer arithmetic. The conf
+  *    is a no-op for fixtures that store plain micros TIMESTAMP (the
+  *    current generation) — normalizeEventTs branches on the physical
+  *    type, so both encodings work under one session contract.
   */
 object GraftSession {
 
@@ -59,6 +63,7 @@ object GraftSession {
     graft.operators.CorpusPipeline.release(spark, dir)
     graft.operators.Curation.release(spark, dir)
     graft.operators.EventAnalytics.release(spark, dir)
+    graft.streaming.KafkaReplay.release(spark, dir)
   }
 
   /** Apply the library conf contract to an existing session (idempotent),
@@ -69,6 +74,11 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the TIMESTAMP_NTZ → TIMESTAMP normalization (Tables.normalizeEventTs)
+    // and all formatted-time output are exact/deterministic only under a
+    // pinned session zone; the library's own builders set it too, this
+    // covers driver-owned sessions passed in from outside
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.plans.GraftFunctions.register(spark)
     spark
   }

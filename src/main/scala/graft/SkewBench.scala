@@ -69,13 +69,22 @@ object SkewBench {
       "spark.sql.adaptive.skewJoin.enabled" -> "false")
     val tPlain = withConf(noRescue: _*)(minOf(plain))
     val tSalted = withConf(noRescue: _*)(minOf(salted))
-    // the automatic alternative, for honesty: AQE skew split ON, plain join
-    val tAqe = withConf(noRescue.take(2): _*)(minOf(plain))
+    // the automatic alternative, for honesty: AQE skew split explicitly
+    // ON (not inherited from session defaults — the leg must measure what
+    // its label claims even if the session was built with AQE off)
+    val aqeRescue = noRescue.take(2) ++ Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true")
+    val tAqe = withConf(aqeRescue: _*)(minOf(plain))
 
     def fmt(v: Double): String = (math.round(v * 1e3) / 1e3).toString
+    def confJson(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     println(s"""{"metric":"skew_join_sec","sf_dir":"$sfDir",""" +
       s""""plain_no_rescue":${fmt(tPlain)},"salted":${fmt(tSalted)},""" +
       s""""plain_aqe_skew":${fmt(tAqe)},""" +
+      s""""conf_no_rescue":${confJson(noRescue)},""" +
+      s""""conf_aqe_skew":${confJson(aqeRescue)},""" +
       s""""speedup_salted_vs_plain":${fmt(tPlain / tSalted)}}""")
     spark.stop()
   }

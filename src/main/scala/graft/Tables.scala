@@ -18,17 +18,18 @@ object Tables {
   /** Read one of the driver test tables. Parquet carries its own schema;
     * Catalyst prunes columns + pushes filters into the scan.
     *
-    * The `events` table stores TIMESTAMP(NANOS) which vanilla Spark rejects
-    * ([PARQUET_TYPE_ILLEGAL]); under the GraftSession contract
-    * (`nanosAsLong=true`, set at session construction) we read nanos as
-    * long and rebuild a microsecond timestamp with integer arithmetic
-    * (`div`, not `/` — nanos since epoch exceed double's 2^53 range).
+    * The `events` table's `ts` has shipped under TWO physical encodings
+    * across fixture generations: TIMESTAMP(NANOS) — which vanilla Spark
+    * rejects ([PARQUET_TYPE_ILLEGAL]), so the GraftSession contract sets
+    * `nanosAsLong=true` and the column arrives as LongType nanos — and
+    * plain microsecond TIMESTAMP, which arrives as TimestampType directly.
+    * [[normalizeEventTs]] branches on the physical type so both encodings
+    * normalize to the same logical TimestampType column; hardcoding either
+    * contract breaks the moment the fixture is regenerated the other way.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(raw) else raw
   }
 
   /** Reference `retail` schema (sql/ddl-retail.sql:2-11). Explicit schema —
@@ -57,10 +58,13 @@ object Tables {
     StructField("league", StringType),
   ))
 
-  /** events table schema as stored (TESTDATA.md), needed explicitly for the
-    * file streaming source (readStream requires a user schema). `ts` is
-    * physically TIMESTAMP(NANOS) → read as long under nanosAsLong, rebuilt
-    * to TimestampType by `normalizeEventTs`.
+  /** events schema on the Kafka WIRE (the replay source's JSON values and
+    * what a keyed producer puts on the real topic): `ts` is the raw
+    * long-nanos epoch value regardless of how the parquet fixture encodes
+    * it — KafkaReplay re-derives nanos when the fixture stores micros
+    * TIMESTAMP, so the consumer-side `from_json` decode is one stable
+    * schema. NOT the file schema: for the file streaming source use
+    * [[eventsFileSchema]], which probes the actual footer.
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -71,6 +75,33 @@ object Tables {
     StructField("props", StringType),
   ))
 
-  def normalizeEventTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Physical schema of an events parquet path, probed from the footer —
+    * one metadata read, no data scan. `readStream` requires an explicit
+    * schema and it must match the file's physical encoding (LongType
+    * nanos vs TimestampType micros), which has changed between fixture
+    * generations; deriving it from the footer instead of assuming either
+    * keeps the streaming sources fixture-proof.
+    */
+  def eventsFileSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
+
+  /** Normalize `ts` to logical TimestampType from whichever physical
+    * encoding the source delivered:
+    *
+    *  - LongType ⇒ nanos-as-long fixture generation (rebuild micros with
+    *    integer `div`, not `/` — nanos since epoch exceed double's 2^53
+    *    range);
+    *  - TimestampNTZType ⇒ micros TIMESTAMP written with
+    *    isAdjustedToUTC=false (the current driver fixture); cast to
+    *    TimestampType — exact under the library's UTC session contract;
+    *  - TimestampType ⇒ already the target type, pass through.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _: TimestampType => df
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported physical type $other " +
+        "(expected LongType nanos, TIMESTAMP_NTZ micros, or TIMESTAMP micros)")
+  }
 }

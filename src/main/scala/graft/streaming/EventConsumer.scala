@@ -57,11 +57,12 @@ object EventConsumer {
     * 10 minutes of lateness, then state is dropped (append mode).
     */
   def streamingWindowAgg(spark: SparkSession, dir: String): DataFrame = {
-    // nanos parquet → GraftSession contract (nanosAsLong at construction)
+    // schema probed from the footer (fixture encoding has changed between
+    // rounds); normalizeEventTs handles both nanos-long and micros-ts
     windowAgg(
       Tables.normalizeEventTs(
         spark.readStream
-          .schema(Tables.eventsRawSchema)
+          .schema(Tables.eventsFileSchema(spark, dir))
           .parquet(dir))
         .withWatermark("ts", "10 minutes"))
   }
@@ -392,7 +393,7 @@ object EventConsumer {
   def streamingStreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.normalizeEventTs(
       spark.readStream
-        .schema(Tables.eventsRawSchema)
+        .schema(Tables.eventsFileSchema(spark, dir))
         .parquet(dir))
     streamStreamJoin(
       ev.filter(col("event_type") === "view").withWatermark("ts", "1 hour"),

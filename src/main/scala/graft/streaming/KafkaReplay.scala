@@ -87,6 +87,25 @@ object KafkaReplay {
   private type PartitionLog = Array[Array[(Array[Byte], Array[Byte], Long)]]
   private val cache = TrieMap.empty[(String, String, Int), PartitionLog]
 
+  /** Evict the replayed logs pinned for `spark` (one full event log per
+    * (path, partitions) — driver heap, not executor blocks). Pass `dir`
+    * to evict a single fixture path only. Wired into
+    * [[graft.GraftSession.release]] so a cycled bench/test session can't
+    * leak its replay log into the long-lived JVM.
+    */
+  def release(spark: SparkSession, dir: Option[String] = None): Unit = {
+    val sid = graft.GraftSession.sessionId(spark)
+    cache.keys
+      .filter(k => k._1 == sid && dir.forall(_ == k._2))
+      .foreach(cache.remove)
+  }
+
+  /** Test hook: does any replay log remain cached for `spark`? */
+  private[graft] def isCachedFor(spark: SparkSession): Boolean = {
+    val sid = graft.GraftSession.sessionId(spark)
+    cache.keys.exists(_._1 == sid)
+  }
+
   /** Materialize the fixture as partitioned, offset-ordered logs —
     * memoized per (session, path, partitions) so every micro-batch plans
     * against the same immutable "broker log". The session id in the key
@@ -94,13 +113,22 @@ object KafkaReplay {
     * the same path is re-read by a fresh session instead of replaying
     * the dead session's bytes.
     */
-  private[streaming] def load(path: String, nParts: Int): PartitionLog = {
+  private[graft] def load(path: String, nParts: Int): PartitionLog = {
     val spark = SparkSession.active
     val sid = graft.GraftSession.sessionId(spark)
     cache.getOrElseUpdate((sid, path, nParts), {
-      // raw read (long-nanos ts): the serialized value must match what
-      // the reference's producer puts on the real topic — see scaladoc
-      val raw = spark.read.parquet(s"$path/events.parquet")
+      // the serialized value carries RAW long-nanos ts (the producer wire
+      // contract — see scaladoc); if the fixture stores micros TIMESTAMP
+      // instead of nanos-as-long, re-derive nanos so the wire bytes are
+      // identical under either physical encoding
+      val raw0 = spark.read.parquet(s"$path/events.parquet")
+      val raw = raw0.schema("ts").dataType match {
+        case LongType => raw0
+        // micros TIMESTAMP (tz or ntz — cast is exact under the UTC
+        // session contract): re-derive the wire's long-nanos value
+        case _ => raw0.withColumn("ts",
+          expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      }
       val rows = raw.select(
           col("user_id"),
           to_json(struct(raw.columns.map(col): _*)).as("json"),

@@ -73,6 +73,25 @@ class CacheLifecycleSpec extends AnyFunSuite {
       s"cluster memo blocks survived release: ${after.intersect(during -- base)}")
   }
 
+  test("release evicts KafkaReplay's driver-side partition logs (r10 " +
+      "advice: one full replayed event log leaked per cycled session)") {
+    import graft.streaming.KafkaReplay
+    GraftSession.release(spark)
+    assert(!KafkaReplay.isCachedFor(spark))
+    KafkaReplay.load(dir, 2) // materialize under SparkSession.active
+    assert(KafkaReplay.isCachedFor(spark),
+      "load must memoize the replay log for this session")
+    GraftSession.release(spark, Some("/some/other/dir"))
+    assert(KafkaReplay.isCachedFor(spark),
+      "releasing another corpus must not evict this fixture's log")
+    GraftSession.release(spark, Some(dir))
+    assert(!KafkaReplay.isCachedFor(spark),
+      "release(dir) must evict the replay log for that fixture")
+    KafkaReplay.load(dir, 2)
+    GraftSession.release(spark) // the release-everything flavor
+    assert(!KafkaReplay.isCachedFor(spark))
+  }
+
   test("session ids are stable per session and distinct across sessions") {
     val a = GraftSession.sessionId(spark)
     assert(a == GraftSession.sessionId(spark))

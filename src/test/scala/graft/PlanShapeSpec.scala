@@ -165,7 +165,11 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("the same ceilings hold on the 10x fixture's plans (r9 judge #5: " +
       "stats-driven planner choices must not break the gate at scale)") {
-    val sf1 = "localdata/sf1"
+    // anchored to the repo root (found by walking up from the compiled
+    // test classes to build.sbt), NOT the CWD: a forked test JVM launched
+    // from elsewhere must still find — or loudly miss — the fixture
+    // instead of silently assume-skipping the scale gate
+    val sf1 = new java.io.File(RepoRoot.dir, "localdata/sf1").getPath
     assume(new java.io.File(s"$sf1/lineitem.parquet").exists(),
       s"$sf1 absent — regenerate with tools/gen_sf.py 1 $sf1")
     try gateAll(sf1)

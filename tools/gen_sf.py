@@ -7,8 +7,11 @@ locally for scale benchmarking.  The driver's own data is read-only
 and stops at sf0.1; the judge's round-8 directive asks for a measured
 sf1 run ("convert every plan-read scale claim into a measured one").
 
-Usage: python3 tools/gen_sf.py <sf> <outdir>
+Usage: python3 tools/gen_sf.py <sf> <outdir> [--zipf-events A]
+           [--events-mult M] [--ts-encoding us|ns]
   e.g. python3 tools/gen_sf.py 1 /root/repo/localdata/sf1
+  --ts-encoding us (default) mirrors the current driver fixture (plain
+  micros TIMESTAMP); ns regenerates the legacy TIMESTAMP(NANOS) layout.
 
 Distributions replicated from sf0.1 (seed fixed; rows scale linearly):
   orders     1.5M/sf  keys dense 0..N-1, custkey uniform, date uniform 1995-01-01..2001-08-01
@@ -51,7 +54,7 @@ def ts_ms(days_arr, base="1995-01-01"):
     base_ms = np.datetime64(base).astype("datetime64[ms]").astype(np.int64)
     return (base_ms + days_arr.astype(np.int64) * 86400_000).astype("datetime64[ms]")
 
-def main(sf, outdir, zipf_alpha=None, events_mult=1):
+def main(sf, outdir, zipf_alpha=None, events_mult=1, ts_encoding="us"):
     rng = np.random.default_rng(SEED)
     Path(outdir).mkdir(parents=True, exist_ok=True)
     n_orders = int(1_500_000 * sf)
@@ -147,7 +150,13 @@ def main(sf, outdir, zipf_alpha=None, events_mult=1):
         "datetime64[ns]").astype(np.int64)
     events = pa.table({
         "event_id": pa.array(np.arange(n_events), pa.int64()),
-        "ts": pa.array(ts.astype("datetime64[ns]"), pa.timestamp("ns")),
+        # the driver fixture switched encodings between rounds (r11:
+        # TIMESTAMP(NANOS) -> plain micros TIMESTAMP); default mirrors the
+        # CURRENT driver encoding, --ts-encoding ns regenerates the legacy
+        # layout the engine must also keep reading (Tables.normalizeEventTs)
+        "ts": (pa.array((ts // 1000).astype("datetime64[us]"), pa.timestamp("us"))
+               if ts_encoding == "us" else
+               pa.array(ts.astype("datetime64[ns]"), pa.timestamp("ns"))),
         "user_id": pa.array(
             zipf_user_ids(rng, n_users, n_events, zipf_alpha)
             if zipf_alpha else rng.integers(0, n_users, n_events), pa.int64()),
@@ -212,4 +221,11 @@ if __name__ == "__main__":
         i = argv.index("--events-mult")
         mult = int(argv[i + 1])
         del argv[i:i + 2]
-    main(float(argv[0]), argv[1], zipf_alpha=alpha, events_mult=mult)
+    enc = "us"
+    if "--ts-encoding" in argv:
+        i = argv.index("--ts-encoding")
+        enc = argv[i + 1]
+        assert enc in ("us", "ns"), f"--ts-encoding must be us or ns, got {enc}"
+        del argv[i:i + 2]
+    main(float(argv[0]), argv[1], zipf_alpha=alpha, events_mult=mult,
+         ts_encoding=enc)
