@@ -126,11 +126,50 @@ object Bench {
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
+  /** Fixed CPU calibration: a deterministic xorshift64* reduction run
+    * single-threaded and on all `threads` at once. Same binary, same
+    * inputs, every round — so when ALL query times move together between
+    * rounds (r11→r12: the identical binary measured ~1.8× slower on a
+    * quiet box), the calibration pins it on the host, not the engine.
+    * st = single-thread seconds; mt = wall seconds for `threads`
+    * concurrent copies (mt/st >> 1 means the box is throttled or
+    * oversubscribed even when loadavg looks calm).
+    */
+  private def cpuCalibration(threads: Int): (Double, Double) = {
+    val iters = 800_000_000L
+    def burn(seed: Long): Long = {
+      var x = seed | 1L; var acc = 0L; var i = 0L
+      while (i < iters) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        acc += x * 0x2545F4914F6CDD1DL
+        i += 1
+      }
+      acc
+    }
+    val sink = new java.util.concurrent.atomic.AtomicLong() // defeat DCE
+    burn(7L) // JIT warmup so st measures steady-state code
+    val t0 = System.nanoTime()
+    sink.addAndGet(burn(42L))
+    val st = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val pool = (1 to threads).map { i =>
+      val t = new Thread(() => { sink.addAndGet(burn(i.toLong)) })
+      t.start(); t
+    }
+    pool.foreach(_.join())
+    val mt = (System.nanoTime() - t1) / 1e9
+    if (sink.get() == 0L) System.err.println("[bench] calibration sink zero")
+    (st, mt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.local("graft-bench", cpus)
+
+    val (calSt, calMt) = cpuCalibration(
+      try cpus.toInt catch { case _: Exception => 32 })
 
     spark.read.parquet(s"$sfDir/region.parquet").count() // warmup
 
@@ -248,7 +287,7 @@ object Bench {
         if (ratios.isEmpty) ""
         else "," + "\"spark_vs_duckdb\":" + ratios
           .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      val side = s"""{"samples":$samplesJson,"medians":$mediansJson,"loadavg":$loadJson,"reps":$reps,"interleaved":true,"headline_stat":"min"$oraclePart$ratioMapPart,"sf":"$sfDir"}"""
+      val side = s"""{"samples":$samplesJson,"medians":$mediansJson,"loadavg":$loadJson,"reps":$reps,"interleaved":true,"headline_stat":"min","cal_st_sec":${fmt(calSt)},"cal_mt_sec":${fmt(calMt)},"cal_threads":$cpus$oraclePart$ratioMapPart,"sf":"$sfDir"}"""
       val w = new java.io.PrintWriter("bench_samples.json"); w.println(side); w.close()
     } catch { case e: Exception =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
@@ -263,7 +302,8 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMedian)},"unit":"sec","queries":$qsPart,"reps":$reps,"failed":$failed$extras,"sf":"$sfDir"}"""
     // Progressive trimming keeps the line parseable whatever the suite
     // grows to: full form → drop diagnostics → 2-decimal query times.
-    val full = line(qs, s""","rss_mb":$rssMb,"gc_ms":$gcMs$ratioPart""")
+    val full = line(qs,
+      s""","rss_mb":$rssMb,"gc_ms":$gcMs,"cal_st":${fmt(calSt)},"cal_mt":${fmt(calMt)}$ratioPart""")
     val out =
       if (full.length <= 1800) full
       else {
