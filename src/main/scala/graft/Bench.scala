@@ -91,6 +91,8 @@ object Bench {
     "st8_window_heavy_hitters", "dq_skew_report",
     "st9_window_distinct_users", "dedup_containment",
     "j9_interval_overlap", "j10_temporal_dim_join",
+    // round-12 addition: SemDeDup-style semantic prune over the IVF lists
+    "sim_semantic_prune",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -383,6 +383,51 @@ object Similarity {
     ivfSearch(emb, code)
   }
 
+  /** Tau for [[simSemanticPrune]] — aligned with Dedup's embedding-cosine
+    * near-dup threshold so the two families agree on what "same meaning"
+    * means on this corpus.
+    */
+  val SemanticPruneTau: Double = 0.45
+
+  /** SemDeDup-style SEMANTIC PRUNE (Abbas et al. 2023, arXiv:2303.09540):
+    * mark embeddings whose meaning duplicates a kept item — the pairs
+    * string-level dedup (shingles, minhash, simhash) can never see
+    * because the texts differ while the vectors agree. The keep rule is
+    * one deterministic pass: a vector is dropped iff some LOWER-vec_id
+    * member of its candidate group has rounded cosine >= tau to it (no
+    * iterative clustering, no order dependence).
+    *
+    * Scale shape — the paper's own linearity contract: the pairwise
+    * refinement runs INSIDE one IVF coarse list at a time (the
+    * session-memoized seeded assignment, [[ivfIndex]] — ingest-time
+    * cost, the bench's index_build row), an equi-join on cid, never
+    * all-pairs. Within-cluster pairing is quadratic in CLUSTER SIZE, so
+    * the codebook k must grow with the corpus (SemDeDup sizes k so
+    * clusters stay near-constant; this module caps k at [[MaxIvfK]] and
+    * points beyond it to hierarchical training) — total work is then
+    * O(N · cluster_size) = linear, the same dial as Dedup's band width.
+    * The 16-seed demo codebook mirrors the rest of the IVF family; a
+    * production corpus passes its trained codebook through the same
+    * assignment path.
+    */
+  def simSemanticPrune(spark: SparkSession, dir: String,
+      tau: Double = SemanticPruneTau): DataFrame = {
+    val (_, assigned, _) = ivfIndex(spark, dir)
+    val m = assigned
+      .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
+    val dropped = m.as("a").join(m.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(expr(dotAB) / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cos") >= tau)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(max(col("cos")).as("dup_cos"))
+    m.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("dup_cos").isNull, 1).otherwise(0).as("keep"),
+        col("dup_cos"))
+  }
+
   /** Similarity join through the declarative `graft_lsh_match` operator:
     * the user writes one predicate; the LshJoinRewrite optimizer rule
     * (plans/LshJoin.scala) turns the nested-loop join it would imply into
@@ -738,6 +783,7 @@ object Similarity {
     "sim_quantize_int8" -> (simQuantizeInt8 _),
     "sim_pq_ann" -> (simPqAnn _),
     "sim_ivfpq_ann" -> (simIvfPqAnn _),
+    "sim_semantic_prune" -> ((s: SparkSession, d: String) => simSemanticPrune(s, d)),
   )
 
   /** One Lloyd round as DuckDB CTEs: assign against `prev` (cid, ce, cn),
@@ -927,6 +973,26 @@ object Similarity {
       WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
           / (a.nrm * b.nrm) >= 0.2""",
+    "sim_semantic_prune" -> s"""
+      WITH $normCte,
+      c AS (SELECT vec_id AS cid, embedding, nrm FROM n WHERE vec_id < 16),
+      ad AS (SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+               round(list_sum(list_transform(generate_series(1, len(v.embedding)),
+                 i -> v.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                 / (v.nrm * c.nrm), 6) AS d
+             FROM n v CROSS JOIN c),
+      assign AS (SELECT vec_id, embedding, nrm, cid FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d DESC, cid ASC) AS rn FROM ad)
+                 WHERE rn = 1),
+      pairs AS (SELECT b.vec_id AS vec_id, round($cosAB, 6) AS cos
+                FROM assign a JOIN assign b ON a.cid = b.cid
+                  AND a.vec_id < b.vec_id),
+      drp AS (SELECT vec_id, max(cos) AS dup_cos FROM pairs
+              WHERE cos >= $SemanticPruneTau GROUP BY 1)
+      SELECT assign.vec_id, assign.cid,
+        CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep, d.dup_cos
+      FROM assign LEFT JOIN drp d ON assign.vec_id = d.vec_id""",
     "sim_centroid" -> """
       SELECT label, CAST(i AS INT) AS dim,
              round(avg(embedding[i + 1]::DOUBLE), 6) AS val

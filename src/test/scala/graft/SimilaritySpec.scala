@@ -143,4 +143,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r =>
       r.getAs[Double]("frame_ts") == r.getAs[Int]("frame_idx") / 25.0))
   }
+
+  test("semantic prune: full corpus covered, keep-lowest rule holds, " +
+      "and tau=1.01 prunes nothing") {
+    val rows = Similarity.simSemanticPrune(spark, dir).collect()
+    val corpus = Tables.t(spark, dir, "embeddings").count()
+    assert(rows.length.toLong == corpus,
+      "every vector must appear exactly once with a keep verdict")
+    val dropped = rows.filter(_.getAs[Int]("keep") == 0)
+    // a dropped vector records the cosine that evicted it, above tau
+    dropped.foreach { r =>
+      assert(r.getAs[Double]("dup_cos") >= Similarity.SemanticPruneTau)
+    }
+    // kept vectors carry no dup_cos
+    rows.filter(_.getAs[Int]("keep") == 1).foreach(r =>
+      assert(r.isNullAt(r.fieldIndex("dup_cos"))))
+    // keep-lowest determinism: rerunning yields the identical verdict set
+    val again = Similarity.simSemanticPrune(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // an impossible tau keeps everything (cos is capped at 1)
+    val none = Similarity.simSemanticPrune(spark, dir, tau = 1.01)
+      .filter(org.apache.spark.sql.functions.col("keep") === 0).count()
+    assert(none == 0L)
+  }
 }
