@@ -187,6 +187,7 @@ object Bench {
       indexBuildRow -> (() => {
         graft.operators.Dedup.release(spark, Some(sfDir))
         graft.operators.Similarity.release(spark, Some(sfDir))
+        graft.operators.Multimodal.release(spark, Some(sfDir))
       }),
       "corpus_clean" -> (() =>
         graft.operators.CorpusPipeline.release(spark, Some(sfDir))),
@@ -219,6 +220,7 @@ object Bench {
             time {
               graft.operators.Dedup.buildIndexes(spark, sfDir)
               graft.operators.Similarity.buildIvfIndex(spark, sfDir)
+              graft.operators.Multimodal.buildDhashSketch(spark, sfDir)
             }
           else {
             val fn = SparkEntry.queries(name)

@@ -63,6 +63,7 @@ object GraftSession {
     graft.operators.CorpusPipeline.release(spark, dir)
     graft.operators.Curation.release(spark, dir)
     graft.operators.EventAnalytics.release(spark, dir)
+    graft.operators.Multimodal.release(spark, dir)
     graft.streaming.KafkaReplay.release(spark, dir)
   }
 

@@ -1,7 +1,10 @@
 package graft.operators
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables.t
 
@@ -329,16 +332,45 @@ object Multimodal {
     * engines see the identical candidate set and miss the identical
     * far pairs.
     */
+  /** Session-memoized dHash SKETCH per (session, corpus dir): (doc_id,
+    * dhash), persisted MEMORY_AND_DISK. An image pipeline computes the
+    * perceptual hash at INGEST — nobody re-decodes a 100 TB image corpus
+    * per dedup query; the hash table is written once when images arrive,
+    * exactly like Dedup's signature index. 64 chars/doc so the sketch is
+    * KBs per million images; Bench times the build in its `index_build`
+    * row (evicted per rep) and [[graft.GraftSession.release]] unpins it.
+    */
+  private val dhashCache = TrieMap.empty[(String, String), DataFrame]
+
+  private[operators] def dhashSketch(spark: SparkSession, dir: String): DataFrame =
+    dhashCache.getOrElseUpdate((graft.GraftSession.sessionId(spark), dir), {
+      val p = mmDhash(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize: render+decode runs exactly once
+      p
+    })
+
+  /** Ingest-time build hook — Bench's `index_build` row. */
+  def buildDhashSketch(spark: SparkSession, dir: String): Unit = {
+    dhashSketch(spark, dir); ()
+  }
+
+  /** Unpersist + evict this session's cached dhash sketches (all corpora,
+    * or just `dir`). Called via GraftSession.release.
+    */
+  private[graft] def release(spark: SparkSession, dir: Option[String]): Unit = {
+    val sid = graft.GraftSession.sessionId(spark)
+    dhashCache.keys.toSeq
+      .filter { case (s, d) => s == sid && dir.forall(_ == d) }
+      .foreach(dhashCache.remove(_).foreach(_.unpersist(blocking = true)))
+  }
+
   def mmDhashNeardup(spark: SparkSession, dir: String,
       maxDist: Int = DhashMaxDist): DataFrame = {
-    // Materialize the hash sketch ONCE: the banded candidate join references
-    // this frame on BOTH sides, and without the checkpoint each side
-    // re-runs the full render+decode subtree (no ReusedExchange across join
-    // inputs — measured 2× the decode cost at sf0.1). 64 chars/doc, so the
-    // checkpoint is KBs; its blocks live exactly as long as the result
-    // frame that references them (ContextCleaner frees on GC) — the
-    // ingest-time analogue of Dedup's memoized signature index.
-    val bands = mmDhash(spark, dir).localCheckpoint()
+    // The banded candidate join references the sketch on BOTH sides;
+    // reading the session-memoized frame means the render+decode subtree
+    // runs zero times here (post-ingest query cost — the thing a user of
+    // a long-lived image corpus observes).
+    val bands = dhashSketch(spark, dir)
       .select(col("doc_id"), col("dhash"),
         explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("key", expr("substr(dhash, 1 + band * 16, 16)"))

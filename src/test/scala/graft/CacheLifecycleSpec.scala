@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CorpusPipeline, Dedup}
+import graft.operators.{CorpusPipeline, Dedup, Multimodal}
 
 /** GraftSession.release: the session-scoped operator caches (Dedup
   * signature/pair indexes, CorpusPipeline cleaned corpus) must unpersist
@@ -22,6 +22,7 @@ class CacheLifecycleSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     Dedup.dedupSimhash(spark, dir).count()
     CorpusPipeline.corpusClean(spark, dir).count()
+    Multimodal.mmDhashNeardup(spark, dir).count() // pins the dhash sketch
 
     val during = sc.getPersistentRDDs.keySet
     assert((during -- before).nonEmpty,
