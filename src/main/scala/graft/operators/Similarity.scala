@@ -30,13 +30,18 @@ import graft.functions.CentroidAggregator
   */
 object Similarity {
 
-  /** Exact dot/norm via sequential fold — bit-compatible with the oracle's
-    * list_sum over the same element order.
+  /** Codegen'd cosine for the hot scoring joins: `graft_cosine`
+    * (plans.CosineSim → LshVectors.cosine) folds dot and both norms
+    * left-to-right in double and evaluates dot/(√na·√nb) — BIT-IDENTICAL
+    * to the HOF `dotAB / (a.nrm * b.nrm)` path (same element order, same
+    * association), so every rounded-6dp discrete choice downstream is
+    * unchanged and the DuckDB oracles stay exact. Unlike the HOF form it
+    * allocates no per-pair intermediate array and runs inside
+    * WholeStageCodegen, which matters on the candidate-scoring joins
+    * where it executes once per (query, candidate).
     */
-  private val dotAB =
-    """aggregate(zip_with(a.embedding, b.embedding,
-       (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+  private def cosAB(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", expr(
@@ -78,7 +83,7 @@ object Similarity {
     val emb = withNorm(t(spark, dir, "embeddings"))
     val q = emb.filter(col("vec_id") < 10)
     val scored = q.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .withColumn("cos", expr(dotAB) / (col("a.nrm") * col("b.nrm")))
+      .withColumn("cos", cosAB(col("a.embedding"), col("b.embedding")))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"), col("cos"))
     rankTopK(scored, "cos", desc = true)
       .select(col("qid"), col("rank"), col("vec_id"),
@@ -105,7 +110,7 @@ object Similarity {
     val scored = q.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .withColumn("cos", expr(dotAB) / (col("a.nrm") * col("b.nrm")))
+      .withColumn("cos", cosAB(col("a.embedding"), col("b.embedding")))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"), col("cos"))
     rankTopK(scored, "cos", desc = true)
       .select(col("qid"), col("rank"), col("vec_id"),
@@ -131,7 +136,7 @@ object Similarity {
     val scored = q.as("a").join(emb.as("b"),
         col("a.probe") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .withColumn("cos", expr(dotAB) / (col("a.nrm") * col("b.nrm")))
+      .withColumn("cos", cosAB(col("a.embedding"), col("b.embedding")))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"), col("cos"))
     rankTopK(scored, "cos", desc = true)
       .select(col("qid"), col("rank"), col("vec_id"),
@@ -300,11 +305,7 @@ object Similarity {
     val scored = broadcast(probes).as("a")
       .join(assigned.as("b"),
         col("a.probe") === col("b.cid") && col("a.qid") =!= col("b.vec_id"))
-      .withColumn("cos", round(expr(
-        """aggregate(zip_with(a.q_emb, b.embedding,
-           (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-           CAST(0 AS DOUBLE), (acc, v) -> acc + v)""") /
-        (col("a.q_nrm") * col("b.nrm")), 6))
+      .withColumn("cos", round(cosAB(col("a.q_emb"), col("b.embedding")), 6))
       .select(col("a.qid"), col("b.vec_id"), col("cos"))
     rankTopK(scored, "cos", desc = true)
       .select(col("qid"), col("rank"), col("vec_id"),
@@ -418,7 +419,7 @@ object Similarity {
     val dropped = m.as("a").join(m.as("b"),
         col("a.cid") === col("b.cid") &&
           col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(expr(dotAB) / (col("a.nrm") * col("b.nrm")), 6))
+      .withColumn("cos", round(cosAB(col("a.embedding"), col("b.embedding")), 6))
       .filter(col("cos") >= tau)
       .groupBy(col("b.vec_id").as("vec_id"))
       .agg(max(col("cos")).as("dup_cos"))
@@ -521,12 +522,6 @@ object Similarity {
     */
   private[operators] val KnnEvalPanelCap = 2000
 
-  /** Exact dot product for the probe frames (query vector aliased q_emb). */
-  private val dotQB =
-    """aggregate(zip_with(a.q_emb, b.embedding,
-       (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
-
   /** The scored (qid, true_label, vec_id, nbr_label, cos) relation for
     * [[simKnnLabelEval]], produced by exact bounded IVF probing. Package
     * visible so KnnExactSpec can assert equality with brute force.
@@ -556,7 +551,7 @@ object Similarity {
           col("q_nrm"), col("lid"))).as("a")
         .join(assigned.as("b"),
           col("a.lid") === col("b.cid") && col("a.qid") =!= col("b.vec_id"))
-        .withColumn("cos", expr(dotQB) / (col("a.q_nrm") * col("b.nrm")))
+        .withColumn("cos", cosAB(col("a.q_emb"), col("b.embedding")))
         .select(col("a.qid"), col("a.true_label"), col("b.vec_id"),
           col("b.label").as("nbr_label"), col("cos"))
 
