@@ -390,6 +390,16 @@ object Similarity {
     */
   val SemanticPruneTau: Double = 0.45
 
+  /** Per-cluster ANCHOR budget for [[simSemanticPrune]]: each vector is
+    * compared against at most this many lowest-vec_id members of its
+    * list, so the refinement is O(N · C) at ANY codebook size — the
+    * within-cluster analogue of Dedup's hot-bucket anchor-star cap.
+    * Production sizes k so clusters ≈ C and the anchor set IS the whole
+    * cluster (exact SemDeDup); an oversized cluster degrades recall
+    * against its tail, never cost.
+    */
+  val SemanticPruneAnchors: Int = 64
+
   /** SemDeDup-style SEMANTIC PRUNE (Abbas et al. 2023, arXiv:2303.09540):
     * mark embeddings whose meaning duplicates a kept item — the pairs
     * string-level dedup (shingles, minhash, simhash) can never see
@@ -398,25 +408,30 @@ object Similarity {
     * member of its candidate group has rounded cosine >= tau to it (no
     * iterative clustering, no order dependence).
     *
-    * Scale shape — the paper's own linearity contract: the pairwise
-    * refinement runs INSIDE one IVF coarse list at a time (the
+    * Scale shape — the paper's own linearity contract, hard-bounded: the
+    * pairwise refinement runs INSIDE one IVF coarse list at a time (the
     * session-memoized seeded assignment, [[ivfIndex]] — ingest-time
-    * cost, the bench's index_build row), an equi-join on cid, never
-    * all-pairs. Within-cluster pairing is quadratic in CLUSTER SIZE, so
-    * the codebook k must grow with the corpus (SemDeDup sizes k so
-    * clusters stay near-constant; this module caps k at [[MaxIvfK]] and
-    * points beyond it to hierarchical training) — total work is then
-    * O(N · cluster_size) = linear, the same dial as Dedup's band width.
-    * The 16-seed demo codebook mirrors the rest of the IVF family; a
-    * production corpus passes its trained codebook through the same
-    * assignment path.
+    * cost, the bench's index_build row), an equi-join of the corpus
+    * against each list's [[SemanticPruneAnchors]] lowest-id members,
+    * never all-pairs and never all-cluster: O(N · C) cosines at ANY
+    * codebook size (the unbounded within-cluster join measured 42× at
+    * 10× data under the fixed 16-seed demo codebook — the exact
+    * superlinear shape the anchor cap exists to kill). SemDeDup sizes k
+    * so clusters stay ≈ C, where the anchor set is the whole cluster
+    * and the result is exact; this module caps k at [[MaxIvfK]] and
+    * points beyond it to hierarchical training.
     */
   def simSemanticPrune(spark: SparkSession, dir: String,
       tau: Double = SemanticPruneTau): DataFrame = {
     val (_, assigned, _) = ivfIndex(spark, dir)
     val m = assigned
       .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
-    val dropped = m.as("a").join(m.as("b"),
+    val anchors = m
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("vec_id").asc)))
+      .filter(col("arank") <= SemanticPruneAnchors)
+      .drop("arank")
+    val dropped = anchors.as("a").join(m.as("b"),
         col("a.cid") === col("b.cid") &&
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(cosAB(col("a.embedding"), col("b.embedding")), 6))
@@ -980,8 +995,12 @@ object Similarity {
                    (SELECT *, row_number() OVER (PARTITION BY vec_id
                       ORDER BY d DESC, cid ASC) AS rn FROM ad)
                  WHERE rn = 1),
+      anch AS (SELECT vec_id, cid, embedding, nrm FROM
+                 (SELECT *, row_number() OVER (PARTITION BY cid
+                    ORDER BY vec_id ASC) AS arank FROM assign)
+               WHERE arank <= $SemanticPruneAnchors),
       pairs AS (SELECT b.vec_id AS vec_id, round($cosAB, 6) AS cos
-                FROM assign a JOIN assign b ON a.cid = b.cid
+                FROM anch a JOIN assign b ON a.cid = b.cid
                   AND a.vec_id < b.vec_id),
       drp AS (SELECT vec_id, max(cos) AS dup_cos FROM pairs
               WHERE cos >= $SemanticPruneTau GROUP BY 1)
