@@ -61,12 +61,14 @@ object TextFunctions {
             (a, b) -> a + b)),
         votes -> CASE WHEN votes > 0 THEN '1' ELSE '0' END), '')""")
 
-  /** Hamming distance between two equal-length string columns. */
+  /** Hamming distance between two equal-length ASCII sketch columns —
+    * the codegen'd [[graft.plans.HammingDist]] expression (byte-wise
+    * compare, no per-pair array allocation; identical results to the
+    * split/zip_with/fold form it replaced for the '0'/'1' and hex
+    * alphabets the sketch columns use).
+    */
   def hammingDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(split(a, ""), split(b, ""),
-        (x, y) => when(x === y, 0).otherwise(1)),
-      lit(0), (acc, v) => acc + v)
+    call_function("graft_hamming", a, b)
 
   /** Number of stopword tokens ('a', 'the') in a token array. */
   def stopwordCount(w: Column): Column =

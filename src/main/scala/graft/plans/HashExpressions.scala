@@ -172,6 +172,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_hamming", exprs => HammingDist(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_topk", exprs => TopKMarker(exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_mg_candidates",
@@ -223,6 +225,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDist].getName, "graft_hamming"),
+      (exprs: Seq[Expression]) => HammingDist(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKMarker].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKMarker(exprs)))

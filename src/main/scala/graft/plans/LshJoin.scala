@@ -55,6 +55,20 @@ object LshVectors {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Byte-wise hamming distance of two ASCII sketch strings ('0'/'1'
+    * bit strings, hex bands). Exact for the single-byte alphabets the
+    * sketch columns use; extra positions of the longer string each count
+    * one mismatch (the zip_with-pad semantics this replaces).
+    */
+  def hamming(a: UTF8String, b: UTF8String): Int = {
+    val ab = a.getBytes; val bb = b.getBytes
+    val n = math.min(ab.length, bb.length)
+    var d = math.abs(ab.length - bb.length)
+    var i = 0
+    while (i < n) { if (ab(i) != bb(i)) d += 1; i += 1 }
+    d
+  }
 }
 
 /** 4-bit sign-LSH bucket key of an array<float> column.
@@ -90,6 +104,25 @@ case class CosineSim(left: Expression, right: Expression)
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.plans.LshVectors.cosine($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** Hamming distance of two ASCII hash-sketch strings. Codegen'd like
+  * [[CosineSim]] — it is the verification step of the banded
+  * simhash/dhash candidate joins, evaluated once per candidate pair on
+  * the hot path; the HOF form it replaces (split both strings, zip_with,
+  * fold) allocated two 64-element arrays per pair.
+  */
+case class HammingDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LshVectors.hamming(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.LshVectors.hamming($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDist =
     copy(left = l, right = r)
 }
 
