@@ -81,9 +81,19 @@ object TextFunctions {
   /** Positional polynomial fingerprint: Σ ascii(ch_i)·((i·131) mod 9973),
     * exact long arithmetic → order-independent combining, oracle-identical.
     * (The sequential-rolling-hash capability of the reference inventory,
-    * made associative so it distributes.)
+    * made associative so it distributes.) Computed by the native
+    * [[graft.plans.FingerprintPoly]] expression — one tight loop per
+    * document instead of a per-char array + HOF fold; TextFunctionsSpec
+    * pins parity with the SQL form on the ASCII corpus.
     */
   def fingerprintPoly(text: Column): Column =
+    call_function("graft_fppoly", text)
+
+  /** The SQL-composed twin of [[fingerprintPoly]] — kept as the
+    * oracle-shaped reference the spec checks the native expression
+    * against.
+    */
+  def fingerprintPolySql(text: Column): Column =
     aggregate(
       transform(split(text, ""),
         (ch, i) => ascii(ch).cast("long") * ((i * 131) % 9973).cast("long")),

@@ -156,6 +156,31 @@ case class Shingles3Distinct(child: Expression)
     copy(child = c)
 }
 
+/** Positional polynomial fingerprint Σ char(i)·((i·131) mod 9973) as a
+  * long — the native twin of the TextFunctions SQL form (transform over
+  * split-to-chars + fold), which allocated a per-char array per document.
+  * One eval per document runs the whole loop, so CodegenFallback costs
+  * only the call (the SimHash64 rationale). Char-code arithmetic equals
+  * the SQL twin's ascii() on the ASCII corpus the fingerprint guards;
+  * TextFunctionsSpec pins the parity.
+  */
+case class FingerprintPoly(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc += s.charAt(i).toLong * ((i * 131) % 9973)
+      i += 1
+    }
+    acc
+  }
+  override protected def withNewChildInternal(c: Expression): FingerprintPoly =
+    copy(child = c)
+}
+
 /** Session registration for the custom expressions (idempotent). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -173,6 +198,8 @@ object GraftFunctions {
       "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_hamming", exprs => HammingDist(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_fppoly", exprs => FingerprintPoly(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_topk", exprs => TopKMarker(exprs), "built-in")
     reg.createOrReplaceTempFunction(
@@ -228,6 +255,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_hamming"),
       new ExpressionInfo(classOf[HammingDist].getName, "graft_hamming"),
       (exprs: Seq[Expression]) => HammingDist(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_fppoly"),
+      new ExpressionInfo(classOf[FingerprintPoly].getName, "graft_fppoly"),
+      (exprs: Seq[Expression]) => FingerprintPoly(exprs.head)))
     e.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKMarker].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKMarker(exprs)))

@@ -72,4 +72,12 @@ class TextFunctionsSpec extends AnyFunSuite {
   test("stopwordCount counts exact stopword tokens") {
     assert(one[Int](stopwordCount(col("w")), "a cat the hat a") == 3)
   }
+
+  test("native fingerprintPoly equals the SQL twin on the real corpus") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(fingerprintPoly(col("text")).as("native"),
+        fingerprintPolySql(col("text")).as("sql"))
+    assert(docs.filter(col("native") =!= col("sql")).count() == 0L)
+    assert(docs.count() > 0L)
+  }
 }
