@@ -174,11 +174,12 @@ object Similarity {
     val sorted = code.sortBy(_._1)
     val cVecs = typedLit(sorted.map(_._2))
     val cNrms = typedLit(sorted.map(_._3))
+    // graft_dot_fd = the HOF fold's exact double sequence in a native
+    // loop (the centroid side is a plan-literal array<double>); this is
+    // the k-cosines-per-corpus-row assignment kernel, so the inner fold
+    // dominates the full-corpus IVF passes
     transform(sequence(lit(0), lit(sorted.length - 1)), p =>
-      aggregate(
-        zip_with(e, element_at(cVecs, p + 1),
-          (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v) /
+      call_function("graft_dot_fd", e, element_at(cVecs, p + 1)) /
         (n * element_at(cNrms, p + 1)))
   }
 
@@ -364,10 +365,8 @@ object Similarity {
       val k = sorted.length
       val dists = transform(sequence(lit(0), lit(k - 1)), p =>
         round(
-          aggregate(
-            zip_with(col("embedding"), element_at(cVecs, p + 1),
-              (x, y) => x.cast("double") * y),
-            lit(0.0), (acc, v) => acc + v) /
+          call_function("graft_dot_fd",
+            col("embedding"), element_at(cVecs, p + 1)) /
             (col("nrm") * element_at(cNrms, p + 1)), 6))
       val means = emb
         .withColumn("cid", element_at(cIds,

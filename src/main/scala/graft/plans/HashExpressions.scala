@@ -201,6 +201,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_fppoly", exprs => FingerprintPoly(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_dot_fd", exprs => DotFloatDouble(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_topk", exprs => TopKMarker(exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_mg_candidates",
@@ -258,6 +260,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_fppoly"),
       new ExpressionInfo(classOf[FingerprintPoly].getName, "graft_fppoly"),
       (exprs: Seq[Expression]) => FingerprintPoly(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_dot_fd"),
+      new ExpressionInfo(classOf[DotFloatDouble].getName, "graft_dot_fd"),
+      (exprs: Seq[Expression]) => DotFloatDouble(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKMarker].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKMarker(exprs)))

@@ -56,6 +56,20 @@ object LshVectors {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** dot(float vector, double vector) — sequential left-to-right double
+    * fold, bit-identical to the HOF `aggregate(zip_with(e, c, (x,y) ->
+    * CAST(x AS DOUBLE) * y))` it replaces in the centroid-assignment
+    * paths (the centroid side is a plan-literal array<double>; the
+    * corpus side array<float>).
+    */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    acc
+  }
+
   /** Byte-wise hamming distance of two ASCII sketch strings ('0'/'1'
     * bit strings, hex bands). Exact for the single-byte alphabets the
     * sketch columns use; extra positions of the longer string each count
@@ -123,6 +137,24 @@ case class HammingDist(left: Expression, right: Expression)
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.plans.LshVectors.hamming($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDist =
+    copy(left = l, right = r)
+}
+
+/** dot(array<float>, array<double>) — the centroid-assignment kernel.
+  * Codegen'd like [[CosineSim]]; the corpus side is float embeddings,
+  * the centroid side a plan-literal double vector, and the IVF argmax
+  * evaluates it k times per corpus row.
+  */
+case class DotFloatDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LshVectors.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.LshVectors.dotFD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFloatDouble =
     copy(left = l, right = r)
 }
 
