@@ -521,7 +521,44 @@ object Curation {
         sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"))
   }
 
+  /** Deterministic GLOBAL TRAINING-ORDER SHUFFLE — the reproducible
+    * permutation + balanced sharding a training pipeline needs before
+    * writing epoch data: identical (seed, corpus) always yields the
+    * identical order, on any cluster, any partitioning, any engine.
+    * Every doc gets a pseudorandom sort key (md5 of "seed:doc_id"), a
+    * shard (first 4 hex chars of the key mod `shards` — key-derived, so
+    * shards are balanced by md5 uniformity), and a dense within-shard
+    * position.
+    *
+    * Scale shape: the key and shard are map-side expressions; the only
+    * shuffle is the per-shard window for the dense position — partitioned
+    * by shard, i.e. the exact exchange a sharded epoch WRITE needs
+    * anyway (repartition by shard, sort within). No global sort, no
+    * single-partition stage.
+    */
+  def globalShuffle(spark: SparkSession, dir: String,
+      seed: Long = 42L, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards > 0, "shards must be positive")
+    // hex→int via instr arithmetic: portable to the oracle verbatim
+    // (DuckDB instr == Spark instr), no engine-specific hash involved
+    val hex4 =
+      """(instr('0123456789abcdef', substr(skey, 1, 1)) - 1) * 4096 +
+         (instr('0123456789abcdef', substr(skey, 2, 1)) - 1) * 256 +
+         (instr('0123456789abcdef', substr(skey, 3, 1)) - 1) * 16 +
+         (instr('0123456789abcdef', substr(skey, 4, 1)) - 1)"""
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(seed), col("doc_id"))).as("skey"))
+      .withColumn("shard", expr(s"CAST(($hex4) % $shards AS INT)"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("skey"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"), col("skey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_global_shuffle" -> ((s, d) => globalShuffle(s, d)),
     "cur_top_quality" -> ((s, d) => topQualityPerSource(s, d)),
     "cur_data_card" -> ((s, d) => corpusDataCard(s, d)),
     "cur_shard_plan" -> ((s, d) => shardPlan(s, d)),
@@ -577,6 +614,21 @@ object Curation {
                           WHERE c.doc_id = d.doc_id))"""
 
   val oracle: Map[String, String] = Map(
+    "cur_global_shuffle" -> """
+      WITH keyed AS (SELECT doc_id,
+               md5('42:' || CAST(doc_id AS VARCHAR)) AS skey
+             FROM documents),
+      sharded AS (SELECT doc_id, skey,
+               CAST(((instr('0123456789abcdef', substr(skey, 1, 1)) - 1) * 4096 +
+                     (instr('0123456789abcdef', substr(skey, 2, 1)) - 1) * 256 +
+                     (instr('0123456789abcdef', substr(skey, 3, 1)) - 1) * 16 +
+                     (instr('0123456789abcdef', substr(skey, 4, 1)) - 1)) % 8
+                 AS INT) AS shard
+             FROM keyed)
+      SELECT doc_id, shard,
+        CAST(row_number() OVER (PARTITION BY shard
+          ORDER BY skey, doc_id) AS INT) AS pos, skey
+      FROM sharded""",
     "cur_top_quality" -> s"""
       WITH ${CorpusPipeline.qualityCte}
       SELECT doc_id, source, quality FROM (
