@@ -91,8 +91,11 @@ object Bench {
     "st8_window_heavy_hitters", "dq_skew_report",
     "st9_window_distinct_users", "dedup_containment",
     "j9_interval_overlap", "j10_temporal_dim_join",
-    // round-12 addition: SemDeDup-style semantic prune over the IVF lists
-    "sim_semantic_prune",
+    // round-12 additions: SemDeDup-style semantic prune over the IVF
+    // lists, global training-order shuffle, token entropy, snapshot
+    // drift (PSI), fractional epoch plan
+    "sim_semantic_prune", "cur_global_shuffle", "text_entropy",
+    "dq_drift", "cur_epoch_plan",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -557,7 +557,50 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("pos"), col("skey"))
   }
 
+  /** Fractional per-source EPOCH PLAN — the mixture-of-epochs schedule a
+    * pretraining run consumes: high-value sources repeat for multiple
+    * epochs, commodity sources see less than one pass, and the plan says
+    * exactly which (doc, epoch) pairs exist. Targets are fractional
+    * ([[EpochTierHigh]] = 2.5 means two full passes plus a deterministic
+    * half-sample third); full epochs keep every doc, the final partial
+    * epoch keeps a doc iff its content-addressed digest byte — md5 of
+    * `doc_id:epoch`, the [[sampleStratified]] convention salted by epoch
+    * so successive partial epochs draw INDEPENDENT subsets — clears the
+    * fractional part. Identical (corpus, tier map) ⇒ identical plan on
+    * any engine, cluster, or rerun; no RNG state to coordinate.
+    *
+    * Scale shape: map-side CASE + a ≤⌈max target⌉-wide `sequence` explode
+    * + a per-row filter — zero shuffles, output bounded by
+    * Σ⌈target⌉·|docs|. The epoch column is exactly what a downstream
+    * [[globalShuffle]]-per-epoch or shard write partitions on.
+    */
+  private[operators] val EpochTierHigh = 2.5 // src0..src3: premium sources
+  private[operators] val EpochTierMid = 1.25 // src4..src7
+  private[operators] val EpochTierBase = 1.0 // the long tail
+  private[operators] val EpochHighSrcs = (0 to 3).map(i => s"src$i")
+  private[operators] val EpochMidSrcs = (4 to 7).map(i => s"src$i")
+
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val target = when(col("source").isin(EpochHighSrcs: _*), EpochTierHigh)
+      .when(col("source").isin(EpochMidSrcs: _*), EpochTierMid)
+      .otherwise(EpochTierBase)
+    // digest byte of "doc_id:epoch" — partial-epoch membership, salted by
+    // epoch so each partial draw is independent of every other epoch's
+    val hv = conv(substring(md5(concat_ws(":", col("doc_id"), col("epoch"))),
+      1, 2), 16, 10).cast("int")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), target.as("epochs_target"))
+      .withColumn("epoch",
+        explode(expr("sequence(1, CAST(ceil(epochs_target) AS INT))")))
+      .filter(col("epoch") <= floor(col("epochs_target")) ||
+        hv.cast("double") / 256.0 <
+          col("epochs_target") - floor(col("epochs_target")))
+      .select(col("doc_id"), col("source"), col("epochs_target"),
+        col("epoch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_epoch_plan" -> ((s, d) => epochPlan(s, d)),
     "cur_global_shuffle" -> ((s, d) => globalShuffle(s, d)),
     "cur_top_quality" -> ((s, d) => topQualityPerSource(s, d)),
     "cur_data_card" -> ((s, d) => corpusDataCard(s, d)),
@@ -613,7 +656,32 @@ object Curation {
           AND NOT EXISTS (SELECT 1 FROM contaminated c
                           WHERE c.doc_id = d.doc_id))"""
 
+  private val epochHashByte =
+    """((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)
+         || ':' || CAST(epoch AS VARCHAR)), 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)
+         || ':' || CAST(epoch AS VARCHAR)), 2, 1)) - 1))"""
+
   val oracle: Map[String, String] = Map(
+    "cur_epoch_plan" -> s"""
+      WITH planned AS (
+        SELECT doc_id, source,
+          CASE WHEN source IN (${EpochHighSrcs.map("'" + _ + "'").mkString(",")})
+                 THEN $EpochTierHigh
+               WHEN source IN (${EpochMidSrcs.map("'" + _ + "'").mkString(",")})
+                 THEN $EpochTierMid
+               ELSE $EpochTierBase END AS epochs_target
+        FROM documents),
+      ex AS (
+        SELECT doc_id, source, epochs_target,
+          CAST(unnest(generate_series(1, CAST(ceil(epochs_target) AS INT)))
+            AS INT) AS epoch
+        FROM planned)
+      SELECT doc_id, source, epochs_target, epoch
+      FROM ex
+      WHERE epoch <= floor(epochs_target)
+         OR $epochHashByte / 256.0
+            < epochs_target - floor(epochs_target)""",
     "cur_global_shuffle" -> """
       WITH keyed AS (SELECT doc_id,
                md5('42:' || CAST(doc_id AS VARCHAR)) AS skey

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -182,7 +183,59 @@ object Profiling {
           .as("recommended_salt"))
   }
 
+  /** DQ6 — distribution drift (Population Stability Index) between two
+    * corpus snapshots: the monitor an ML pipeline runs before retraining —
+    * "does this week's data still look like the data the model saw?".
+    * The reference snapshot is the first half of the events window, the
+    * current snapshot the second half ([[DriftSplit]]); `value` is bucketed
+    * into fixed-width bins ([[DriftBucketWidth]], tail bin absorbs
+    * everything above), and each bin contributes
+    * `(q−p)·ln(q/p)` with shares clamped at [[DriftEps]] so an empty bin
+    * cannot produce ±∞. PSI < 0.1 is the conventional "no drift" gate;
+    * the per-bin rows show WHERE the mass moved, `psi_total` is the gate
+    * value.
+    *
+    * Scale shape: ONE scan of the fact computes both snapshots' bin
+    * counts (conditional aggregates over the same groupBy — never two
+    * passes); everything after is |bins| rows. The 1-row totals aggregate
+    * broadcasts back over the bin frame, skew-report style. At 100 TB the
+    * cost is exactly one map-side-partial group-count on a small-int key.
+    *
+    * Determinism: bin shares are single long/long IEEE divisions (exact
+    * cross-engine); the only transcendental is one `ln` per bin on
+    * identical doubles, and psi rounds to 4 decimals — 1-ulp `ln`
+    * disagreement sits ~1e-11 away from a rounding boundary. `psi_total`
+    * sums the ALREADY-ROUNDED per-bin terms, so summation order cannot
+    * drift either.
+    */
+  private[operators] val DriftSplit = "2024-01-16 00:00:00"
+  private[operators] val DriftBucketWidth = 25
+  private[operators] val DriftBuckets = 10 // bin ids 0..10, last = tail
+  private[operators] val DriftEps = 1e-6
+
+  def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val isRef = col("ts") < lit(DriftSplit).cast("timestamp")
+    val bins = t(spark, dir, "events")
+      .groupBy(least(floor(col("value") / DriftBucketWidth),
+        lit(DriftBuckets)).cast("int").as("bin"))
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(isRef, 0L).otherwise(1L)).as("n_cur"))
+    val tot = bins.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    val p = greatest(col("n_ref").cast("double") / col("t_ref"),
+      lit(DriftEps))
+    val q = greatest(col("n_cur").cast("double") / col("t_cur"),
+      lit(DriftEps))
+    bins.join(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(p, 6).as("p_ref"), round(q, 6).as("p_cur"),
+        round((q - p) * log(q / p), 4).as("psi"))
+      .withColumn("psi_total",
+        round(sum(col("psi")).over(Window.partitionBy()), 4))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_drift" -> (dqDrift _),
     "dq_anomaly" -> ((s: SparkSession, d: String) => dqAnomaly(s, d)),
     "dq_profile" -> (dqProfile _),
     "dq_expectations" -> (dqExpectations _),
@@ -191,6 +244,32 @@ object Profiling {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_drift" -> s"""
+      WITH bins AS (
+        SELECT CAST(least(floor(value / $DriftBucketWidth), $DriftBuckets)
+                 AS INT) AS bin,
+          CAST(sum(CASE WHEN ts < TIMESTAMP '$DriftSplit'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+          CAST(sum(CASE WHEN ts < TIMESTAMP '$DriftSplit'
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        FROM events GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                     CAST(sum(n_cur) AS BIGINT) AS t_cur FROM bins),
+      rows_ AS (
+        SELECT bin, n_ref, n_cur,
+          round(greatest(CAST(n_ref AS DOUBLE) / t_ref, $DriftEps), 6)
+            AS p_ref,
+          round(greatest(CAST(n_cur AS DOUBLE) / t_cur, $DriftEps), 6)
+            AS p_cur,
+          round((greatest(CAST(n_cur AS DOUBLE) / t_cur, $DriftEps)
+               - greatest(CAST(n_ref AS DOUBLE) / t_ref, $DriftEps))
+            * ln(greatest(CAST(n_cur AS DOUBLE) / t_cur, $DriftEps)
+               / greatest(CAST(n_ref AS DOUBLE) / t_ref, $DriftEps)), 4)
+            AS psi
+        FROM bins, tot)
+      SELECT bin, n_ref, n_cur, p_ref, p_cur, psi,
+        round(sum(psi) OVER (), 4) AS psi_total
+      FROM rows_""",
     "dq_skew_report" -> """
       WITH freq AS (SELECT l_suppkey, count(*) AS freq
                     FROM lineitem GROUP BY 1),

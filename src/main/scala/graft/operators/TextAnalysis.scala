@@ -413,7 +413,43 @@ object TextAnalysis {
           .cast("long") / lit(1e6))), 6).as("ppl"))
   }
 
+  /** Token-entropy quality signal: per-document Shannon entropy of the
+    * token distribution (nats) plus the ln(distinct)-normalized form in
+    * [0,1]. Low entropy flags the degenerate docs a quality filter wants
+    * gone — keyword stuffing, boilerplate repetition, template spam —
+    * that length or stopword ratios miss; `H = ln(n) − Σ c·ln(c) / n`
+    * over per-doc token counts `c`.
+    *
+    * Scale shape: explode → two-level groupBy, the exact [[textTfidf]]
+    * skeleton — map-side partials on (doc, token) then a per-doc
+    * aggregate; state per group is three numbers and nothing but token
+    * digests shuffle. Embarrassingly parallel at any corpus size.
+    *
+    * Determinism (the [[textLmScore]] integer-micro pattern): each
+    * `c·ln(c)` term is rounded to INTEGER MICRO-NATS before the sum, so
+    * the cross-engine summation is exact long arithmetic and IEEE
+    * addition order cannot drift the total; the only remaining
+    * transcendental per emitted value is one `ln` on an integer, and the
+    * 4-decimal emit sits ~1e-11 from any rounding boundary.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val h = log(col("n_tokens")) - col("su") / 1e6 / col("n_tokens")
+    counts.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double"))
+          * 1e6).cast("long")).as("su"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(h, 4).as("entropy"),
+        round(when(col("n_distinct") > 1, h / log(col("n_distinct")))
+          .otherwise(0.0), 4).as("entropy_norm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (textEntropy _),
     "text_lm_score" -> (textLmScore _),
     "text_token_topk" -> ((s: SparkSession, d: String) => textTokenTopk(s, d)),
     "text_tokens" -> (textTokens _),
@@ -433,6 +469,23 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_entropy" -> """
+      WITH cnt AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          count(*) AS n_distinct,
+          CAST(sum(CAST(round(c * ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS su
+        FROM cnt GROUP BY 1)
+      SELECT doc_id, n_tokens, n_distinct,
+        round(ln(n_tokens) - su / 1e6 / n_tokens, 4) AS entropy,
+        round(CASE WHEN n_distinct > 1
+          THEN (ln(n_tokens) - su / 1e6 / n_tokens) / ln(n_distinct)
+          ELSE 0.0 END, 4) AS entropy_norm
+      FROM agg""",
     "text_lm_score" -> """
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       uni AS (SELECT t AS w1, count(*) AS c1

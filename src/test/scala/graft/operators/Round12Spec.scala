@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.Tables.t
+
+/** Round-12 contracts: token entropy, snapshot drift (PSI), and the
+  * fractional per-source epoch plan.
+  */
+class Round12Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("text_entropy matches a driver-side recompute; norm in [0,1]") {
+    val got = TextAnalysis.textEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    val texts = t(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.length == got.size)
+    texts.foreach { case (id, text) =>
+      // limit -1: Spark's split keeps trailing empty tokens
+      val toks = text.split(" ", -1).toSeq
+      val counts = toks.groupBy(identity).map(_._2.size.toLong)
+      val n = toks.size.toLong
+      val su = counts.map(c => math.round(c * math.log(c.toDouble) * 1e6)).sum
+      val h = math.log(n.toDouble) - su / 1e6 / n
+      val d = counts.size.toLong
+      val norm = if (d > 1) h / math.log(d.toDouble) else 0.0
+      val (gn, gd, gh, gnorm) = got(id)
+      assert(gn == n && gd == d, s"doc $id counts")
+      assert(math.abs(gh - h) < 1e-3, s"doc $id entropy $gh vs $h")
+      assert(math.abs(gnorm - norm) < 1e-3, s"doc $id norm")
+      assert(gnorm >= -1e-9 && gnorm <= 1 + 1e-9, s"doc $id norm range")
+    }
+  }
+
+  test("dq_drift: bins partition the fact; psi_total = sum(psi) and " +
+      "passes the no-drift gate on the time-split synthetic corpus") {
+    val rows = Profiling.dqDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = t(spark, dir, "events").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total,
+      "every event lands in exactly one bin")
+    val psiSum = rows.map(_.getDouble(5)).sum
+    val psiTotal = rows.map(_.getDouble(6)).distinct
+    assert(psiTotal.length == 1, "psi_total identical on every row")
+    assert(math.abs(psiTotal.head - psiSum) < 1e-9)
+    // both halves draw from the same generator: the conventional
+    // PSI < 0.1 "no drift" gate must pass
+    assert(psiTotal.head >= 0.0 && psiTotal.head < 0.1,
+      s"psi_total ${psiTotal.head}")
+  }
+
+  test("cur_epoch_plan: full epochs complete, partial epochs sampled at " +
+      "~the fractional rate, plan deterministic") {
+    val plan = Curation.epochPlan(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getInt(3)))
+    val byDoc = plan.groupBy(_._1)
+    val docs = t(spark, dir, "documents").select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc.keySet == docs.keySet, "every doc appears in the plan")
+    byDoc.foreach { case (id, rows) =>
+      val target = rows.head._3
+      val (full, ceilN) = (math.floor(target).toInt, math.ceil(target).toInt)
+      val epochs = rows.map(_._4).sorted
+      // the full epochs are ALWAYS present and dense from 1
+      assert(epochs.take(full).toSeq == (1 to full),
+        s"doc $id full epochs $epochs (target $target)")
+      assert(epochs.length == full || epochs.length == ceilN,
+        s"doc $id row count ${epochs.length}")
+    }
+    // partial-epoch admission rate ≈ fractional part (binomial, loose)
+    Seq((Curation.EpochTierHigh, Curation.EpochHighSrcs),
+        (Curation.EpochTierMid, Curation.EpochMidSrcs)).foreach {
+      case (target, srcs) =>
+        val frac = target - math.floor(target)
+        val pool = docs.filter { case (_, s) => srcs.contains(s) }.keySet
+        assert(pool.size > 50, "tier population")
+        val kept = pool.count(id =>
+          byDoc(id).exists(_._4 == math.ceil(target).toInt))
+        val rate = kept.toDouble / pool.size
+        assert(math.abs(rate - frac) < 0.15,
+          s"tier $target partial rate $rate vs $frac over ${pool.size}")
+    }
+    val again = Curation.epochPlan(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getInt(3)))
+    assert(plan.sortBy(r => (r._1, r._4)).toSeq ==
+      again.sortBy(r => (r._1, r._4)).toSeq, "plan is deterministic")
+  }
+}
