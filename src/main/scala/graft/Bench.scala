@@ -95,7 +95,7 @@ object Bench {
     // lists, global training-order shuffle, token entropy, snapshot
     // drift (PSI), fractional epoch plan
     "sim_semantic_prune", "cur_global_shuffle", "text_entropy",
-    "dq_drift", "cur_epoch_plan",
+    "dq_drift", "cur_epoch_plan", "st11_drift_monitor",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -208,10 +208,10 @@ object Profiling {
     * sums the ALREADY-ROUNDED per-bin terms, so summation order cannot
     * drift either.
     */
-  private[operators] val DriftSplit = "2024-01-16 00:00:00"
-  private[operators] val DriftBucketWidth = 25
-  private[operators] val DriftBuckets = 10 // bin ids 0..10, last = tail
-  private[operators] val DriftEps = 1e-6
+  private[graft] val DriftSplit = "2024-01-16 00:00:00"
+  private[graft] val DriftBucketWidth = 25
+  private[graft] val DriftBuckets = 10 // bin ids 0..10, last = tail
+  private[graft] val DriftEps = 1e-6
 
   def dqDrift(spark: SparkSession, dir: String): DataFrame = {
     val isRef = col("ts") < lit(DriftSplit).cast("timestamp")

@@ -2,13 +2,14 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.operators.Profiling
 
 case class Ev(user_id: Long, ts: Timestamp, value: Double)
 case class Session(user_id: Long, session_start: Timestamp,
@@ -400,7 +401,91 @@ object EventConsumer {
       ev.filter(col("event_type") === "purchase").withWatermark("ts", "1 hour"))
   }
 
+  /** ST11 — STREAMING DRIFT MONITOR, the live sibling of
+    * [[graft.operators.Profiling.dqDrift]]: per tumbling day, the
+    * Population Stability Index of that day's `value`-bin distribution
+    * against a STATIC reference profile (the pre-split half of the
+    * events window) — the "is today's traffic still shaped like the
+    * data we trained on?" alarm, evaluated continuously.
+    *
+    * The bin histogram is ONE streaming-legal aggregation: bins are a
+    * fixed small set, so each day's counts are |bins| conditional sums
+    * in a single groupBy(window) — no second normalization pass, which
+    * append-mode streaming could not express. The reference profile is
+    * collected ONCE at monitor build (|bins| longs — the bounded-collect
+    * convention of the IVF codebooks) and folded into the map-side psi
+    * expression, exactly how a production monitor loads its reference
+    * profile at deploy time. The psi sum is a FIXED-ORDER expression
+    * tree over per-term-rounded bin contributions, so neither engine's
+    * aggregation order can drift the emitted value.
+    *
+    * Scale shape: streaming state is one row of |bins| longs per open
+    * day window; batch flavor is two scans (1-row reference aggregate +
+    * the windowed conditional aggregate). Nothing grows with corpus
+    * size but the scan itself.
+    */
+  private def driftBin: Column =
+    least(floor(col("value") / Profiling.DriftBucketWidth),
+      lit(Profiling.DriftBuckets)).cast("int")
+
+  private def driftBinIds: Seq[Int] = 0 to Profiling.DriftBuckets
+
+  /** Reference bin shares from the pre-split half — one 1-row aggregate,
+    * collected at build time (bounded: |bins|+1 longs).
+    */
+  private[graft] def driftReferenceShares(spark: SparkSession,
+      dir: String): Seq[Double] = {
+    val aggs = driftBinIds.map(b =>
+      sum(when(driftBin === b, 1L).otherwise(0L)).as(s"r$b")) :+
+      count(lit(1)).as("rt")
+    val row = Tables.t(spark, dir, "events")
+      .filter(col("ts") < lit(Profiling.DriftSplit).cast("timestamp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()(0)
+    val rt = row.getLong(driftBinIds.length).toDouble
+    driftBinIds.map(b => row.getLong(b) / rt)
+  }
+
+  /** Day-windowed bin histogram + psi against `refShares` — the transform
+    * shared verbatim by the batch twin and the streaming flavor.
+    */
+  def driftMonitor(events: DataFrame, refShares: Seq[Double]): DataFrame = {
+    val binCounts = driftBinIds.map(b =>
+      sum(when(driftBin === b, 1L).otherwise(0L)).as(s"c$b"))
+    val psi = driftBinIds.map { b =>
+      val p = math.max(refShares(b), Profiling.DriftEps)
+      val q = greatest(col(s"c$b").cast("double") / col("n_events"),
+        lit(Profiling.DriftEps))
+      round((q - lit(p)) * log(q / lit(p)), 4)
+    }.reduce(_ + _)
+    events
+      .filter(col("ts") >= lit(Profiling.DriftSplit).cast("timestamp"))
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"), binCounts: _*)
+      .select(col("window.start").as("window_start"), col("n_events"),
+        round(psi, 4).as("psi"))
+  }
+
+  /** Batch twin — oracle-checked (st11). */
+  def batchDriftMonitor(spark: SparkSession, dir: String): DataFrame =
+    driftMonitor(Tables.t(spark, dir, "events"),
+      driftReferenceShares(spark, dir))
+
+  /** Streaming flavor: watermarked day windows over the file source,
+    * reference profile loaded at build time. StreamingSpec-style parity
+    * with the batch twin is pinned in Round12Spec.
+    */
+  def streamingDriftMonitor(spark: SparkSession, dir: String): DataFrame =
+    driftMonitor(
+      Tables.normalizeEventTs(
+        spark.readStream
+          .schema(Tables.eventsFileSchema(spark, dir))
+          .parquet(dir))
+        .withWatermark("ts", "1 hour"),
+      driftReferenceShares(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_drift_monitor" -> (batchDriftMonitor _),
     "st10_stream_stream_join" -> (batchStreamStreamJoin _),
     "st3_window_agg" -> (batchWindowAgg _),
     "st4_sessionize" -> (batchSessionize _),
@@ -411,7 +496,34 @@ object EventConsumer {
     "st9_window_distinct_users" -> (batchWindowDistinctUsers _),
   )
 
+  private def st11OracleSql: String = {
+    val w = Profiling.DriftBucketWidth
+    val bMax = Profiling.DriftBuckets
+    val split = Profiling.DriftSplit
+    val eps = Profiling.DriftEps
+    def binCase(b: Int) =
+      s"CASE WHEN least(floor(value / $w), $bMax) = $b THEN 1 ELSE 0 END"
+    val refSums = driftBinIds.map(b =>
+      s"CAST(sum(${binCase(b)}) AS BIGINT) AS r$b").mkString(", ")
+    val curSums = driftBinIds.map(b =>
+      s"CAST(sum(${binCase(b)}) AS BIGINT) AS c$b").mkString(", ")
+    def q(b: Int) = s"greatest(CAST(c$b AS DOUBLE) / n_events, $eps)"
+    def p(b: Int) = s"greatest(CAST(r$b AS DOUBLE) / rt, $eps)"
+    val psiTerms = driftBinIds.map(b =>
+      s"round((${q(b)} - ${p(b)}) * ln(${q(b)} / ${p(b)}), 4)")
+      .mkString(" + ")
+    s"""
+      WITH ref AS (SELECT $refSums, count(*) AS rt
+                   FROM events WHERE ts < TIMESTAMP '$split'),
+      cur AS (SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+                count(*) AS n_events, $curSums
+              FROM events WHERE ts >= TIMESTAMP '$split' GROUP BY 1)
+      SELECT window_start, n_events, round($psiTerms, 4) AS psi
+      FROM cur, ref"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "st11_drift_monitor" -> st11OracleSql,
     "st10_stream_stream_join" -> """
       SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
              p.event_id AS purchase_id, p.ts AS purchase_ts, p.value

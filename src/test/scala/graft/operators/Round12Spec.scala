@@ -93,4 +93,26 @@ class Round12Spec extends AnyFunSuite {
     assert(plan.sortBy(r => (r._1, r._4)).toSeq ==
       again.sortBy(r => (r._1, r._4)).toSeq, "plan is deterministic")
   }
+
+  test("st11 streaming drift monitor: emitted windows == batch twin") {
+    import graft.streaming.EventConsumer
+    // file streaming source wants a directory; stage the events file alone
+    val stage = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$stage/events.parquet"))
+    val q = EventConsumer.streamingDriftMonitor(spark, stage).writeStream
+      .outputMode("append").format("memory").queryName("st11_files")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("st11_files")
+      val batch = EventConsumer.batchDriftMonitor(spark, dir)
+      assert(streamed.count() > 0)
+      // append mode withholds watermark-open windows; every emitted one
+      // must match the batch twin exactly (psi included)
+      assert(streamed.exceptAll(batch).count() == 0)
+    } finally q.stop()
+  }
 }
