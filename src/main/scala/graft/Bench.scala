@@ -96,6 +96,7 @@ object Bench {
     // drift (PSI), fractional epoch plan
     "sim_semantic_prune", "cur_global_shuffle", "text_entropy",
     "dq_drift", "cur_epoch_plan", "st11_drift_monitor",
+    "cur_token_budget",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -599,7 +599,59 @@ object Curation {
         col("epoch"))
   }
 
+  /** TOKEN-BUDGET REPORT — the mixture-accounting table a pretraining
+    * data lead reads before locking an epoch plan: per source, how many
+    * tokens exist, what share of the corpus that is, what share the
+    * mixture SPEC wants ([[EpochHighBp]]/[[EpochMidBp]] in integer basis
+    * points, split evenly inside each tier), the token deficit/surplus
+    * against that target, and `repeat_factor` — the per-source epoch
+    * multiplier that would hit the target exactly, i.e. the number
+    * [[epochPlan]]'s tier map is a rounded instance of.
+    *
+    * Scale shape: one scan — per-row token count is map-side, then a
+    * groupBy(source) partial+final aggregate (|sources| rows) with the
+    * 1-row corpus total broadcast back. Deficits are INTEGER basis-point
+    * cross-multiplication (`bp·T DIV 10000`), so both engines agree to
+    * the token; only the emitted ratio divides, and that is one exact
+    * long/long IEEE division rounded to 4.
+    */
+  private[operators] val EpochHighBp = 1000 // 10.00% of corpus tokens EACH
+  private[operators] val EpochMidBp = 500 // 5.00% each
+  private[operators] val TotalBp = 10000
+  // the long tail splits the remaining basis points evenly; the divisor
+  // is the corpus' 12 non-tier sources (srcs are a closed driver-fixture
+  // set — at 100 TB this CASE becomes a broadcast dim-table join)
+  private[operators] val EpochTailBp =
+    (TotalBp - EpochHighSrcs.size * EpochHighBp
+      - EpochMidSrcs.size * EpochMidBp) / 12
+
+  def tokenBudgetReport(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = t(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("t_tokens"))
+    val bp = when(col("source").isin(EpochHighSrcs: _*), EpochHighBp)
+      .when(col("source").isin(EpochMidSrcs: _*), EpochMidBp)
+      .otherwise(EpochTailBp)
+    perSource.join(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("t_tokens"), 6)
+          .as("actual_share"),
+        bp.as("target_bp"),
+        (bp * col("t_tokens")).cast("long").as("scaled"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("actual_share"), col("target_bp"),
+        expr(s"scaled DIV $TotalBp").as("target_tokens"),
+        (expr(s"scaled DIV $TotalBp") - col("n_tokens"))
+          .as("deficit_tokens"),
+        round(expr(s"scaled DIV $TotalBp").cast("double") / col("n_tokens"),
+          4).as("repeat_factor"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_token_budget" -> ((s, d) => tokenBudgetReport(s, d)),
     "cur_epoch_plan" -> ((s, d) => epochPlan(s, d)),
     "cur_global_shuffle" -> ((s, d) => globalShuffle(s, d)),
     "cur_top_quality" -> ((s, d) => topQualityPerSource(s, d)),
@@ -663,6 +715,29 @@ object Curation {
          || ':' || CAST(epoch AS VARCHAR)), 2, 1)) - 1))"""
 
   val oracle: Map[String, String] = Map(
+    "cur_token_budget" -> s"""
+      WITH per_source AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens
+              FROM per_source),
+      tgt AS (
+        SELECT source, n_docs, n_tokens, t_tokens,
+          CASE WHEN source IN (${EpochHighSrcs.map("'" + _ + "'").mkString(",")})
+                 THEN $EpochHighBp
+               WHEN source IN (${EpochMidSrcs.map("'" + _ + "'").mkString(",")})
+                 THEN $EpochMidBp
+               ELSE $EpochTailBp END AS target_bp
+        FROM per_source, tot)
+      SELECT source, n_docs, n_tokens,
+        round(CAST(n_tokens AS DOUBLE) / t_tokens, 6) AS actual_share,
+        target_bp,
+        (target_bp * t_tokens) // $TotalBp AS target_tokens,
+        (target_bp * t_tokens) // $TotalBp - n_tokens AS deficit_tokens,
+        round(CAST((target_bp * t_tokens) // $TotalBp AS DOUBLE) / n_tokens,
+          4) AS repeat_factor
+      FROM tgt""",
     "cur_epoch_plan" -> s"""
       WITH planned AS (
         SELECT doc_id, source,

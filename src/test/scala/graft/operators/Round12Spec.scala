@@ -94,6 +94,26 @@ class Round12Spec extends AnyFunSuite {
       again.sortBy(r => (r._1, r._4)).toSeq, "plan is deterministic")
   }
 
+  test("cur_token_budget: shares sum to 1, targets sum to ~the corpus, " +
+      "repeat_factor consistent with the deficit") {
+    val rows = Curation.tokenBudgetReport(spark, dir).collect()
+    assert(rows.length == 20, "one row per source")
+    val totTokens = rows.map(_.getLong(2)).sum
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4,
+      "actual_share sums to ~1")
+    // Σ target_bp = 4·1000 + 4·500 + 12·333 = 9996 of 10000 (integer
+    // tail split) — targets cover the corpus to within 4 bp
+    assert(rows.map(_.getInt(4)).sum == 9996)
+    val sumTargets = rows.map(_.getLong(5)).sum
+    assert(sumTargets <= totTokens &&
+      sumTargets >= totTokens * 9990L / 10000L, "targets ≈ corpus")
+    rows.foreach { r =>
+      assert(r.getLong(6) == r.getLong(5) - r.getLong(2), "deficit ties out")
+      assert(math.abs(r.getDouble(7) -
+        r.getLong(5).toDouble / r.getLong(2)) < 1e-3, "repeat_factor")
+    }
+  }
+
   test("st11 streaming drift monitor: emitted windows == batch twin") {
     import graft.streaming.EventConsumer
     // file streaming source wants a directory; stage the events file alone
