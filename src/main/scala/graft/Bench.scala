@@ -97,6 +97,10 @@ object Bench {
     "sim_semantic_prune", "cur_global_shuffle", "text_entropy",
     "dq_drift", "cur_epoch_plan", "st11_drift_monitor",
     "cur_token_budget",
+    // round-12b additions: BPE pair stats, path analysis, EWMA,
+    // curriculum phases, keep-best retention, freshness, profile upsert
+    "text_bpe_pairs", "ev_path_topk", "ts_ewma", "cur_curriculum",
+    "cur_keep_best", "dq_freshness", "st12_user_profile",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -3,6 +3,7 @@ package graft.operators
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -135,6 +136,77 @@ object Curation {
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** Cluster-aware dedup RETENTION: for every near-dup cluster with more
+    * than one member, elect the HIGHEST-QUALITY document (tiebreak: lowest
+    * doc_id) — the policy production pipelines actually apply, vs
+    * [[dedupClusters]]'s min-id canonical labeling. The output is the
+    * retention decision table a curation run joins against: kept doc, its
+    * quality, and how many near-copies get dropped.
+    *
+    * Scale shape: reuses the memoized [[clusterLabels]] frame (no
+    * re-pairing), joins the per-doc quality scores on doc_id (one
+    * shuffle), and elects per cluster with a row_number window over
+    * cluster_id — state per group is one row. Nothing here grows faster
+    * than the near-dup doc count.
+    */
+  def keepBestPerCluster(spark: SparkSession, dir: String): DataFrame = {
+    val joined = clusterLabels(spark, dir)
+      .join(TextAnalysis.textQuality(spark, dir)
+        .select(col("doc_id"), col("quality")), "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1 && col("cluster_size") > 1)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("doc_id").as("kept_doc_id"), col("quality").as("kept_quality"),
+        (col("cluster_size") - 1).as("n_dropped"))
+  }
+
+  /** Curriculum assignment: split the corpus into quality QUARTILE phases
+    * (easy → hard ordering for curriculum training) and report each
+    * phase's volume. Phase cut points are the exact quality quartiles.
+    *
+    * Scale shape: the quartiles are ONE 1-row aggregate broadcast back
+    * over the corpus (the dq_drift totals pattern) — phase assignment is
+    * then a map-side comparison chain, and the final rollup groups on a
+    * 4-value key. No global sort, no ntile's single-partition window.
+    *
+    * Determinism: quality is already 6-decimal-rounded; both engines
+    * compute R-7 linear-interpolated quartiles from identical value sets
+    * (`rank = p·(n−1)` exact for p = k/4), and an interpolated cut either
+    * equals a data value exactly (tied neighbors) or sits strictly inside
+    * a ≥1e-6-wide gap — 10 orders of magnitude above double ulp — so the
+    * `quality > cut` phase tests cannot flip cross-engine. The phase mean
+    * uses the integer-micro-units summation ([[TextAnalysis.textLmScore]]
+    * pattern).
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.textQuality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val cuts = q.agg(
+      expr("percentile(quality, 0.25)").as("c1"),
+      expr("percentile(quality, 0.5)").as("c2"),
+      expr("percentile(quality, 0.75)").as("c3"))
+    q.join(broadcast(cuts))
+      .withColumn("phase", lit(1)
+        + (col("quality") > col("c1")).cast("int")
+        + (col("quality") > col("c2")).cast("int")
+        + (col("quality") > col("c3")).cast("int"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"),
+        sum(round(col("quality") * 1e6).cast("long")).as("qu"))
+      .select(col("phase"), col("n_docs"), col("n_tokens"),
+        col("min_quality"), col("max_quality"),
+        (round(col("qu").cast("double") / col("n_docs")).cast("long") / 1e6)
+          .as("avg_quality"))
   }
 
   /** PageRank (power iteration, fixed `iters` rounds, GraphX's
@@ -631,11 +703,15 @@ object Curation {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"))
-    val total = perSource.agg(sum(col("n_tokens")).as("t_tokens"))
     val bp = when(col("source").isin(EpochHighSrcs: _*), EpochHighBp)
       .when(col("source").isin(EpochMidSrcs: _*), EpochMidBp)
       .otherwise(EpochTailBp)
-    perSource.join(broadcast(total))
+    // Corpus total via an unpartitioned window over the |sources|-row
+    // aggregate (the dq_skew_report pattern) — NOT a second 1-row agg
+    // joined back, which would re-execute the scan lineage: one parquet
+    // pass total, and the single-partition window holds |sources| rows.
+    perSource
+      .withColumn("t_tokens", sum(col("n_tokens")).over(Window.partitionBy()))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens").cast("double") / col("t_tokens"), 6)
           .as("actual_share"),
@@ -651,6 +727,8 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_keep_best" -> ((s, d) => keepBestPerCluster(s, d)),
+    "cur_curriculum" -> ((s, d) => curriculum(s, d)),
     "cur_token_budget" -> ((s, d) => tokenBudgetReport(s, d)),
     "cur_epoch_plan" -> ((s, d) => epochPlan(s, d)),
     "cur_global_shuffle" -> ((s, d) => globalShuffle(s, d)),
@@ -715,6 +793,46 @@ object Curation {
          || ':' || CAST(epoch AS VARCHAR)), 2, 1)) - 1))"""
 
   val oracle: Map[String, String] = Map(
+    "cur_keep_best" -> s"""
+      WITH RECURSIVE ${Dedup.minhashPairsCte},
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION SELECT db, da FROM pairs),
+      walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      labels AS (SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+                 FROM walk GROUP BY node),
+      ${CorpusPipeline.qualityCte},
+      j AS (SELECT l.doc_id, l.cluster_id, q.quality
+            FROM labels l JOIN qual q ON l.doc_id = q.doc_id),
+      r AS (SELECT *,
+              row_number() OVER (PARTITION BY cluster_id
+                ORDER BY quality DESC, doc_id ASC) AS rn,
+              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM j)
+      SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+             doc_id AS kept_doc_id, quality AS kept_quality,
+             CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+      FROM r WHERE rn = 1 AND cluster_size > 1""",
+    "cur_curriculum" -> s"""
+      WITH ${CorpusPipeline.qualityCte},
+      q2 AS (SELECT q.doc_id, q.quality,
+               len(string_split(d.text, ' ')) AS n_tokens
+             FROM qual q JOIN documents d ON q.doc_id = d.doc_id),
+      cuts AS (SELECT quantile_cont(quality, 0.25) AS c1,
+                 quantile_cont(quality, 0.5) AS c2,
+                 quantile_cont(quality, 0.75) AS c3 FROM q2),
+      p AS (SELECT q2.*,
+              1 + CAST(quality > c1 AS INT) + CAST(quality > c2 AS INT)
+                + CAST(quality > c3 AS INT) AS phase
+            FROM q2, cuts)
+      SELECT phase, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        min(quality) AS min_quality, max(quality) AS max_quality,
+        CAST(round(CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS BIGINT)
+          / CAST(count(*) AS DOUBLE)) AS BIGINT) / 1e6 AS avg_quality
+      FROM p GROUP BY 1""",
     "cur_token_budget" -> s"""
       WITH per_source AS (
         SELECT source, count(*) AS n_docs,

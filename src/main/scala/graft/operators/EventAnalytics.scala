@@ -270,7 +270,73 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Top-k 3-step event PATHS — the length-3 generalization of
+    * [[evTransitions]]: per user, every consecutive (t1 → t2 → t3)
+    * event-type window, globally counted, top `k` with a deterministic
+    * (count desc, path asc) tiebreak. The path-analysis staple behind
+    * "what do users do right before purchasing?".
+    *
+    * Scale shape: one shuffle on user_id for the per-user ordering window
+    * (two `lead`s ride the SAME window — one sort, not two), then a
+    * map-side-partial group-count on the low-cardinality path string and a
+    * TakeOrderedAndProject for the top-k — no global sort at any size.
+    */
+  def evPathTopk(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(concat_ws(" > ", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /** EWMA smoothing of the per-type daily value series — the trend line a
+    * monitoring dashboard draws over a noisy metric. Row-based over the
+    * days PRESENT per event_type (half-life = 1 row, 7-term horizon:
+    * weights 1, 1/2, …, 1/64 over the trailing rows, renormalized over
+    * the lags that exist near the series head).
+    *
+    * Scale shape: the fact collapses to (type, day) daily sums first —
+    * map-side partials on a tiny key — so the window runs over |types|×
+    * |days| rows regardless of corpus size; one shuffle on event_type.
+    *
+    * Determinism (cross-engine exactness, no rounding needed): daily sums
+    * accumulate DECIMAL(18,2) (the [[graft.streaming.EventConsumer]]
+    * convention — exact decimal arithmetic, summation-order-proof) and
+    * cast once to double (correctly rounded, identical both engines); the
+    * weights are powers of two, so each `v·2⁻ᵏ` is an EXACT double
+    * halving; the 7-term numerator/denominator are written in one fixed
+    * left-associated order in both engines; the final divide is a single
+    * correctly-rounded IEEE op on bit-identical inputs. The emitted
+    * doubles are bit-identical across engines — stronger than the
+    * round-to-6 convention.
+    */
+  def tsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.t(spark, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    val lags = (0 to 6).map(k =>
+      (if (k == 0) col("v") else lag(col("v"), k).over(w),
+        lit(math.pow(0.5, k))))
+    val num = lags.map { case (v, wt) =>
+      when(v.isNotNull, v * wt).otherwise(0.0) }.reduce(_ + _)
+    val den = lags.map { case (v, wt) =>
+      when(v.isNotNull, wt).otherwise(lit(0.0)) }.reduce(_ + _)
+    daily.select(col("event_type"), col("day"), col("v"),
+      (num / den).as("ewma"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_path_topk" -> ((s: SparkSession, d: String) => evPathTopk(s, d)),
+    "ts_ewma" -> (tsEwma _),
     "ev_stickiness" -> (evStickiness _),
     "ts_resample" -> (tsResample _),
     "ev_transitions" -> ((s: SparkSession, d: String) => evTransitions(s, d)),
@@ -283,6 +349,45 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_path_topk" -> """
+      WITH t AS (SELECT user_id, event_type,
+                   lead(event_type, 1) OVER w AS t2,
+                   lead(event_type, 2) OVER w AS t3
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC))
+      SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
+             count(*) AS n
+      FROM t WHERE t3 IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 15""",
+    "ts_ewma" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      l AS (
+        SELECT event_type, day, v,
+          lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+          lag(v, 3) OVER w AS v3, lag(v, 4) OVER w AS v4,
+          lag(v, 5) OVER w AS v5, lag(v, 6) OVER w AS v6
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day ASC))
+      SELECT event_type, day, v,
+        ((CASE WHEN v IS NOT NULL THEN v * 1.0 ELSE 0.0 END
+          + CASE WHEN v1 IS NOT NULL THEN v1 * 0.5 ELSE 0.0 END
+          + CASE WHEN v2 IS NOT NULL THEN v2 * 0.25 ELSE 0.0 END
+          + CASE WHEN v3 IS NOT NULL THEN v3 * 0.125 ELSE 0.0 END
+          + CASE WHEN v4 IS NOT NULL THEN v4 * 0.0625 ELSE 0.0 END
+          + CASE WHEN v5 IS NOT NULL THEN v5 * 0.03125 ELSE 0.0 END
+          + CASE WHEN v6 IS NOT NULL THEN v6 * 0.015625 ELSE 0.0 END)
+         / (CASE WHEN v IS NOT NULL THEN 1.0 ELSE 0.0 END
+          + CASE WHEN v1 IS NOT NULL THEN 0.5 ELSE 0.0 END
+          + CASE WHEN v2 IS NOT NULL THEN 0.25 ELSE 0.0 END
+          + CASE WHEN v3 IS NOT NULL THEN 0.125 ELSE 0.0 END
+          + CASE WHEN v4 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+          + CASE WHEN v5 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+          + CASE WHEN v6 IS NOT NULL THEN 0.015625 ELSE 0.0 END)) AS ewma
+      FROM l""",
     "ev_stickiness" -> """
       WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
                   FROM events),

@@ -234,7 +234,33 @@ object Profiling {
         round(sum(col("psi")).over(Window.partitionBy()), 4))
   }
 
+  /** DQ7 — data FRESHNESS per event type: last-seen timestamp, staleness
+    * versus the corpus watermark (max ts anywhere), and last-24h volume —
+    * the "has this source stopped producing?" monitor an ingestion
+    * pipeline alarms on. `lag_minutes` is an INTEGER division of exact
+    * microsecond longs (no FP, no rounding to disagree on).
+    *
+    * Scale shape: one 1-row max-ts aggregate broadcast over the per-type
+    * conditional aggregate (the dq_drift totals pattern) — two scans of
+    * the fact, both fully partial-aggregated map-side; at 100 TB the
+    * watermark pass is the same scan a production pipeline amortizes into
+    * its ingest bookkeeping.
+    */
+  def dqFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val glob = t(spark, dir, "events").agg(max(col("ts")).as("as_of"))
+    t(spark, dir, "events").join(broadcast(glob))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"),
+        max(col("as_of")).as("as_of"),
+        sum(when(col("ts") >= col("as_of") - expr("INTERVAL 24 HOURS"), 1L)
+          .otherwise(0L)).as("n_last_24h"))
+      .withColumn("lag_minutes",
+        expr("(unix_micros(as_of) - unix_micros(last_ts)) div 60000000"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_freshness" -> (dqFreshness _),
     "dq_drift" -> (dqDrift _),
     "dq_anomaly" -> ((s: SparkSession, d: String) => dqAnomaly(s, d)),
     "dq_profile" -> (dqProfile _),
@@ -244,6 +270,15 @@ object Profiling {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_freshness" -> """
+      WITH wm AS (SELECT max(ts) AS as_of FROM events)
+      SELECT event_type, count(*) AS n_events, max(ts) AS last_ts,
+        max(g.as_of) AS as_of,
+        CAST(sum(CASE WHEN ts >= g.as_of - INTERVAL 24 HOUR
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24h,
+        CAST((epoch_us(max(g.as_of)) - epoch_us(max(ts))) // 60000000
+          AS BIGINT) AS lag_minutes
+      FROM events, wm g GROUP BY 1""",
     "dq_drift" -> s"""
       WITH bins AS (
         SELECT CAST(least(floor(value / $DriftBucketWidth), $DriftBuckets)

@@ -448,7 +448,35 @@ object TextAnalysis {
           .otherwise(0.0), 4).as("entropy_norm"))
   }
 
+  /** BPE-style pair statistics — the distributed half of tokenizer
+    * training: the top-k adjacent CHARACTER pairs across the corpus,
+    * weighted by word frequency, i.e. exactly the candidate table a BPE
+    * trainer consults for its next merge (Sennrich et al. 2016). The full
+    * trainer is a short driver loop around this aggregate: pick the top
+    * pair, apply the merge to the (vocabulary-sized) word-count table,
+    * recount — this operator is the per-iteration heavy lifting.
+    *
+    * Scale shape: the corpus collapses to a WORD-FREQUENCY table first
+    * (map-side partial counts on the token key), so the pair explode runs
+    * over the vocabulary — thousands of rows at any corpus size — never
+    * over the 100 TB of raw text. Final top-k is a TakeOrderedAndProject,
+    * no global sort.
+    */
+  def textBpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val wc = t(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    wc.select(col("c"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_pairs" -> ((s: SparkSession, d: String) => textBpePairs(s, d)),
     "text_entropy" -> (textEntropy _),
     "text_lm_score" -> (textLmScore _),
     "text_token_topk" -> ((s: SparkSession, d: String) => textTokenTopk(s, d)),
@@ -469,6 +497,16 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_bpe_pairs" -> """
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+      wc AS (SELECT w, count(*) AS c FROM toks
+             WHERE length(w) >= 2 GROUP BY 1),
+      pairs AS (SELECT substr(w, g.i, 2) AS pair, c
+                FROM wc, UNNEST(generate_series(1, length(w) - 1)) AS g(i))
+      SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+      FROM pairs GROUP BY 1
+      ORDER BY cnt DESC, pair ASC LIMIT 20""",
     "text_entropy" -> """
       WITH cnt AS (
         SELECT doc_id, tok, count(*) AS c

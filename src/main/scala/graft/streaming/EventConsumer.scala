@@ -23,6 +23,18 @@ case class Session(user_id: Long, session_start: Timestamp,
 case class SessionState(start: Timestamp, end: Timestamp, n: Long,
   cents: Long)
 
+/** ST12 wire/state shapes. `EvFull` carries event_id so "latest event"
+  * ties on equal timestamps break deterministically, matching the batch
+  * twin's (ts desc, event_id desc) ordering; `cents` follows the
+  * [[SessionState]] half-up-per-value convention.
+  */
+case class EvFull(user_id: Long, event_id: Long, ts: Timestamp,
+  event_type: String, value: Double)
+case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
+  last_ts: Timestamp, last_event_type: String)
+case class ProfileState(n: Long, cents: Long, lastTs: Timestamp,
+  lastId: Long, lastType: String)
+
 /** ST3 — the reference's declared-but-absent Kafka consumer
   * (Makefile:173-179; kafka jars at docker/Dockerfile.spark:8-10),
   * realized as a Structured Streaming job: tumbling-window aggregation with
@@ -225,6 +237,77 @@ object EventConsumer {
             closed.reverseIterator
           }
       }
+  }
+
+  /** ST12 — USER-PROFILE UPSERT, batch twin: the per-user materialized
+    * view a serving layer keeps current (KTable semantics — lifetime
+    * event count, lifetime value, latest event). One shuffle on user_id;
+    * the election window and the lifetime aggregates ride the same
+    * partitioning, so the plan sorts each user's slice once.
+    */
+  def batchUserProfile(spark: SparkSession, dir: String): DataFrame = {
+    val latest = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val perUser = Window.partitionBy(col("user_id"))
+    Tables.t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .withColumn("rn", row_number().over(latest))
+      .withColumn("n_events", count(lit(1)).over(perUser))
+      .withColumn("total_value",
+        sum(col("value").cast(DecimalType(18, 2))).over(perUser)
+          .cast("double"))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("total_value"),
+        col("ts").as("last_ts"), col("event_type").as("last_event_type"))
+  }
+
+  /** STREAMING user-profile upsert via mapGroupsWithState (Update mode):
+    * every batch folds its events into the per-user state and re-emits
+    * the updated profile row — a continuously-maintained materialized
+    * view, the stateful pattern [[sessionizeStream]]'s append-mode
+    * session closure cannot express. State per user is ONE fixed-size
+    * record forever (no growth with event count), so total state is
+    * bounded by the user population — the KTable scaling contract; a
+    * production deployment with a churning key space would add a
+    * TTL timeout, which this data model (persistent users) doesn't need.
+    */
+  def userProfileStream(events: Dataset[EvFull]): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[ProfileState, UserProfile](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[EvFull], state: GroupState[ProfileState]) =>
+          var s = state.getOption.orNull
+          evs.foreach { e =>
+            val newer = s == null || e.ts.after(s.lastTs) ||
+              (e.ts.equals(s.lastTs) && e.event_id > s.lastId)
+            s = ProfileState(
+              (if (s == null) 0L else s.n) + 1,
+              (if (s == null) 0L else s.cents) + math.round(e.value * 100),
+              if (newer) e.ts else s.lastTs,
+              if (newer) e.event_id else s.lastId,
+              if (newer) e.event_type else s.lastType)
+          }
+          state.update(s)
+          UserProfile(user, s.n, s.cents / 100.0, s.lastTs, s.lastType)
+      }
+  }
+
+  /** Streaming flavor over the file source; Round12Spec pins its final
+    * state to [[batchUserProfile]].
+    */
+  def streamingUserProfile(spark: SparkSession, dir: String): Dataset[UserProfile] = {
+    import spark.implicits._
+    userProfileStream(
+      Tables.normalizeEventTs(
+        spark.readStream
+          .schema(Tables.eventsFileSchema(spark, dir))
+          .parquet(dir))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .as[EvFull])
   }
 
   /** ST6 — SLIDING window aggregation (10-minute windows every 5 minutes):
@@ -485,6 +568,7 @@ object EventConsumer {
       driftReferenceShares(spark, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st12_user_profile" -> (batchUserProfile _),
     "st11_drift_monitor" -> (batchDriftMonitor _),
     "st10_stream_stream_join" -> (batchStreamStreamJoin _),
     "st3_window_agg" -> (batchWindowAgg _),
@@ -523,6 +607,18 @@ object EventConsumer {
   }
 
   val oracle: Map[String, String] = Map(
+    "st12_user_profile" -> """
+      WITH r AS (
+        SELECT user_id, ts, event_id, event_type,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn,
+          count(*) OVER (PARTITION BY user_id) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id) AS DOUBLE) AS total_value
+        FROM events)
+      SELECT user_id, CAST(n_events AS BIGINT) AS n_events, total_value,
+             ts AS last_ts, event_type AS last_event_type
+      FROM r WHERE rn = 1""",
     "st11_drift_monitor" -> st11OracleSql,
     "st10_stream_stream_join" -> """
       SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,

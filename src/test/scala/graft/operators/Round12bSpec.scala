@@ -1,0 +1,154 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.Tables.t
+
+/** Round-12b contracts: BPE pair stats, event paths, EWMA, curriculum
+  * phases, keep-best dedup retention, freshness, and the ST12 streaming
+  * user-profile upsert.
+  */
+class Round12bSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("text_bpe_pairs: top pairs match a driver-side recompute") {
+    val got = TextAnalysis.textBpePairs(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length == 20)
+    val wc = t(spark, dir, "documents").select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val pairs = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        pairs(p) = pairs.getOrElse(p, 0L) + c
+      }
+    }
+    val want = pairs.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+  }
+
+  test("ev_path_topk: counts match a driver-side recompute; k rows") {
+    val got = EventAnalytics.evPathTopk(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length == 15)
+    val evs = t(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val paths = evs.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+      sorted.sliding(3).filter(_.length == 3).map(_.mkString(" > "))
+    }
+    val want = paths.groupBy(identity)
+      .map { case (p, g) => p -> g.size.toLong }
+      .toSeq.sortBy { case (p, c) => (-c, p) }.take(15)
+    assert(got.toSeq == want)
+  }
+
+  test("ts_ewma: head rows renormalize, steady-state matches a recompute") {
+    val rows = EventAnalytics.tsEwma(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      val s = g.sortBy(_._2.getTime)
+      // first row: no lags exist → ewma == v exactly
+      assert(s.head._4 == s.head._3, s"head ewma ${s.head}")
+      val vs = s.map(_._3)
+      s.zipWithIndex.drop(1).foreach { case ((_, _, _, ewma), i) =>
+        val lags = (0 to 6).flatMap(k => if (i - k >= 0) Some(vs(i - k)) else None)
+        val w = lags.indices.map(k => math.pow(0.5, k))
+        val want = lags.zip(w).map { case (v, wt) => v * wt }.sum / w.sum
+        assert(math.abs(ewma - want) < 1e-9, s"row $i ewma $ewma vs $want")
+      }
+    }
+  }
+
+  test("cur_curriculum: 4 phases partition the corpus, quality bands " +
+      "ordered and ~quartile-sized") {
+    val rows = Curation.curriculum(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    val nDocs = t(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum == nDocs, "phases partition the corpus")
+    rows.foreach { case (_, n, _, lo, hi, avg) =>
+      assert(lo <= avg + 1e-6 && avg <= hi + 1e-6, "avg within band")
+      // exact quartiles with ties can imbalance, but not pathologically
+      assert(n > nDocs / 10, s"phase size $n")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._4 + 1e-9,
+        s"phase ${a._1} max ${a._5} <= phase ${b._1} min ${b._4}")
+    }
+  }
+
+  test("cur_keep_best: winner is the max-quality member of a >1 cluster") {
+    val kept = Curation.keepBestPerCluster(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(kept.nonEmpty, "synthetic corpus has near-dup clusters")
+    val clusters = Curation.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val quality = TextAnalysis.textQuality(spark, dir)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCluster = clusters.groupBy(_._2)
+    val multi = byCluster.filter(_._2.head._3 > 1)
+    assert(kept.length == multi.size, "one row per multi-doc cluster")
+    kept.foreach { case (cid, size, keptId, keptQ, dropped) =>
+      val members = byCluster(cid).map(_._1)
+      assert(members.length == size && dropped == size - 1)
+      assert(members.contains(keptId))
+      val best = members.map(m => (-quality(m), m)).min
+      assert(keptId == best._2 && keptQ == -best._1,
+        s"cluster $cid kept $keptId/$keptQ vs $best")
+    }
+  }
+
+  test("dq_freshness: watermark constant, freshest type lags 0, " +
+      "24h count bounded") {
+    val rows = Profiling.dqFreshness(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val asOf = rows.map(_.getAs[Timestamp]("as_of")).distinct
+    assert(asOf.length == 1, "one corpus watermark")
+    assert(rows.exists(_.getAs[Long]("lag_minutes") == 0L),
+      "some type produced the max ts")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lag_minutes") >= 0L)
+      assert(r.getAs[Long]("n_last_24h") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("n_last_24h") > 0L ||
+        r.getAs[Long]("lag_minutes") > 24L * 60)
+    }
+  }
+
+  test("st12 streaming user-profile upsert: final state == batch twin") {
+    import graft.streaming.EventConsumer
+    val stage = java.nio.file.Files.createTempDirectory("graft_prof").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$stage/events.parquet"))
+    val q = EventConsumer.streamingUserProfile(spark, stage).toDF.writeStream
+      .outputMode("update").format("memory").queryName("st12_profiles")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      // update mode re-emits a user's row each batch it changes in; one
+      // staged file → one batch → exactly one emission per user (the
+      // count equality guards that assumption loudly)
+      val streamed = spark.table("st12_profiles")
+      val batch = EventConsumer.batchUserProfile(spark, dir)
+      assert(streamed.count() == batch.count(),
+        "single-batch replay: one profile emission per user")
+      assert(streamed.exceptAll(batch).count() == 0,
+        "every final profile matches the batch twin")
+    } finally q.stop()
+  }
+}
