@@ -101,6 +101,7 @@ object Bench {
     // curriculum phases, keep-best retention, freshness, profile upsert
     "text_bpe_pairs", "ev_path_topk", "ts_ewma", "cur_curriculum",
     "cur_keep_best", "dq_freshness", "st12_user_profile",
+    "cur_temperature_mix", "ts_anomaly", "ev_cohort_value",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -209,6 +209,52 @@ object Curation {
           .as("avg_quality"))
   }
 
+  /** TEMPERATURE-scaled mixture weights (the mT5/multilingual-LM recipe:
+    * `p_i ∝ n_i^τ`, τ < 1 upsamples the tail): per-source raw token
+    * share, temperature share, and the integer token target + repeat
+    * factor those shares imply at the corpus's own size. The knob that
+    * turns "sample proportionally" (τ=1) into "flatten toward uniform"
+    * (τ→0) for low-resource sources.
+    *
+    * Scale shape: one corpus scan collapsing to the |sources|-row token
+    * table; everything after is arithmetic on that tiny frame (totals via
+    * the unpartitioned-window idiom, zero extra scans).
+    *
+    * Determinism: the only transcendental is `pow(n_i, τ)` on integer
+    * n_i — rounded to integer MICRO-units per source BEFORE the
+    * normalizing sum, so Σ is exact long arithmetic (the textLmScore
+    * pattern); targets are an integer cross-multiply (`u·T div U`), never
+    * a double product.
+    */
+  def temperatureMix(spark: SparkSession, dir: String,
+      tau: Double = TemperatureTau): DataFrame = {
+    val perSource = t(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("u",
+        round(pow(col("n_tokens").cast("double"), tau) * 1e6).cast("long"))
+    val all = Window.partitionBy()
+    perSource
+      .withColumn("t_tokens", sum(col("n_tokens")).over(all))
+      .withColumn("t_u", sum(col("u")).over(all))
+      .withColumn("target_tokens",
+        // widen BEFORE the cross-multiply: u·T exceeds long range around
+        // 1e18 token-micro-units — decimal(38) keeps the product exact at
+        // any corpus size (DuckDB side widens to HUGEINT the same way)
+        expr("""CAST((CAST(u AS DECIMAL(38,0)) * CAST(t_tokens AS DECIMAL(38,0)))
+                div CAST(t_u AS DECIMAL(38,0)) AS BIGINT)"""))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("t_tokens"), 6)
+          .as("raw_share"),
+        round(col("u").cast("double") / col("t_u"), 6).as("temp_share"),
+        col("target_tokens"),
+        round(col("target_tokens").cast("double") / col("n_tokens"), 4)
+          .as("repeat_factor"))
+  }
+
+  private[operators] val TemperatureTau = 0.7
+
   /** PageRank (power iteration, fixed `iters` rounds, GraphX's
     * unnormalized `(1-d) + d·Σ rank/deg` formulation) over the near-dup
     * pair graph — "which documents sit at the center of a duplication
@@ -729,6 +775,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_keep_best" -> ((s, d) => keepBestPerCluster(s, d)),
     "cur_curriculum" -> ((s, d) => curriculum(s, d)),
+    "cur_temperature_mix" -> ((s, d) => temperatureMix(s, d)),
     "cur_token_budget" -> ((s, d) => tokenBudgetReport(s, d)),
     "cur_epoch_plan" -> ((s, d) => epochPlan(s, d)),
     "cur_global_shuffle" -> ((s, d) => globalShuffle(s, d)),
@@ -793,6 +840,24 @@ object Curation {
          || ':' || CAST(epoch AS VARCHAR)), 2, 1)) - 1))"""
 
   val oracle: Map[String, String] = Map(
+    "cur_temperature_mix" -> s"""
+      WITH per_source AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      uu AS (SELECT *, CAST(round(pow(CAST(n_tokens AS DOUBLE),
+               $TemperatureTau) * 1e6) AS BIGINT) AS u
+             FROM per_source),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens,
+                     CAST(sum(u) AS BIGINT) AS t_u FROM uu)
+      SELECT source, n_docs, n_tokens,
+        round(CAST(n_tokens AS DOUBLE) / t_tokens, 6) AS raw_share,
+        round(CAST(u AS DOUBLE) / t_u, 6) AS temp_share,
+        CAST((CAST(u AS HUGEINT) * t_tokens) // t_u AS BIGINT)
+          AS target_tokens,
+        round(CAST(CAST((CAST(u AS HUGEINT) * t_tokens) // t_u AS BIGINT)
+          AS DOUBLE) / n_tokens, 4) AS repeat_factor
+      FROM uu, tot""",
     "cur_keep_best" -> s"""
       WITH RECURSIVE ${Dedup.minhashPairsCte},
       edges AS (SELECT da AS src, db AS dst FROM pairs

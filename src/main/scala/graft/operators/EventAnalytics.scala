@@ -334,7 +334,69 @@ object EventAnalytics {
       (num / den).as("ewma"))
   }
 
+  /** Robust TIME-SERIES anomaly detection on the per-type daily volume:
+    * median/MAD (the outlier-proof alternative to [[Profiling.dqAnomaly]]'s
+    * mean/σ — one bad day can't drag a median) with the conventional
+    * 1.4826 consistency constant; days with |robust z| > 2 are the
+    * "volume broke" alarms.
+    *
+    * Scale shape: the fact collapses to the |types|×|days| daily frame in
+    * one map-side-partial pass; both median passes and the flag run on
+    * that tiny frame (stat relations broadcast back). At 100 TB the added
+    * cost over the scan is nil.
+    *
+    * Determinism: daily counts are longs; medians of longs (and of the
+    * |c − med| values, which are exact multiples of 0.5) interpolate to
+    * exact binary fractions — every derived double is bit-identical
+    * cross-engine, so the z threshold cannot flip.
+    */
+  def tsAnomaly(spark: SparkSession, dir: String,
+      z: Double = 2.0): DataFrame = {
+    val daily = Tables.t(spark, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val med = daily.groupBy(col("event_type"))
+      .agg(expr("percentile(c, 0.5)").as("med"))
+    val withMed = daily.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(c - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .withColumn("robust_z",
+        (col("c") - col("med")) / (lit(1.4826) * col("mad")))
+      .filter(abs(col("robust_z")) > z)
+      .select(col("event_type"), col("day"), col("c").as("n_events"),
+        col("med"), col("mad"), round(col("robust_z"), 4).as("robust_z"))
+  }
+
+  /** Cohort VALUE analysis — the retention table's revenue sibling: users
+    * bucketed by first-seen week, each later week's active users and
+    * value attributed back to the acquisition cohort. The
+    * "are newer cohorts worth more?" view.
+    *
+    * Scale shape: the first-seen frame is |users| rows — NOT
+    * broadcastable at scale — so it shuffle-joins back on user_id, the
+    * same key the per-user min() already partitioned by (one exchange
+    * feeds both); the final rollup keys on (cohort, week) — tiny.
+    * Value sums are exact DECIMAL(18,2) (the EventConsumer convention).
+    */
+  def evCohortValue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    ev.join(first, "user_id")
+      .withColumn("weeks_since",
+        expr("datediff(CAST(ts AS DATE), cohort_week) div 7"))
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_anomaly" -> ((s: SparkSession, d: String) => tsAnomaly(s, d)),
+    "ev_cohort_value" -> (evCohortValue _),
     "ev_path_topk" -> ((s: SparkSession, d: String) => evPathTopk(s, d)),
     "ts_ewma" -> (tsEwma _),
     "ev_stickiness" -> (evStickiness _),
@@ -349,6 +411,33 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_anomaly" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      med AS (SELECT event_type, quantile_cont(c, 0.5) AS med
+              FROM daily GROUP BY 1),
+      wm AS (SELECT d.*, m.med FROM daily d JOIN med m USING (event_type)),
+      mad AS (SELECT event_type, quantile_cont(abs(c - med), 0.5) AS mad
+              FROM wm GROUP BY 1)
+      SELECT wm.event_type, wm.day, CAST(wm.c AS BIGINT) AS n_events,
+             wm.med, mad.mad,
+             round((wm.c - wm.med) / (1.4826 * mad.mad), 4) AS robust_z
+      FROM wm JOIN mad USING (event_type)
+      WHERE abs((wm.c - wm.med) / (1.4826 * mad.mad)) > 2.0""",
+    "ev_cohort_value" -> """
+      WITH first_seen AS (
+        SELECT user_id,
+          CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY 1)
+      SELECT f.cohort_week,
+        CAST((CAST(e.ts AS DATE) - f.cohort_week) // 7 AS BIGINT)
+          AS weeks_since,
+        CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        count(*) AS n_events,
+        CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      GROUP BY 1, 2""",
     "ev_path_topk" -> """
       WITH t AS (SELECT user_id, event_type,
                    lead(event_type, 1) OVER w AS t2,

@@ -128,6 +128,68 @@ class Round12bSpec extends AnyFunSuite {
     }
   }
 
+  test("cur_temperature_mix: tau<1 compresses shares toward uniform; " +
+      "targets conserve the corpus scale") {
+    val rows = Curation.temperatureMix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.length == 20, "one row per source")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "raw shares sum to 1")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4, "temp shares sum to 1")
+    rows.foreach { case (src, _, _, raw, temp, target, rf) =>
+      // τ=0.7 moves every share toward uniform (1/20): big sources give
+      // up share, small sources gain
+      if (raw > 0.05 + 1e-6) assert(temp < raw, s"$src big source shrinks")
+      if (raw < 0.05 - 1e-6) assert(temp > raw, s"$src small source grows")
+      assert(math.abs(rf - target.toDouble / rows.find(_._1 == src).get._3)
+        < 1e-3)
+    }
+    val totTokens = rows.map(_._3).sum
+    val totTargets = rows.map(_._6).sum
+    assert(totTargets <= totTokens && totTargets > totTokens * 995 / 1000,
+      s"targets $totTargets ≈ corpus $totTokens")
+  }
+
+  test("ts_anomaly: flagged days recompute, median/MAD robust definitions") {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val want = daily.groupBy(_._1).toSeq.flatMap { case (et, g) =>
+      val med = median(g.map(_._3.toDouble).toSeq)
+      val mad = median(g.map(x => math.abs(x._3 - med)).toSeq)
+      g.toSeq.flatMap { case (_, day, c) =>
+        val z = (c - med) / (1.4826 * mad)
+        if (math.abs(z) > 2.0) Some((et, day.toString, c)) else None
+      }
+    }.toSet
+    val got = EventAnalytics.tsAnomaly(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2))).toSet
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.nonEmpty, "threshold 2.0 surfaces tail days on this corpus")
+  }
+
+  test("ev_cohort_value: cohorts partition events; week-0 cell exists " +
+      "for every cohort") {
+    val rows = EventAnalytics.evCohortValue(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val totalEvents = t(spark, dir, "events").count()
+    assert(rows.map(_._4).sum == totalEvents, "cells partition the fact")
+    rows.groupBy(_._1).foreach { case (cw, g) =>
+      assert(g.exists(_._2 == 0L), s"cohort $cw has its week-0 cell")
+      assert(g.forall(_._2 >= 0L), "no negative week offsets")
+    }
+    rows.foreach { case (_, _, nUsers, nEvents, v) =>
+      assert(nUsers <= nEvents && v >= 0.0)
+    }
+  }
+
   test("st12 streaming user-profile upsert: final state == batch twin") {
     import graft.streaming.EventConsumer
     val stage = java.nio.file.Files.createTempDirectory("graft_prof").toString
