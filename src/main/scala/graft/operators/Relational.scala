@@ -715,21 +715,29 @@ object Relational {
     }
     val keys = dim.select(col(dimKey))
     val nKeys =
-      if (expectedNumItems > 0) expectedNumItems
-      else math.max(keys.count(), 1L)
-    val bloom = keys.select(xxhash64(col(dimKey).cast(common)).as("h"))
-      .stat.bloomFilter("h", nKeys, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
+      if (expectedNumItems > 0) expectedNumItems else keys.count()
+    if (nKeys == 0) {
+      // Empty dim ⇒ the exact semi-join result is empty; short-circuit
+      // instead of building a sketch over zero rows (stat.bloomFilter's
+      // zero-row sketch serializes a null bitmap and the probe NPEs).
+      // filter(false) keeps the fact's schema and folds to an empty
+      // LocalRelation at optimization time.
+      fact.filter(lit(false))
+    } else {
+      val bloom = keys.select(xxhash64(col(dimKey).cast(common)).as("h"))
+        .stat.bloomFilter("h", nKeys, fpp)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      }
+      // Spark's own BloomFilterMightContain predicate (codegen'd; the
+      // sketch is a foldable binary literal riding in the plan — exactly
+      // how AQE's runtime row-level filter ships it to executors)
+      fact.filter(call_function("graft_might_contain",
+          lit(bytes), xxhash64(col(factKey).cast(common))))
+        .join(keys, col(factKey) === col(dimKey), "left_semi")
     }
-    // Spark's own BloomFilterMightContain predicate (codegen'd; the
-    // sketch is a foldable binary literal riding in the plan — exactly
-    // how AQE's runtime row-level filter ships it to executors)
-    fact.filter(call_function("graft_might_contain",
-        lit(bytes), xxhash64(col(factKey).cast(common))))
-      .join(keys, col(factKey) === col(dimKey), "left_semi")
   }
 
   def j5BloomJoin(spark: SparkSession, dir: String): DataFrame = {

@@ -394,10 +394,15 @@ object Sources {
     */
   def s14PartitionedScan(spark: SparkSession, dir: String): DataFrame = {
     val tmp = scratchDir("graft_part_layout").toString
-    t(spark, dir, "events")
+    val projected = t(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    projected
       .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(tmp)
-    spark.read.parquet(tmp)
+    // Explicit schema on the re-read (data cols + the partition col):
+    // no inference pass gets scheduled — the 100 TB contract — and a
+    // zero-row write (which materializes no partition dirs) still reads
+    // back as a typed empty frame instead of UNABLE_TO_INFER_SCHEMA.
+    spark.read.schema(projected.schema).parquet(tmp)
       .filter(col("event_type") === "click")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -526,6 +526,12 @@ object EventConsumer {
       .agg(aggs.head, aggs.tail: _*)
       .collect()(0)
     val rt = row.getLong(driftBinIds.length).toDouble
+    // loud empty-reference contract: the conditional sums are NULL over
+    // zero rows and shares would be 0/0 — name the cause instead
+    require(rt > 0,
+      s"drift monitor: reference profile is empty — no events before " +
+        s"${Profiling.DriftSplit} in $dir; a monitor needs a non-empty " +
+        "reference window to normalize bin shares against")
     driftBinIds.map(b => row.getLong(b) / rt)
   }
 
