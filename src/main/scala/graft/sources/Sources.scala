@@ -410,6 +410,34 @@ object Sources {
           .as("total_value"))
   }
 
+  /** S15 — SCHEMA EVOLUTION at the source: two parquet generations of
+    * the same dataset — generation 1 written before a `source` column
+    * existed, generation 2 with it — read back as ONE table under
+    * `mergeSchema`, old rows surfacing NULL for the later column. The
+    * ingest reality of a long-lived lake: a column addition must not
+    * force a rewrite of petabytes of old files.
+    *
+    * Scale note: `mergeSchema=true` unions schemas by sweeping file
+    * footers — fine per-ingest-batch; a 100 TB lake pins the evolved
+    * schema explicitly once known (the [[s13OrcRoundtrip]]/[[
+    * s14PartitionedScan]] explicit-schema discipline) and keeps the
+    * footer sweep out of the hot path.
+    */
+  def s15SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("graft_schema_evo").toString
+    val docs = t(spark, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/gen1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/gen2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/gen1", s"$tmp/gen2")
+      .groupBy(col("lang"), col("source")) // NULL for generation-1 rows
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+  }
+
   /** S16 — malformed-row handling at the SOURCE (the scan-level form of
     * the F4 arity guard): a CSV with a type-corrupt row and an
     * arity-short row read under `mode=DROPMALFORMED` keeps exactly the
@@ -468,6 +496,7 @@ object Sources {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s13_orc_roundtrip" -> (s13OrcRoundtrip _),
     "s14_partitioned_scan" -> (s14PartitionedScan _),
+    "s15_schema_evolution" -> (s15SchemaEvolution _),
     "s16_malformed_csv" -> (s16MalformedCsv _),
     "s17_compaction" -> (s17Compaction _),
     "s1_html_table_scan" -> (s1HtmlTableScan _),
@@ -490,6 +519,11 @@ object Sources {
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events WHERE event_type = 'click' GROUP BY 1""",
+    "s15_schema_evolution" -> """
+      SELECT lang,
+        CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+        count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1, 2""",
     "s16_malformed_csv" -> """
       SELECT * FROM (VALUES
         (1, 'alpha', 10),
