@@ -102,6 +102,7 @@ object Bench {
     "text_bpe_pairs", "ev_path_topk", "ts_ewma", "cur_curriculum",
     "cur_keep_best", "dq_freshness", "st12_user_profile",
     "cur_temperature_mix", "ts_anomaly", "ev_cohort_value",
+    "u6_cdc_apply", "dq_referential",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

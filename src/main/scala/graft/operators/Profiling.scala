@@ -259,7 +259,38 @@ object Profiling {
         expr("(unix_micros(as_of) - unix_micros(last_ts)) div 60000000"))
   }
 
+  /** DQ8 — REFERENTIAL-integrity audit: orphan foreign keys per declared
+    * relationship (lineitem→orders, orders→customer, customer→nation) —
+    * the "did an ingest batch land children before parents?" check every
+    * warehouse runs post-load. One left join per relationship computes
+    * total and orphan counts in a single conditional aggregate (no
+    * separate anti-join pass); the parent side is its DISTINCT key set,
+    * which AQE broadcasts when it fits and shuffles otherwise — at
+    * 100 TB the child scan is the cost, exactly once per relationship.
+    */
+  def dqReferential(spark: SparkSession, dir: String): DataFrame = {
+    def check(rel: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck))
+        .join(parent.select(col(pk).as("_pk")).distinct(),
+          col(ck) === col("_pk"), "left_outer")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("_pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(rel).as("relationship"), col("n_child"),
+          col("n_orphans"))
+    check("lineitem.l_orderkey -> orders",
+        t(spark, dir, "lineitem"), "l_orderkey",
+        t(spark, dir, "orders"), "o_orderkey")
+      .unionByName(check("orders.o_custkey -> customer",
+        t(spark, dir, "orders"), "o_custkey",
+        t(spark, dir, "customer"), "c_custkey"))
+      .unionByName(check("customer.c_nationkey -> nation",
+        t(spark, dir, "customer"), "c_nationkey",
+        t(spark, dir, "nation"), "n_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_referential" -> (dqReferential _),
     "dq_freshness" -> (dqFreshness _),
     "dq_drift" -> (dqDrift _),
     "dq_anomaly" -> ((s: SparkSession, d: String) => dqAnomaly(s, d)),
@@ -270,6 +301,26 @@ object Profiling {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_referential" -> """
+      SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+        count(*) AS n_child,
+        CAST(sum(CASE WHEN o._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_orphans
+      FROM lineitem l LEFT JOIN
+        (SELECT DISTINCT o_orderkey AS _pk FROM orders) o
+        ON l.l_orderkey = o._pk
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer', count(*),
+        CAST(sum(CASE WHEN c._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders r LEFT JOIN
+        (SELECT DISTINCT c_custkey AS _pk FROM customer) c
+        ON r.o_custkey = c._pk
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation', count(*),
+        CAST(sum(CASE WHEN n._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM customer u LEFT JOIN
+        (SELECT DISTINCT n_nationkey AS _pk FROM nation) n
+        ON u.c_nationkey = n._pk""",
     "dq_freshness" -> """
       WITH wm AS (SELECT max(ts) AS as_of FROM events)
       SELECT event_type, count(*) AS n_events, max(ts) AS last_ts,

@@ -770,6 +770,51 @@ object Relational {
     upsert(base, delta, "c_custkey")
   }
 
+  /** U6 — CDC APPLY: fold a change stream with explicit ops (I/U/D) over
+    * a base snapshot — the lakehouse MERGE pattern [[upsert]]'s
+    * insert/update-only shape cannot express, because deletes must REMOVE
+    * base rows. delta wins on key collision, `D` rows erase, untouched
+    * base survives: `(delta where op != 'D') ∪ (base ⟕anti delta.keys)` —
+    * the anti join covers updates AND deletes in one pass, so the whole
+    * apply is ONE shuffle on the key (AQE broadcasts the delta-key side
+    * when the batch is small — the overwhelmingly common case).
+    *
+    * Latest-wins ordering inside a batch is the CALLER's contract (ship
+    * one row per key, e.g. via [[graft.streaming.EventConsumer
+    * .batchUserProfile]]-style last-event election); applying a
+    * multi-version batch here would make the result depend on row order.
+    */
+  def cdcApply(base: DataFrame, delta: DataFrame, key: String,
+      opCol: String = "_op"): DataFrame =
+    delta.filter(col(opCol) =!= "D").drop(opCol)
+      .unionByName(base.join(delta.select(key), Seq(key), "left_anti"))
+
+  def u6CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+    // deterministic synthetic change batch — every 17th key deleted,
+    // every remaining 13th updated, every remaining 19th cloned to a new
+    // key — derived in ONE pass with a D > U > I priority CASE so the
+    // batch honors the one-row-per-key contract (and the plan scans the
+    // base once for the delta, not once per op slice)
+    val delta = base
+      .withColumn("_op", when(col("c_custkey") % 17 === 0, "D")
+        .when(col("c_custkey") % 13 === 0, "U")
+        .when(col("c_custkey") % 19 === 0, "I"))
+      .filter(col("_op").isNotNull)
+      .select(
+        when(col("_op") === "I", col("c_custkey") + 1000000L)
+          .otherwise(col("c_custkey")).as("c_custkey"),
+        col("c_name"),
+        when(col("_op") === "U", col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("_op") === "I", lit("MIGRATED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        col("_op"))
+    cdcApply(base, delta, "c_custkey")
+  }
+
   /** J6 — salted skew join: when one fact key floods a partition and the
     * dim side is too big to broadcast, salt the fact (deterministic
     * spread: hash of a high-cardinality sibling column mod R) and
@@ -1335,6 +1380,7 @@ object Relational {
     "q11_sales_opportunity" -> (q11SalesOpportunity _),
     "o10_percent_change" -> (o10PercentChange _),
     "u5_scd2_merge" -> (u5Scd2Merge _),
+    "u6_cdc_apply" -> (u6CdcApply _),
     "a16_mode_median" -> (a16ModeMedian _),
     "o9_value_windows" -> (o9ValueWindows _),
     "j6_salted_join" -> (j6SaltedJoin _),
@@ -1528,6 +1574,29 @@ object Relational {
       FROM orders o JOIN dim ON o.o_custkey = dim.d_custkey
         AND CAST(o.o_orderdate AS DATE) >= dim.valid_from
         AND (dim.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < dim.valid_to)""",
+    "u6_cdc_apply" -> """
+      WITH base AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+                    FROM customer),
+      delta AS (
+        SELECT CASE WHEN op = 'I' THEN c_custkey + 1000000
+                    ELSE c_custkey END AS c_custkey,
+               c_name,
+               CASE WHEN op = 'U' THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal,
+               CASE WHEN op = 'I' THEN 'MIGRATED'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               op
+        FROM (SELECT *, CASE WHEN c_custkey % 17 = 0 THEN 'D'
+                             WHEN c_custkey % 13 = 0 THEN 'U'
+                             WHEN c_custkey % 19 = 0 THEN 'I' END AS op
+              FROM base)
+        WHERE op IS NOT NULL)
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      FROM delta WHERE op <> 'D'
+      UNION ALL
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM delta d
+                        WHERE d.c_custkey = b.c_custkey)""",
     "u5_scd2_merge" -> """
       WITH delta AS (
         SELECT c_custkey AS d_key,

@@ -190,6 +190,42 @@ class Round12bSpec extends AnyFunSuite {
     }
   }
 
+  test("u6_cdc_apply: deletes erase, updates win, inserts land, " +
+      "untouched base survives") {
+    val base = t(spark, dir, "customer")
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Relational.u6CdcApply(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getString(3))).toMap
+    val dels = base.keySet.filter(_ % 17 == 0)
+    val upds = base.keySet.filter(k => k % 13 == 0 && k % 17 != 0)
+    val ins = base.keySet
+      .filter(k => k % 19 == 0 && k % 17 != 0 && k % 13 != 0)
+      .map(_ + 1000000L)
+    assert(dels.forall(k => !got.contains(k)), "deleted keys erased")
+    assert(upds.forall(k => got(k)._1 == base(k) + 100.0), "updates applied")
+    assert(ins.forall(k => got.contains(k) && got(k)._2 == "MIGRATED"),
+      "inserts landed")
+    val untouched = base.keySet -- dels -- upds
+    assert(untouched.forall(k => got(k)._1 == base(k)), "base survives")
+    assert(got.size == base.size - dels.size + ins.size, "row accounting")
+  }
+
+  test("dq_referential: consistent corpus reports zero orphans, " +
+      "child counts tie out") {
+    val rows = Profiling.dqReferential(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 3)
+    assert(rows.forall(_._3 == 0L), s"no orphans in the fixture: $rows")
+    val counts = Map(
+      "lineitem.l_orderkey -> orders" -> t(spark, dir, "lineitem").count(),
+      "orders.o_custkey -> customer" -> t(spark, dir, "orders").count(),
+      "customer.c_nationkey -> nation" -> t(spark, dir, "customer").count())
+    rows.foreach { case (rel, nChild, _) =>
+      assert(nChild == counts(rel), s"$rel child count")
+    }
+  }
+
   test("st12 streaming user-profile upsert: final state == batch twin") {
     import graft.streaming.EventConsumer
     val stage = java.nio.file.Files.createTempDirectory("graft_prof").toString
