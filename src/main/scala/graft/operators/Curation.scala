@@ -167,6 +167,31 @@ object Curation {
         (col("cluster_size") - 1).as("n_dropped"))
   }
 
+  /** Leakage-free train/val/test split: the unit of assignment is the
+    * near-dup CLUSTER, not the document — every member of a cluster lands
+    * in the same split, so a near-duplicate of a training document can
+    * never leak into validation or test (the classic eval-contamination
+    * failure doc-level random splits cannot prevent). Assignment is
+    * content-addressed — first md5 hex byte of the cluster label against
+    * 80/10/10 cut points (< 204 / < 230 of 256) — so the same corpus
+    * yields the same split on any engine, cluster, partitioning, or
+    * rerun, with no stored assignment table to keep consistent.
+    *
+    * Scale shape: reuses the memoized [[clusterLabels]] frame (no
+    * re-pairing), then the split is a map-side expression and the
+    * readout is one aggregation with 3 output groups.
+    */
+  def splitLeakfree(spark: SparkSession, dir: String): DataFrame = {
+    val hv = conv(substring(md5(col("cluster_id").cast("string")), 1, 2),
+      16, 10).cast("int")
+    clusterLabels(spark, dir)
+      .withColumn("split",
+        when(hv < 204, "train").when(hv < 230, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+  }
+
   /** Curriculum assignment: split the corpus into quality QUARTILE phases
     * (easy → hard ordering for curriculum training) and report each
     * phase's volume. Phase cut points are the exact quality quartiles.
@@ -774,6 +799,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_keep_best" -> ((s, d) => keepBestPerCluster(s, d)),
+    "cur_split_leakfree" -> ((s, d) => splitLeakfree(s, d)),
     "cur_curriculum" -> ((s, d) => curriculum(s, d)),
     "cur_temperature_mix" -> ((s, d) => temperatureMix(s, d)),
     "cur_token_budget" -> ((s, d) => tokenBudgetReport(s, d)),
@@ -999,6 +1025,30 @@ object Curation {
       FROM r$PagerankIters JOIN deg d ON r$PagerankIters.node = d.node
       ORDER BY pagerank DESC, doc_id ASC"""
     },
+    "cur_split_leakfree" -> s"""
+      WITH RECURSIVE ${Dedup.minhashPairsCte},
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION SELECT db, da FROM pairs),
+      walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      labels AS (SELECT node AS doc_id, CAST(min(label) AS BIGINT)
+                   AS cluster_id
+                 FROM walk GROUP BY node),
+      s AS (SELECT doc_id, cluster_id,
+              CASE WHEN hv < 204 THEN 'train'
+                   WHEN hv < 230 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM (SELECT *,
+                    (strpos('0123456789abcdef', substr(
+                       md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(
+                       md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) AS hv
+                  FROM labels))
+      SELECT split, count(*) AS n_docs,
+             count(DISTINCT cluster_id) AS n_clusters
+      FROM s GROUP BY 1""",
     "cur_dedup_clusters" -> s"""
       WITH RECURSIVE ${Dedup.minhashPairsCte},
       edges AS (SELECT da AS src, db AS dst FROM pairs

@@ -394,7 +394,35 @@ object EventAnalytics {
           .cast("double").as("total_value"))
   }
 
+  /** A/B experiment readout: deterministic 50/50 user bucketing (parity
+    * of the first md5 hex digit of user_id — content-addressed, so the
+    * same user lands in the same arm on any engine, cluster, or rerun,
+    * and assignment needs no stored mapping table), then per-arm reach,
+    * conversion, and an integer-basis-point conversion rate.
+    *
+    * Scale shape: assignment is a map-side expression on the fact scan
+    * (no join against an assignment table), and the whole readout is ONE
+    * aggregation over the events — partial aggregates combine map-side,
+    * the shuffle carries 2 groups. The rate uses integer `div` basis
+    * points so both engines emit identical values (no IEEE division in
+    * the compared output).
+    */
+  def evAbTest(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"))
+      .withColumn("variant",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 1),
+          16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
+      .groupBy(col("variant"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("event_type") === "purchase",
+          col("user_id"))).as("n_converted"),
+        count(when(col("event_type") === "click", lit(1))).as("n_clicks"))
+      .withColumn("conv_rate_bp",
+        expr("(n_converted * 10000) div n_users"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ab_test" -> (evAbTest _),
     "ts_anomaly" -> ((s: SparkSession, d: String) => tsAnomaly(s, d)),
     "ev_cohort_value" -> (evCohortValue _),
     "ev_path_topk" -> ((s: SparkSession, d: String) => evPathTopk(s, d)),
@@ -411,6 +439,22 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_ab_test" -> """
+      WITH t AS (
+        SELECT user_id, event_type,
+          CASE WHEN (strpos('0123456789abcdef',
+                       substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                    % 2 = 0
+               THEN 'control' ELSE 'treatment' END AS variant
+        FROM events)
+      SELECT variant,
+        count(DISTINCT user_id) AS n_users,
+        count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+          AS n_converted,
+        count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+        (count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+          * 10000) // count(DISTINCT user_id) AS conv_rate_bp
+      FROM t GROUP BY 1""",
     "ts_anomaly" -> """
       WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c

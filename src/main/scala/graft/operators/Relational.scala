@@ -815,6 +815,83 @@ object Relational {
     cdcApply(base, delta, "c_custkey")
   }
 
+  /** U7 — incremental aggregate maintenance (materialized-view merge):
+    * keep a per-key aggregate table current by folding a new fact batch's
+    * PARTIAL aggregate states into the stored state — never rescanning
+    * the base facts. Sound because count/sum/min/max are commutative
+    * monoids: merge = `union states → re-aggregate`, an O(|keys|)
+    * shuffle instead of the O(|facts|) recompute. At 100 TB that is the
+    * difference between a seconds-long maintenance tick per arriving
+    * batch and a full-table pass; the state table is itself partitioned
+    * on the key, so successive merges co-locate.
+    *
+    * Money lives as integer CENTS (long) INSIDE the state so state
+    * merging is exact integer addition — associative under any merge
+    * order, partitioning, or batch arrival sequence. The single
+    * cents→double division happens once at emit ([[centSum]]'s contract,
+    * extended across merges).
+    */
+  def orderAggState(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("spend_cents"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"))
+
+  /** Fold any number of [[orderAggState]] frames into one state. */
+  def mergeOrderAggStates(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("spend_cents")).as("spend_cents"),
+        min(col("first_order")).as("first_order"),
+        max(col("last_order")).as("last_order"))
+
+  def u7IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    // deterministic batch split: every 5th order arrives as the "new"
+    // batch; the merged state must equal the single-pass recompute over
+    // ALL orders — which is exactly what the oracle computes
+    val base = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val delta = orders.filter(col("o_orderkey") % 5 === 0)
+    mergeOrderAggStates(Seq(orderAggState(base), orderAggState(delta)))
+      .select(col("o_custkey"), col("n_orders"),
+        (col("spend_cents").cast("double") / 100.0).as("total_spend"),
+        col("first_order"), col("last_order"))
+  }
+
+  /** A17 — partitioned HLL distinct-count maintenance: one Datasketches
+    * HLL sketch per day (the stored, mergeable artifact), union-merged at
+    * query time for an arbitrary day range. The nightly job appends ONE
+    * sketch row per partition; a range distinct-count then reads
+    * |days| sketch rows instead of re-scanning the raw facts — the only
+    * way "distinct users last N days" stays sub-second over 100 TB of
+    * events. Spark's `hll_sketch_agg`/`hll_union_agg` are Apache
+    * Datasketches HllSketch under the hood, so the stored bytes are
+    * portable across engines that speak Datasketches.
+    *
+    * Output is the a8-style CONTRACT (exact count + within-bound
+    * boolean), not the raw estimate — the estimate's exact value is
+    * implementation-specific, the ≤2% error bound at lgK=12 is the
+    * published guarantee (bounded here at 5%).
+    */
+  def a17HllPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("2024-01-08").cast("date")
+    val hi = lit("2024-01-21").cast("date")
+    val ev = t(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .filter(col("day").between(lo, hi))
+    val daily = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val est = daily.agg(count(lit(1)).as("range_days"),
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact)
+      .select(col("range_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) / col("exact_users") <= 0.05)
+          .as("hll_ok"))
+  }
+
   /** J6 — salted skew join: when one fact key floods a partition and the
     * dim side is too big to broadcast, salt the fact (deterministic
     * spread: hash of a high-cardinality sibling column mod R) and
@@ -1381,6 +1458,8 @@ object Relational {
     "o10_percent_change" -> (o10PercentChange _),
     "u5_scd2_merge" -> (u5Scd2Merge _),
     "u6_cdc_apply" -> (u6CdcApply _),
+    "u7_incremental_agg" -> (u7IncrementalAgg _),
+    "a17_hll_partitioned" -> (a17HllPartitioned _),
     "a16_mode_median" -> (a16ModeMedian _),
     "o9_value_windows" -> (o9ValueWindows _),
     "j6_salted_join" -> (j6SaltedJoin _),
@@ -1574,6 +1653,20 @@ object Relational {
       FROM orders o JOIN dim ON o.o_custkey = dim.d_custkey
         AND CAST(o.o_orderdate AS DATE) >= dim.valid_from
         AND (dim.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < dim.valid_to)""",
+    "u7_incremental_agg" -> """
+      SELECT o_custkey, count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS total_spend,
+        min(o_orderdate) AS first_order,
+        max(o_orderdate) AS last_order
+      FROM orders GROUP BY 1""",
+    "a17_hll_partitioned" -> """
+      SELECT count(DISTINCT CAST(ts AS DATE)) AS range_days,
+             count(DISTINCT user_id) AS exact_users,
+             TRUE AS hll_ok
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+        AND DATE '2024-01-21'""",
     "u6_cdc_apply" -> """
       WITH base AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment
                     FROM customer),

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.Tables.t
+
+/** Round-12c contracts: incremental aggregate maintenance (U7), the
+  * partitioned-HLL distinct contract (A17), deterministic A/B bucketing,
+  * and the cluster-aware leakage-free split.
+  */
+class Round12cSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("u7: merged state == single-pass recompute under ANY batch split") {
+    val orders = t(spark, dir, "orders")
+    val oneShot = Relational.orderAggState(orders)
+    // 3-way split on a different modulus than the query key uses —
+    // associativity must hold for any partition of the fact rows
+    val parts = (0 until 3).map(i =>
+      Relational.orderAggState(orders.filter(col("o_orderkey") % 3 === i)))
+    val merged = Relational.mergeOrderAggStates(parts)
+    assert(merged.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(merged).isEmpty,
+      "incremental merge diverged from the one-shot aggregate")
+  }
+
+  test("u7: money stays exact integer cents across merges") {
+    val row = Relational.u7IncrementalAgg(spark, dir)
+      .agg(sum(round(col("total_spend") * 100).cast("long")).as("cents"),
+        sum(col("total_spend")).as("dbl"))
+      .head()
+    // every per-key total is an exact multiple of a cent
+    assert(math.abs(row.getLong(0) / 100.0 - row.getDouble(1)) < 1e-6)
+  }
+
+  test("a17: sketch estimate lands inside the published bound") {
+    val row = Relational.a17HllPartitioned(spark, dir).head()
+    assert(row.getAs[Boolean]("hll_ok"),
+      "lgK=12 HLL estimate strayed past 5% of exact")
+    assert(row.getAs[Long]("range_days") == 14L,
+      "every day in the 14-day range should carry events at this sf")
+  }
+
+  test("ev_ab_test: arms partition the user population, rates exact") {
+    val rows = EventAnalytics.evAbTest(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("variant")).toSet ==
+      Set("control", "treatment"))
+    val totalUsers = rows.map(_.getAs[Long]("n_users")).sum
+    val distinctUsers = t(spark, dir, "events")
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(totalUsers == distinctUsers,
+      "every user must land in exactly one arm")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("conv_rate_bp") ==
+        r.getAs[Long]("n_converted") * 10000 / r.getAs[Long]("n_users"))
+    }
+  }
+
+  test("cur_split_leakfree: no cluster straddles a split boundary") {
+    // recompute doc-level split membership and assert each cluster maps
+    // to exactly one split — the leak-freedom claim itself
+    val labels = Curation.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val hv = conv(substring(md5(col("cluster_id").cast("string")), 1, 2),
+      16, 10).cast("int")
+    val straddlers = labels
+      .withColumn("split",
+        when(hv < 204, "train").when(hv < 230, "val").otherwise("test"))
+      .groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .count()
+    assert(straddlers == 0L)
+    val summary = Curation.splitLeakfree(spark, dir)
+    val docTotal = summary.agg(sum(col("n_docs"))).head().getLong(0)
+    assert(docTotal == t(spark, dir, "documents").count(),
+      "split must cover the whole corpus exactly once")
+  }
+}
