@@ -103,6 +103,10 @@ object Bench {
     "cur_keep_best", "dq_freshness", "st12_user_profile",
     "cur_temperature_mix", "ts_anomaly", "ev_cohort_value",
     "u6_cdc_apply", "dq_referential",
+    // round-12c additions: incremental agg maintenance, partitioned-HLL
+    // distinct, A/B readout, cluster-aware leak-free split
+    "u7_incremental_agg", "a17_hll_partitioned", "ev_ab_test",
+    "cur_split_leakfree",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

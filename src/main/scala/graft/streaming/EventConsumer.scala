@@ -573,7 +573,59 @@ object EventConsumer {
         .withWatermark("ts", "1 hour"),
       driftReferenceShares(spark, dir))
 
+  /** ST13 — STREAM-STATIC enrichment join: every incoming event joins a
+    * static dimension (the per-user first-seen profile) inside its
+    * micro-batch, then aggregates per (day window, event_type, tenure
+    * bucket) — the "enrich the stream with reference data" shape nearly
+    * every production consumer has. The stream-static join is STATELESS:
+    * the static side re-plans per micro-batch (broadcast here because the
+    * profile is the bounded user population; an unbounded key space
+    * would leave it a shuffled hash join — still stateless), so the only
+    * streaming state is the windowed count, bounded by watermark ×
+    * group cardinality. The event-time column rides through the join
+    * untouched, so the watermark stays valid downstream.
+    */
+  def enrichAgg(events: DataFrame, profile: DataFrame): DataFrame = {
+    val tenure = datediff(to_date(col("ts")), col("first_day"))
+    events.join(broadcast(profile), "user_id")
+      .withColumn("tenure_bucket",
+        when(tenure < 7, "new").when(tenure < 21, "active")
+          .otherwise("veteran"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"),
+        col("tenure_bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("date").as("day"),
+        col("event_type"), col("tenure_bucket"), col("n_events"))
+  }
+
+  /** The static side: each user's first-seen day (one shuffle, computed
+    * once at stream build — a serving deployment would refresh it on its
+    * own cadence and the join picks the new snapshot up next batch).
+    */
+  def userFirstDay(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("first_day"))
+
+  /** Batch twin — oracle-checkable (st13). */
+  def batchEnrichAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(spark, dir, "events")
+    enrichAgg(ev, userFirstDay(ev))
+  }
+
+  /** Streaming flavor over the file source; parity with the batch twin
+    * on closed windows is pinned in Round12cSpec.
+    */
+  def streamingEnrichAgg(spark: SparkSession, dir: String): DataFrame =
+    enrichAgg(
+      Tables.normalizeEventTs(
+        spark.readStream
+          .schema(Tables.eventsFileSchema(spark, dir))
+          .parquet(dir))
+        .withWatermark("ts", "1 day"),
+      userFirstDay(Tables.t(spark, dir, "events")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st13_stream_enrich" -> (batchEnrichAgg _),
     "st12_user_profile" -> (batchUserProfile _),
     "st11_drift_monitor" -> (batchDriftMonitor _),
     "st10_stream_stream_join" -> (batchStreamStreamJoin _),
@@ -613,6 +665,17 @@ object EventConsumer {
   }
 
   val oracle: Map[String, String] = Map(
+    "st13_stream_enrich" -> """
+      WITH fs AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+        FROM events GROUP BY 1)
+      SELECT CAST(e.ts AS DATE) AS day, e.event_type,
+        CASE WHEN CAST(e.ts AS DATE) - fs.first_day < 7 THEN 'new'
+             WHEN CAST(e.ts AS DATE) - fs.first_day < 21 THEN 'active'
+             ELSE 'veteran' END AS tenure_bucket,
+        count(*) AS n_events
+      FROM events e JOIN fs USING (user_id)
+      GROUP BY 1, 2, 3""",
     "st12_user_profile" -> """
       WITH r AS (
         SELECT user_id, ts, event_id, event_type,

@@ -1,10 +1,15 @@
 package graft.operators
 
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 import graft.Tables.t
+import graft.streaming.EventConsumer
 
 /** Round-12c contracts: incremental aggregate maintenance (U7), the
   * partitioned-HLL distinct contract (A17), deterministic A/B bucketing,
@@ -57,6 +62,44 @@ class Round12cSpec extends AnyFunSuite {
       assert(r.getAs[Long]("conv_rate_bp") ==
         r.getAs[Long]("n_converted") * 10000 / r.getAs[Long]("n_users"))
     }
+  }
+
+  test("st13: stream-static enrich emits closed windows == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    // two users: u1 first seen day 1 (so day-2 events are still 'new'),
+    // u2 first seen 30 days earlier via the PROFILE (veteran immediately)
+    val rows = Seq(
+      (ts("2024-02-01 10:00:00"), 1L, "click"),
+      (ts("2024-02-01 11:00:00"), 2L, "click"),
+      (ts("2024-02-02 09:00:00"), 1L, "purchase"),
+      (ts("2024-02-02 09:30:00"), 2L, "purchase"))
+    val profile = Seq((1L, "2024-02-01"), (2L, "2024-01-02"))
+      .toDF("user_id", "first_day")
+      .withColumn("first_day", col("first_day").cast("date"))
+    val q = EventConsumer.enrichAgg(
+      mem.toDF().toDF("ts", "user_id", "event_type")
+        .withWatermark("ts", "1 day"), profile)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("st13_test").start()
+    try {
+      mem.addData(rows: _*)
+      // sentinel advances the watermark past both days' windows
+      mem.addData((ts("2024-02-05 00:00:00"), 1L, "view"))
+      q.processAllAvailable()
+      val streamed = spark.table("st13_test")
+        .orderBy("day", "event_type", "tenure_bucket").collect().toSeq
+      val batch = EventConsumer.enrichAgg(
+        rows.toDF("ts", "user_id", "event_type"), profile)
+        .orderBy("day", "event_type", "tenure_bucket").collect().toSeq
+      assert(streamed == batch,
+        s"stream $streamed\nbatch $batch")
+      // the enrichment itself: u2's day-1 click is 'veteran', u1's 'new'
+      assert(streamed.exists(r => r.getString(2) == "veteran"))
+      assert(streamed.exists(r => r.getString(2) == "new"))
+    } finally q.stop()
   }
 
   test("cur_split_leakfree: no cluster straddles a split boundary") {
