@@ -143,6 +143,40 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** RANGE (radius) similarity search: every corpus neighbor with
+    * cosine ≥ τ of each panel query — the "find ALL near matches"
+    * semantics top-k cannot express (dedup sweeps, policy screens,
+    * coverage audits want every hit, not the best 5). Candidates come
+    * from the multi-probe LSH buckets (query's bucket + all hamming-1
+    * probes, keys computed map-side on the tiny query side), exact
+    * cosine refines, and the τ predicate — on the 6-dp ROUNDED cosine,
+    * so membership can't flip on engine ulp differences — replaces the
+    * top-k heap. No rank, no window, no sort: the output is a set.
+    *
+    * Scale shape: identical to [[simLshMultiprobe]]'s bucket equi-join
+    * (candidate volume is probes × bucket occupancy, never all-pairs);
+    * the refine is one codegen'd expression per candidate row.
+    */
+  def simRangeSearch(spark: SparkSession, dir: String,
+      tau: Double = 0.25): DataFrame = {
+    val emb = withNorm(t(spark, dir, "embeddings"))
+      .withColumn("bucket", expr(bucketExpr))
+    val q = emb.filter(col("vec_id") < 10)
+      .withColumn("probe", explode(expr(
+        """concat(array(bucket), transform(sequence(0, 3), i ->
+           concat(substr(bucket, 1, i),
+             CASE WHEN substr(bucket, i + 1, 1) = '1' THEN '0' ELSE '1' END,
+             substr(bucket, i + 2, 4))))""")))
+    q.as("a").join(emb.as("b"),
+        col("a.probe") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos_sim",
+        round(cosAB(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("cos_sim") >= tau)
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
+        col("cos_sim"))
+  }
+
   /** IVF-FLAT ANN — the inverted-file scale path next to sign-LSH. The
     * coarse quantizer here is SEEDED (centroids = the 16 vectors with
     * vec_id < 16) so the whole structure is deterministic and
@@ -783,6 +817,7 @@ object Similarity {
     "sim_knn_label_eval" -> ((s: SparkSession, d: String) => simKnnLabelEval(s, d)),
     "sim_lsh_ann" -> (simLshAnn _),
     "sim_lsh_multiprobe" -> (simLshMultiprobe _),
+    "sim_range_search" -> ((s: SparkSession, d: String) => simRangeSearch(s, d)),
     "sim_ivf_ann" -> (simIvfAnn _),
     "sim_ivf_kmeans" -> ((s, d) => simIvfKmeansAnn(s, d)),
     "sim_lsh_join" -> (simLshJoin _),
@@ -878,6 +913,27 @@ object Similarity {
               (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
             FROM scored)
       WHERE rank <= 5""",
+    "sim_range_search" -> s"""
+      WITH $normCte,
+      bk AS (SELECT vec_id, embedding, nrm,
+               array_to_string(list_transform(generate_series(0, 3), p ->
+                 CASE WHEN list_sum(list_transform(generate_series(0, 63),
+                     d -> embedding[d + 1]::DOUBLE
+                          * ((p * 97 + d * 31 + 13) % 17 - 8)::DOUBLE)) > 0
+                 THEN '1' ELSE '0' END), '') AS bucket
+             FROM n),
+      probes AS (SELECT vec_id, embedding, nrm, unnest(
+                   [bucket] || list_transform(generate_series(0, 3), i ->
+                     substr(bucket, 1, i)
+                     || (CASE WHEN substr(bucket, i + 1, 1) = '1'
+                         THEN '0' ELSE '1' END)
+                     || substr(bucket, i + 2, 4))) AS probe
+                 FROM bk WHERE vec_id < 10)
+      SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+             round($cosAB, 6) AS cos_sim
+      FROM probes a JOIN bk b ON a.probe = b.bucket
+        AND a.vec_id <> b.vec_id
+      WHERE round($cosAB, 6) >= 0.25""",
     "sim_lsh_multiprobe" -> s"""
       WITH $normCte,
       bk AS (SELECT vec_id, embedding, nrm,

@@ -102,6 +102,23 @@ class Round12cSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sim_range_search: set semantics — thresholded, deduplicated, " +
+      "and every in-bucket brute-force hit is found") {
+    val got = Similarity.simRangeSearch(spark, dir).collect()
+    assert(got.forall(_.getAs[Double]("cos_sim") >= 0.25))
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length,
+      "multi-probe must not emit a candidate pair twice")
+    // radius semantics: within the probed candidate set nothing above τ
+    // is dropped — compare against the multiprobe top-k list restricted
+    // to cos ≥ τ (its candidates are the same probe join)
+    val topkAboveTau = Similarity.simLshMultiprobe(spark, dir).collect()
+      .filter(_.getAs[Double]("cos_sim") >= 0.25)
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    assert(topkAboveTau.subsetOf(pairs.toSet),
+      "range search lost an in-bucket neighbor above the threshold")
+  }
+
   test("cur_split_leakfree: no cluster straddles a split boundary") {
     // recompute doc-level split membership and assert each cluster maps
     // to exactly one split — the leak-freedom claim itself
