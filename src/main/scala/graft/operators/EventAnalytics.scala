@@ -109,6 +109,49 @@ object EventAnalytics {
         (coalesce(col("conv_clicks"), lit(0L)) > 0).as("converted"))
   }
 
+  /** Window funnel (the ClickHouse `windowFunnel` shape): per user, how
+    * deep into the ordered stage chain signup → view → click → purchase
+    * did they get, where each stage must strictly follow the previous
+    * one and the WHOLE chain must complete within 7 days of the user's
+    * first signup. Output is the depth histogram (depth 1–4 → users) —
+    * the drop-off curve a growth dashboard reads.
+    *
+    * Greedy first-match semantics via min-time chaining: t1 = first
+    * signup, t_k = first stage-k event after t_{k-1}. Each chained min
+    * is a conditional window aggregate over the SAME user partitioning,
+    * so the plan has ONE exchange on user_id and four window passes that
+    * reuse it — not four joins, not four shuffles. The final histogram
+    * groups ≤4 rows.
+    */
+  def evWindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val horizon = expr("INTERVAL 7 DAYS")
+    val staged = Tables.t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "view" && col("ts") > col("t1"),
+          col("ts"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "click" && col("ts") > col("t2"),
+          col("ts"))).over(byUser))
+      .withColumn("t4",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t3"),
+          col("ts"))).over(byUser))
+    staged.groupBy(col("user_id"))
+      .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
+        first(col("t3")).as("t3"), first(col("t4")).as("t4"))
+      .filter(col("t1").isNotNull)
+      .select(col("user_id"),
+        when(col("t4").isNotNull && col("t4") <= col("t1") + horizon, 4)
+          .when(col("t3").isNotNull && col("t3") <= col("t1") + horizon, 3)
+          .when(col("t2").isNotNull && col("t2") <= col("t1") + horizon, 2)
+          .otherwise(1).as("depth"))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** The daily per-type aggregate feeds BOTH branches of the gap-fill
     * (spine bounds + the left join), and Spark recomputes an unshared
     * subtree per branch — TWO scans of the 100 TB fact. The aggregate
@@ -422,6 +465,7 @@ object EventAnalytics {
         expr("(n_converted * 10000) div n_users"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_window_funnel" -> (evWindowFunnel _),
     "ev_ab_test" -> (evAbTest _),
     "ts_anomaly" -> ((s: SparkSession, d: String) => tsAnomaly(s, d)),
     "ev_cohort_value" -> (evCohortValue _),
@@ -439,6 +483,31 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_window_funnel" -> """
+      WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2
+             FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3
+             FROM events e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1),
+      s4 AS (SELECT e.user_id, min(e.ts) AS t4
+             FROM events e JOIN s3 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1)
+      SELECT depth, count(*) AS n_users FROM (
+        SELECT s1.user_id,
+          CASE WHEN s4.t4 IS NOT NULL
+                AND s4.t4 <= s1.t1 + INTERVAL 7 DAY THEN 4
+               WHEN s3.t3 IS NOT NULL
+                AND s3.t3 <= s1.t1 + INTERVAL 7 DAY THEN 3
+               WHEN s2.t2 IS NOT NULL
+                AND s2.t2 <= s1.t1 + INTERVAL 7 DAY THEN 2
+               ELSE 1 END AS depth
+        FROM s1 LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id)
+                LEFT JOIN s4 USING (user_id))
+      GROUP BY 1""",
     "ev_ab_test" -> """
       WITH t AS (
         SELECT user_id, event_type,

@@ -119,6 +119,32 @@ class Round12cSpec extends AnyFunSuite {
       "range search lost an in-bucket neighbor above the threshold")
   }
 
+  test("ev_window_funnel: depth histogram matches a driver-side greedy " +
+      "chain recompute") {
+    val got = EventAnalytics.evWindowFunnel(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val events = t(spark, dir, "events")
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val horizon = 7L * 24 * 3600 * 1000
+    val want = events.groupBy(_._1).flatMap { case (_, evs) =>
+      def firstAfter(tpe: String, after: java.sql.Timestamp) =
+        evs.filter(e => e._2 == tpe && e._3.getTime > after.getTime)
+          .map(_._3).sortBy(_.getTime).headOption
+      val t1 = evs.filter(_._2 == "signup").map(_._3)
+        .sortBy(_.getTime).headOption
+      t1.map { t1v =>
+        val t2 = firstAfter("view", t1v)
+        val t3 = t2.flatMap(firstAfter("click", _))
+        val t4 = t3.flatMap(firstAfter("purchase", _))
+        def in(t: Option[java.sql.Timestamp]) =
+          t.exists(_.getTime <= t1v.getTime + horizon)
+        if (in(t4)) 4 else if (in(t3)) 3 else if (in(t2)) 2 else 1
+      }
+    }.groupBy(identity).map { case (d, g) => d -> g.size.toLong }
+    assert(got == want, s"got $got want $want")
+  }
+
   test("cur_split_leakfree: no cluster straddles a split boundary") {
     // recompute doc-level split membership and assert each cluster maps
     // to exactly one split — the leak-freedom claim itself
