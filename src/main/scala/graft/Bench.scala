@@ -107,6 +107,11 @@ object Bench {
     // distinct, A/B readout, cluster-aware leak-free split
     "u7_incremental_agg", "a17_hll_partitioned", "ev_ab_test",
     "cur_split_leakfree",
+    // round-12d additions: key-uniqueness audit, RFM segmentation,
+    // deterministic negative sampling, hashed-feature classifier,
+    // winnowing fingerprints
+    "dq_uniqueness", "ev_rfm", "sim_negatives", "text_classifier_score",
+    "text_winnowing",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -89,6 +89,36 @@ object TextFunctions {
   def fingerprintPoly(text: Column): Column =
     call_function("graft_fppoly", text)
 
+  /** Winnowing fingerprint selection (k=8 char grams, window w=4) —
+    * distinct selected hashes sorted ascending. Computed by the native
+    * [[graft.plans.WinnowFingerprints]] expression: one tight loop per
+    * document instead of a nested HOF (per-window lambda evals dominate
+    * the interpreted form). See [[winnowSql]] for the semantics.
+    */
+  def winnow(text: Column): Column =
+    call_function("graft_winnow", text)
+
+  /** The SQL-composed twin of [[winnow]] — kept as the oracle-shaped
+    * reference TextFunctionsSpec checks the native expression against:
+    * gram hash = first 8 md5 hex chars as unsigned, per-window
+    * `array_min` over `slice`, distinct + sort. Fewer than w grams (but
+    * ≥ 1) degrade to the global minimum; shorter than k chars → empty.
+    */
+  def winnowSql(textCol: String): Column = {
+    val hashes = s"""transform(sequence(1, length($textCol) - 7),
+        i -> CAST(conv(substr(md5(substr($textCol, i, 8)), 1, 8), 16, 10)
+                  AS BIGINT))"""
+    expr(s"""
+      CASE WHEN length($textCol) >= 8 THEN
+        CASE WHEN length($textCol) - 7 >= 4 THEN
+          array_sort(array_distinct(transform(
+            sequence(1, length($textCol) - 7 - 3),
+            s -> array_min(slice($hashes, s, 4)))))
+        ELSE array(array_min($hashes))
+        END
+      ELSE CAST(array() AS array<bigint>) END""")
+  }
+
   /** The SQL-composed twin of [[fingerprintPoly]] — kept as the
     * oracle-shaped reference the spec checks the native expression
     * against.

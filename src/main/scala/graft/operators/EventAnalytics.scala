@@ -464,7 +464,49 @@ object EventAnalytics {
       .withColumn("conv_rate_bp",
         expr("(n_converted * 10000) div n_users"))
 
+  /** RFM segmentation: per-user Recency (days since last event, against
+    * the corpus watermark), Frequency (event count), Monetary (exact
+    * decimal value sum), each mapped to a 1–5 quintile score via
+    * `percent_rank` with a total order (metric, then user_id) so the
+    * assignment is deterministic on any engine, and a composed "rfm"
+    * segment string — the classic marketing-segmentation readout.
+    *
+    * Scale shape: one aggregation shuffled on user_id, then the window
+    * ranks run over REDUCED rows (one per user). The global sort the
+    * window implies is the textbook scale ceiling — at 100 TB swap
+    * `percent_rank` for bucket cutoffs from `approx_percentile` (one
+    * extra reduced-side pass, no global sort); exact ranks here because
+    * the oracle is exact.
+    */
+  def evRfm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+    val asOf = ev.agg(max(col("ts")).as("as_of"))
+    val base = ev.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("frequency"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("monetary"))
+      .crossJoin(broadcast(asOf))
+      .withColumn("recency_days",
+        datediff(col("as_of").cast("date"), col("last_ts").cast("date")))
+    def quintile(order: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+      least(floor(percent_rank().over(Window.orderBy(order: _*)) * 5)
+        .cast("int") + 1, lit(5))
+    base
+      .withColumn("r_score",
+        quintile(col("recency_days").desc, col("user_id").asc))
+      .withColumn("f_score",
+        quintile(col("frequency").asc, col("user_id").asc))
+      .withColumn("m_score",
+        quintile(col("monetary").asc, col("user_id").asc))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rfm" -> (evRfm _),
     "ev_window_funnel" -> (evWindowFunnel _),
     "ev_ab_test" -> (evAbTest _),
     "ts_anomaly" -> ((s: SparkSession, d: String) => tsAnomaly(s, d)),
@@ -483,6 +525,32 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_rfm" -> """
+      WITH wm AS (SELECT max(ts) AS as_of FROM events),
+      per AS (SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS monetary
+              FROM events GROUP BY 1),
+      base AS (SELECT p.user_id, p.frequency, p.monetary,
+                 datediff('day', CAST(p.last_ts AS DATE),
+                   CAST(a.as_of AS DATE)) AS recency_days
+               FROM per p CROSS JOIN wm a),
+      sc AS (SELECT *,
+               least(CAST(floor(percent_rank() OVER
+                 (ORDER BY recency_days DESC, user_id ASC) * 5) AS INT)
+                 + 1, 5) AS r_score,
+               least(CAST(floor(percent_rank() OVER
+                 (ORDER BY frequency ASC, user_id ASC) * 5) AS INT)
+                 + 1, 5) AS f_score,
+               least(CAST(floor(percent_rank() OVER
+                 (ORDER BY monetary ASC, user_id ASC) * 5) AS INT)
+                 + 1, 5) AS m_score
+             FROM base)
+      SELECT user_id, recency_days, frequency, monetary,
+        r_score, f_score, m_score,
+        CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+          || CAST(m_score AS VARCHAR) AS segment
+      FROM sc""",
     "ev_window_funnel" -> """
       WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
                   WHERE event_type = 'signup' GROUP BY 1),

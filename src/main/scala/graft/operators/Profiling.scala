@@ -289,7 +289,47 @@ object Profiling {
         t(spark, dir, "nation"), "n_nationkey"))
   }
 
+  /** DQ9 — key-uniqueness audit: for each declared primary key, row count
+    * vs distinct-key count and the implied duplicate-row count — the first
+    * invariant a warehouse load checks after ingest (the reference trusts
+    * `to_sql(if_exists='replace')` to keep keys unique; here the check is
+    * a first-class result). Composite keys compare as a '#'-joined string
+    * so the oracle's DISTINCT sees the identical value.
+    *
+    * Scale: one exact count-distinct per table — a partial+final aggregate
+    * shuffled on the key, |output| = 6 rows regardless of input. At
+    * 100 TB swap `approx_count_distinct` in for a one-pass HLL sketch
+    * (exact here because the oracle is exact).
+    */
+  def dqUniqueness(spark: SparkSession, dir: String): DataFrame = {
+    def audit(table: String, df: DataFrame, key: Seq[String]): DataFrame = {
+      val keyExpr =
+        if (key.size == 1) col(key.head).cast("string")
+        else concat_ws("#", key.map(c => col(c).cast("string")): _*)
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(keyExpr).as("n_keys"))
+        .select(lit(table).as("table_name"),
+          lit(key.mkString(",")).as("key_cols"),
+          col("n_rows"), col("n_keys"),
+          (col("n_rows") - col("n_keys")).as("n_dup_rows"),
+          round(col("n_keys").cast("double") / col("n_rows"), 6)
+            .as("uniqueness"))
+    }
+    audit("orders", t(spark, dir, "orders"), Seq("o_orderkey"))
+      .unionByName(audit("customer", t(spark, dir, "customer"),
+        Seq("c_custkey")))
+      .unionByName(audit("lineitem", t(spark, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber")))
+      .unionByName(audit("events", t(spark, dir, "events"),
+        Seq("event_id")))
+      .unionByName(audit("documents", t(spark, dir, "documents"),
+        Seq("doc_id")))
+      .unionByName(audit("embeddings", t(spark, dir, "embeddings"),
+        Seq("vec_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_uniqueness" -> (dqUniqueness _),
     "dq_referential" -> (dqReferential _),
     "dq_freshness" -> (dqFreshness _),
     "dq_drift" -> (dqDrift _),
@@ -301,6 +341,32 @@ object Profiling {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_uniqueness" -> """
+      WITH a AS (
+        SELECT 'orders' AS table_name, 'o_orderkey' AS key_cols,
+          count(*) AS n_rows,
+          count(DISTINCT CAST(o_orderkey AS VARCHAR)) AS n_keys
+        FROM orders
+        UNION ALL
+        SELECT 'customer', 'c_custkey', count(*),
+          count(DISTINCT CAST(c_custkey AS VARCHAR)) FROM customer
+        UNION ALL
+        SELECT 'lineitem', 'l_orderkey,l_linenumber', count(*),
+          count(DISTINCT CAST(l_orderkey AS VARCHAR) || '#'
+            || CAST(l_linenumber AS VARCHAR)) FROM lineitem
+        UNION ALL
+        SELECT 'events', 'event_id', count(*),
+          count(DISTINCT CAST(event_id AS VARCHAR)) FROM events
+        UNION ALL
+        SELECT 'documents', 'doc_id', count(*),
+          count(DISTINCT CAST(doc_id AS VARCHAR)) FROM documents
+        UNION ALL
+        SELECT 'embeddings', 'vec_id', count(*),
+          count(DISTINCT CAST(vec_id AS VARCHAR)) FROM embeddings)
+      SELECT table_name, key_cols, n_rows, n_keys,
+        n_rows - n_keys AS n_dup_rows,
+        round(CAST(n_keys AS DOUBLE) / n_rows, 6) AS uniqueness
+      FROM a""",
     "dq_referential" -> """
       SELECT 'lineitem.l_orderkey -> orders' AS relationship,
         count(*) AS n_child,

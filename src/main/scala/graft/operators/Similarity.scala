@@ -812,7 +812,45 @@ object Similarity {
         col("vec_id"), col("approx_d2"))
   }
 
+  /** Contrastive negative sampling: for each anchor vector, k pseudo-random
+    * candidate ids drawn by a deterministic affine hash over the id space
+    * (`(vec_id·2654435761 + slot·40503 + 17) mod N` — content-addressed,
+    * so the same anchor draws the same negatives on any engine or rerun,
+    * no stored sample table), joined back to the corpus and kept when the
+    * candidate carries a DIFFERENT label (the reproducible random-negative
+    * miner a contrastive/embedding training pipeline pairs with in-batch
+    * negatives). Each pair's cosine is emitted, so hard-negative mining is
+    * one ORDER BY away.
+    *
+    * Scale shape: the candidate fan-out is a map-side explode (k rows per
+    * anchor, no shuffle), the back-join is a plain equi-join on the
+    * candidate id (hash join; AQE may broadcast), and the corpus size
+    * enters the hash as a broadcast 1-row aggregate — never a driver-side
+    * count.
+    */
+  def simNegatives(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val emb = t(spark, dir, "embeddings")
+    val nTotal = emb.agg(count(lit(1)).as("n_total"))
+    val cand = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("cand_id",
+        pmod(col("vec_id") * lit(2654435761L) + col("slot") * lit(40503L)
+          + lit(17L), col("n_total")))
+    cand.as("a")
+      .join(emb.select(col("vec_id").as("cand_id"),
+        col("label").as("neg_label"),
+        col("embedding").as("neg_emb")).as("b"), "cand_id")
+      .filter(col("neg_label") =!= col("label")
+        && col("cand_id") =!= col("vec_id"))
+      .select(col("vec_id").as("anchor_id"), col("slot"),
+        col("cand_id").as("neg_id"), col("neg_label"),
+        round(cosAB(col("embedding"), col("neg_emb")), 6).as("cos_sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_negatives" -> ((s: SparkSession, d: String) => simNegatives(s, d)),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_knn_label_eval" -> ((s: SparkSession, d: String) => simKnnLabelEval(s, d)),
     "sim_lsh_ann" -> (simLshAnn _),
@@ -862,6 +900,21 @@ object Similarity {
       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm)"""
 
   val oracle: Map[String, String] = Map(
+    "sim_negatives" -> s"""
+      WITH $normCte,
+      nn AS (SELECT count(*) AS n_total FROM embeddings),
+      lab AS (SELECT n.vec_id, e.label, n.embedding, n.nrm
+              FROM n JOIN embeddings e ON n.vec_id = e.vec_id),
+      cand AS (SELECT a.vec_id, a.label, a.embedding, a.nrm, g.slot,
+                 (a.vec_id * 2654435761 + g.slot * 40503 + 17) % t.n_total
+                   AS cand_id
+               FROM lab a CROSS JOIN nn t,
+                    UNNEST(generate_series(0, 3)) AS g(slot))
+      SELECT a.vec_id AS anchor_id, CAST(a.slot AS INT) AS slot,
+        b.vec_id AS neg_id, b.label AS neg_label,
+        round($cosAB, 6) AS cos_sim
+      FROM cand a JOIN lab b ON a.cand_id = b.vec_id
+      WHERE b.label <> a.label AND b.vec_id <> a.vec_id""",
     "sim_topk_bruteforce" -> s"""
       WITH $normCte,
       scored AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id, $cosAB AS cos

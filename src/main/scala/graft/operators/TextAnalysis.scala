@@ -27,6 +27,57 @@ object TextAnalysis {
         size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
           .as("n_re_tokens"))
 
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    * MOSS scheme): k=8 char-gram hashes, per-window (w=4) minima, distinct
+    * selected set per document. The LOCAL fingerprint family — unlike
+    * global MinHash, two documents sharing any substring of length ≥ k+w−1
+    * are guaranteed a common fingerprint, which is what span-level
+    * contamination and plagiarism detection need. Emits the selected-set
+    * summary (count, min, sum) per document; the selected array itself is
+    * the join key a pair-finding stage would explode on.
+    *
+    * Scale shape: per-row native expression ([[graft.plans
+    * .WinnowFingerprints]] — one tight loop per document, no interpreted
+    * per-window lambdas), zero shuffle, |output| = |docs|.
+    */
+  def textWinnowing(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    t(spark, dir, "documents")
+      .withColumn("fp", winnow(col("text")))
+      .select(col("doc_id"), size(col("fp")).as("n_fp"),
+        when(size(col("fp")) === 0, lit(null))
+          .otherwise(element_at(col("fp"), 1)).as("fp_min"),
+        when(size(col("fp")) === 0, lit(null))
+          .otherwise(aggregate(col("fp"), lit(0L), (acc, v) => acc + v))
+          .as("fp_sum"))
+  }
+
+  /** Hashed-feature linear quality classifier — the fastText/CCNet-style
+    * filter shape a pretraining pipeline scores documents with. Each token
+    * hashes into one of 64 feature buckets via the hashing trick (first 4
+    * md5 bytes mod 64 — content-addressed, vocabulary-free, so no
+    * dictionary ships with the job); each bucket carries a weight from a
+    * deterministic affine generator (a stand-in for trained coefficients —
+    * a real model swaps in a broadcast weight array, identical plan); the
+    * document score is the sigmoid of the mean bucket weight and `keep`
+    * thresholds at 0.5.
+    *
+    * Scale shape: pure per-row expression work — zero shuffle, stays
+    * inside whole-stage codegen, linear scan at any corpus size.
+    */
+  def textClassifierScore(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("w", filter(tokens(col("text")), w => length(w) > 0))
+      .withColumn("raw", expr("""
+        CASE WHEN size(w) = 0 THEN CAST(0 AS DOUBLE) ELSE
+          aggregate(w, CAST(0 AS DOUBLE), (acc, tok) ->
+            acc + CAST(pmod(CAST(conv(substr(md5(tok), 1, 8), 16, 10)
+                              AS BIGINT), 64) * 2654435761L % 2001
+                       AS DOUBLE) / 1000.0 - 1.0)
+          / size(w) END"""))
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("raw"))), 6))
+      .select(col("doc_id"), col("score"), (col("score") >= 0.5).as("keep"))
+
   /** Quality scoring: length, stopword ratio, alphabetic ratio → composite
     * score in [0,1]. Pure double arithmetic, identical across engines.
     */
@@ -488,6 +539,8 @@ object TextAnalysis {
     "text_lm_score" -> (textLmScore _),
     "text_token_topk" -> ((s: SparkSession, d: String) => textTokenTopk(s, d)),
     "text_tokens" -> (textTokens _),
+    "text_classifier_score" -> (textClassifierScore _),
+    "text_winnowing" -> (textWinnowing _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
@@ -558,6 +611,40 @@ object TextAnalysis {
              len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
                AS n_re_tokens
       FROM documents""",
+    "text_winnowing" -> """
+      WITH g AS (SELECT doc_id, text, length(text) AS l FROM documents),
+      h AS (SELECT doc_id,
+              CASE WHEN l >= 8 THEN list_transform(generate_series(1, l - 7),
+                i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 8))
+                          AS BIGINT))
+              ELSE [] END AS hs
+            FROM g),
+      sel AS (SELECT doc_id,
+               CASE WHEN len(hs) >= 4 THEN list_distinct(list_transform(
+                      generate_series(1, len(hs) - 3),
+                      s -> list_min(hs[s:s+3])))
+                    WHEN len(hs) >= 1 THEN [list_min(hs)]
+                    ELSE [] END AS fp
+              FROM h)
+      SELECT doc_id, CAST(len(fp) AS INT) AS n_fp,
+        CAST(list_min(fp) AS BIGINT) AS fp_min,
+        CAST(list_sum(fp) AS BIGINT) AS fp_sum
+      FROM sel""",
+    "text_classifier_score" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+        FROM documents),
+      raw AS (
+        SELECT doc_id, CASE WHEN len(w) = 0 THEN 0.0 ELSE
+          list_sum(list_transform(w, tok ->
+            CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64
+                 * 2654435761 % 2001 AS DOUBLE) / 1000.0 - 1.0))
+          / len(w) END AS raw
+        FROM toks),
+      sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-raw)), 6) AS score
+             FROM raw)
+      SELECT doc_id, score, score >= 0.5 AS keep FROM sc""",
     "text_quality" -> """
       WITH q AS (
         SELECT doc_id, length(text) AS n_chars_calc,

@@ -181,6 +181,59 @@ case class FingerprintPoly(child: Expression)
     copy(child = c)
 }
 
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+  * the MOSS local document-fingerprinting scheme): hash every k-char gram
+  * (k=8; hash = first 4 md5 bytes as an unsigned 32-bit value), slide a
+  * w=4 window over the hash sequence, keep each window's minimum, and
+  * return the DISTINCT selected hashes sorted ascending. Guarantee: any
+  * shared substring of length ≥ k+w−1 between two documents yields a
+  * shared fingerprint, while only ~2/(w+1) of all gram hashes are kept —
+  * the local (position-robust) alternative to global MinHash for
+  * contamination / plagiarism span detection. Fewer than w grams (but
+  * ≥ 1) degrade to the single global minimum; shorter than k chars →
+  * empty. Byte-identical to the windowed-list_min SQL twin
+  * (TextFunctions.winnowSql); TextFunctionsSpec pins the parity.
+  */
+case class WinnowFingerprints(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  private val K = 8
+  private val W = 4
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length - K + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val md = MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(s.substring(i, i + K).getBytes("UTF-8"))
+      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val sel = scala.collection.mutable.SortedSet.empty[Long]
+    if (n < W) {
+      var m = hs(0)
+      i = 1
+      while (i < n) { if (hs(i) < m) m = hs(i); i += 1 }
+      sel += m
+    } else {
+      var st = 0
+      while (st <= n - W) {
+        var m = hs(st)
+        var j = st + 1
+        while (j < st + W) { if (hs(j) < m) m = hs(j); j += 1 }
+        sel += m
+        st += 1
+      }
+    }
+    new GenericArrayData(sel.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
 /** Session registration for the custom expressions (idempotent). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -202,6 +255,8 @@ object GraftFunctions {
       "graft_fppoly", exprs => FingerprintPoly(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_dot_fd", exprs => DotFloatDouble(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_winnow", exprs => WinnowFingerprints(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_topk", exprs => TopKMarker(exprs), "built-in")
     reg.createOrReplaceTempFunction(
@@ -263,6 +318,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_dot_fd"),
       new ExpressionInfo(classOf[DotFloatDouble].getName, "graft_dot_fd"),
       (exprs: Seq[Expression]) => DotFloatDouble(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (exprs: Seq[Expression]) => WinnowFingerprints(exprs.head)))
     e.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKMarker].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKMarker(exprs)))

@@ -73,6 +73,34 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one[Int](stopwordCount(col("w")), "a cat the hat a") == 3)
   }
 
+  test("native winnow equals the SQL twin on the real corpus") {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(winnow(col("text")).as("native"), winnowSql("text").as("sql"))
+    assert(docs.filter(col("native") =!= col("sql")).count() == 0L)
+    assert(docs.count() > 0L)
+  }
+
+  test("winnow guarantees a shared fingerprint for a shared long substring") {
+    graft.plans.GraftFunctions.register(spark)
+    // k + w - 1 = 11: any shared substring of length >= 11 must yield a
+    // common selected hash (the winnowing coverage guarantee)
+    val shared = "the quick brown fox"
+    val df = Seq("aaa " + shared + " bbb", "cc " + shared + " ddddd")
+      .toDF("text").select(winnow(col("text")).as("fp"))
+    val Array(a, b) = df.collect().map(_.getSeq[Long](0).toSet)
+    assert((a intersect b).nonEmpty)
+  }
+
+  test("winnow edges: short text empty; under-w grams degrade to global min") {
+    graft.plans.GraftFunctions.register(spark)
+    val fps = Seq("1234567", "123456789")
+      .toDF("text").select(winnow(col("text")).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(fps(0).isEmpty)      // 7 chars < k=8 -> no grams
+    assert(fps(1).length == 1)  // 2 grams < w=4 -> single global min
+  }
+
   test("native fingerprintPoly equals the SQL twin on the real corpus") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
       .select(fingerprintPoly(col("text")).as("native"),

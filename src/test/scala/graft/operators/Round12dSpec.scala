@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.Tables.t
+
+/** Round-12d contracts: key-uniqueness audit, RFM segmentation,
+  * deterministic negative sampling, hashed-feature classifier scoring,
+  * and winnowing fingerprints.
+  */
+class Round12dSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dq_uniqueness: one row per audited key, keys <= rows, ratio in (0,1]") {
+    val rows = Profiling.dqUniqueness(spark, dir).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"))
+      assert(k <= n && k > 0, s"${r.getString(0)}: keys $k rows $n")
+      assert(r.getAs[Long]("n_dup_rows") == n - k)
+      val u = r.getAs[Double]("uniqueness")
+      assert(u > 0.0 && u <= 1.0)
+    }
+    // single-column primary keys in the fixture are actually unique
+    rows.filter(r => Set("orders", "events", "documents", "embeddings")
+        .contains(r.getString(0)))
+      .foreach(r => assert(r.getAs[Long]("n_dup_rows") == 0L,
+        s"${r.getString(0)} expected unique"))
+  }
+
+  test("ev_rfm: one row per user, scores in 1..5, segment is the concat") {
+    val df = EventAnalytics.evRfm(spark, dir)
+    val rows = df.collect()
+    val users = t(spark, dir, "events").select("user_id").distinct().count()
+    assert(rows.length == users)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val s = r.getAs[Int](c)
+        assert(s >= 1 && s <= 5, s"$c=$s")
+      }
+      assert(r.getAs[String]("segment") ==
+        s"${r.getAs[Int]("r_score")}${r.getAs[Int]("f_score")}${r.getAs[Int]("m_score")}")
+      assert(r.getAs[Long]("frequency") > 0)
+      assert(r.getAs[Int]("recency_days") >= 0)
+    }
+    // quintile scores are a permutation-free ranking: each score bucket is
+    // nonempty when there are >= 5 users
+    if (users >= 5)
+      assert(rows.map(_.getAs[Int]("f_score")).distinct.length > 1)
+  }
+
+  test("sim_negatives: no self pairs, labels always differ, deterministic") {
+    val a = Similarity.simNegatives(spark, dir)
+    val rows = a.collect()
+    assert(rows.nonEmpty)
+    val emb = t(spark, dir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (anchor, neg) = (r.getAs[Long]("anchor_id"), r.getAs[Long]("neg_id"))
+      assert(anchor != neg)
+      assert(emb(anchor) != r.getAs[Int]("neg_label"))
+      assert(emb(neg) == r.getAs[Int]("neg_label"))
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    // at most k=4 negatives per anchor
+    val perAnchor = rows.groupBy(_.getAs[Long]("anchor_id")).values.map(_.size)
+    assert(perAnchor.max <= 4)
+    // content-addressed draw: a second run returns the identical set
+    val again = Similarity.simNegatives(spark, dir).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("anchor_id"), r.getAs[Int]("slot"), r.getAs[Long]("neg_id"))
+    assert(rows.map(key).toSet == again.map(key).toSet)
+  }
+
+  test("text_classifier_score: score in (0,1), keep is the 0.5 threshold") {
+    val rows = TextAnalysis.textClassifierScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s > 0.0 && s < 1.0)
+      assert(r.getAs[Boolean]("keep") == (s >= 0.5))
+    }
+  }
+
+  test("text_winnowing: counts positive, min is the array head, sum consistent") {
+    val rows = TextAnalysis.textWinnowing(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_fp")
+      assert(n > 0, "fixture docs all exceed k chars")
+      assert(r.getAs[Long]("fp_min") <= r.getAs[Long]("fp_sum") / n)
+    }
+  }
+}
