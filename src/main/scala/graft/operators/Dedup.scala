@@ -447,6 +447,44 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
   }
 
+  /** Winnowing-fingerprint pair finding — span-level near-dup candidates
+    * from the MOSS scheme ([[graft.plans.WinnowFingerprints]], see
+    * TextAnalysis.textWinnowing): two documents sharing any substring of
+    * length ≥ k+w−1 chars share a selected fingerprint, so joining on the
+    * selected set surfaces position-robust LOCAL overlap that tiled spans
+    * (dedupSpan) and global sketches (minhash) both miss. Pairs must share
+    * ≥ `minShared` fingerprints; fingerprints selected in more than
+    * `maxBucket` documents are "stop-fingerprints" (boilerplate spans) and
+    * are dropped before pairing — the same hot-bucket bound as the
+    * containment index, which is what keeps the self-join linear-ish in
+    * corpus size instead of quadratic in the hottest span.
+    *
+    * Scale shape: fingerprints are computed map-side (native expression),
+    * only (doc_id, fp) pairs shuffle, the bucket-size prefilter caps every
+    * join group at `maxBucket`, and the pair aggregate is partial+final on
+    * (da, db).
+    */
+  def dedupWinnowPairs(spark: SparkSession, dir: String,
+      minShared: Int = 3, maxBucket: Int = 20): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val fps = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(winnow(col("text"))).as("fp"))
+    // bucket size via a window over the exploded fps, not groupBy+join:
+    // one corpus scan (and one winnow pass) fewer — the shuffle on fp is
+    // the same either way
+    val kept = fps
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("nd") > 1 && col("nd") <= maxBucket)
+      .select(col("doc_id"), col("fp"))
+    kept.as("a")
+      .join(kept.as("b"), col("a.fp") === col("b.fp")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Edit-distance VERIFICATION of the LSH candidates: a near-dup
     * pipeline's final exactness stage — sketch similarity is an estimate,
     * Levenshtein on the candidate pair is ground truth (normalized by the
@@ -478,6 +516,8 @@ object Dedup {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_span" -> ((s: SparkSession, d: String) => dedupSpan(s, d)),
+    "dedup_winnow_pairs" ->
+      ((s: SparkSession, d: String) => dedupWinnowPairs(s, d)),
     "dedup_containment" -> ((s: SparkSession, d: String) => dedupContainment(s, d)),
   )
 
@@ -513,6 +553,29 @@ object Dedup {
       pairs AS (SELECT da, db, sim_est FROM est WHERE sim_est >= 0.5)"""
 
   val oracle: Map[String, String] = Map(
+    "dedup_winnow_pairs" -> """
+      WITH g AS (SELECT doc_id, text, length(text) AS l FROM documents),
+      h AS (SELECT doc_id,
+              CASE WHEN l >= 8 THEN list_transform(generate_series(1, l - 7),
+                i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 8))
+                          AS BIGINT))
+              ELSE [] END AS hs
+            FROM g),
+      sel AS (SELECT doc_id,
+               CASE WHEN len(hs) >= 4 THEN list_distinct(list_transform(
+                      generate_series(1, len(hs) - 3),
+                      s -> list_min(hs[s:s+3])))
+                    WHEN len(hs) >= 1 THEN [list_min(hs)]
+                    ELSE [] END AS fp
+              FROM h),
+      f AS (SELECT doc_id, unnest(fp) AS fp FROM sel),
+      sz AS (SELECT fp, count(*) AS nd FROM f GROUP BY 1
+             HAVING count(*) > 1 AND count(*) <= 20),
+      kept AS (SELECT f.doc_id, f.fp FROM f JOIN sz ON f.fp = sz.fp)
+      SELECT a.doc_id AS da, b.doc_id AS db,
+        CAST(count(*) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 3""",
     "dedup_exact" -> """
       SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
              count(*) AS n_copies

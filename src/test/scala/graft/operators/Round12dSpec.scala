@@ -87,6 +87,26 @@ class Round12dSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_winnow_pairs: ordered pairs, threshold held, near-dups found") {
+    val rows = Dedup.dedupWinnowPairs(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture has planted near-duplicates")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("da") < r.getAs[Long]("db"))
+      assert(r.getAs[Long]("n_shared") >= 3)
+    }
+    // a planted exact duplicate pair must surface: exact dups share every
+    // fingerprint, and the fixture plants ~0.3% exact dups
+    val texts = t(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val exactPair = texts.groupBy(_._2).values.find(_.length >= 2)
+    exactPair.foreach { g =>
+      val ids = g.map(_._1).sorted
+      val found = rows.exists(r => r.getAs[Long]("da") == ids(0)
+        && r.getAs[Long]("db") == ids(1))
+      assert(found, s"exact-dup pair ${ids.toSeq} missing from winnow pairs")
+    }
+  }
+
   test("text_winnowing: counts positive, min is the array head, sum consistent") {
     val rows = TextAnalysis.textWinnowing(spark, dir).collect()
     assert(rows.nonEmpty)
