@@ -36,6 +36,12 @@ package graft
   *    two band-join DAGs (measured idle: 9.2 s cold first run vs 4.3 s
   *    per evicted-and-rebuilt rep at sf0.1), and a one-shot number
   *    cannot separate that constant (or a load burst) from real cost.
+  *    Since r12 the row builds THREE indexes (Dedup signatures/pairs +
+  *    the Similarity IVF corpus index + the Multimodal dHash sketch —
+  *    the latter two moved here from the per-query rows so queries
+  *    measure post-ingest cost), so r12's ~7 s vs r10's ~3.2 s is a
+  *    scope change, not a regression: the dedup/sim/mm query rows got
+  *    correspondingly faster.
   *  - Queries that memoize their own result (corpus_clean) get that
   *    memo evicted before every rep — each rep measures the pipeline,
   *    not a cache read (the upstream signature index stays, it has its
