@@ -117,7 +117,7 @@ object Bench {
     // deterministic negative sampling, hashed-feature classifier,
     // winnowing fingerprints
     "dq_uniqueness", "ev_rfm", "sim_negatives", "text_classifier_score",
-    "text_winnowing", "dedup_winnow_pairs",
+    "text_winnowing", "dedup_winnow_pairs", "sim_negatives_hard",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

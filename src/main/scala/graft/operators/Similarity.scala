@@ -849,8 +849,36 @@ object Similarity {
         round(cosAB(col("embedding"), col("neg_emb")), 6).as("cos_sim"))
   }
 
+  /** HARD-negative mining — the companion to [[simNegatives]]'s random
+    * draw: for each anchor in a deterministic query sample, the top-5
+    * highest-cosine DIFFERENT-label vectors among its LSH bucket mates.
+    * Same sign-bucket ⇒ semantically close ⇒ exactly the confusable
+    * negatives a contrastive trainer upweights (the DPR/SimCSE mining
+    * step). Candidates come from the bucket equi-join (never all-pairs),
+    * the label filter rides the join condition so same-label pairs are
+    * never scored, and the native TopKPerKey cap bounds what reaches the
+    * rank window.
+    */
+  def simNegativesHard(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(spark, dir, "embeddings"))
+      .withColumn("bucket", expr(bucketExpr))
+    val q = emb.filter(col("vec_id") < 50)
+    val scored = q.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          col("a.label") =!= col("b.label"))
+      .withColumn("cos", cosAB(col("a.embedding"), col("b.embedding")))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
+        col("b.label").as("neg_label"), col("cos"))
+    rankTopK(scored, "cos", desc = true)
+      .select(col("qid"), col("rank"), col("vec_id").as("neg_id"),
+        col("neg_label"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_negatives" -> ((s: SparkSession, d: String) => simNegatives(s, d)),
+    "sim_negatives_hard" ->
+      ((s: SparkSession, d: String) => simNegativesHard(s, d)),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_knn_label_eval" -> ((s: SparkSession, d: String) => simKnnLabelEval(s, d)),
     "sim_lsh_ann" -> (simLshAnn _),
@@ -949,6 +977,28 @@ object Similarity {
         round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
           AS DOUBLE) / count(*), 6) AS accuracy
       FROM pred GROUP BY 1 ORDER BY 1""",
+    "sim_negatives_hard" -> s"""
+      WITH $normCte,
+      bk AS (SELECT vec_id, embedding, nrm,
+               array_to_string(list_transform(generate_series(0, 3), p ->
+                 CASE WHEN list_sum(list_transform(generate_series(0, 63),
+                     d -> embedding[d + 1]::DOUBLE
+                          * ((p * 97 + d * 31 + 13) % 17 - 8)::DOUBLE)) > 0
+                 THEN '1' ELSE '0' END), '') AS bucket
+             FROM n),
+      bkl AS (SELECT bk.vec_id, bk.embedding, bk.nrm, bk.bucket, e.label
+              FROM bk JOIN embeddings e ON bk.vec_id = e.vec_id),
+      scored AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                   b.label AS neg_label, $cosAB AS cos
+                 FROM bkl a JOIN bkl b ON a.bucket = b.bucket
+                   AND a.vec_id < 50 AND a.vec_id <> b.vec_id
+                   AND a.label <> b.label)
+      SELECT qid, CAST(rank AS INT) AS rank, vec_id AS neg_id, neg_label,
+        round(cos, 6) AS cos_sim
+      FROM (SELECT qid, vec_id, neg_label, cos, row_number() OVER
+              (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
     "sim_lsh_ann" -> s"""
       WITH $normCte,
       bk AS (SELECT vec_id, embedding, nrm,

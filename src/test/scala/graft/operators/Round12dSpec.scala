@@ -77,6 +77,33 @@ class Round12dSpec extends AnyFunSuite {
     assert(rows.map(key).toSet == again.map(key).toSet)
   }
 
+  test("sim_negatives_hard: label-disjoint, rank-ordered, harder than random") {
+    val hard = Similarity.simNegativesHard(spark, dir).collect()
+    assert(hard.nonEmpty)
+    val labels = t(spark, dir, "embeddings").select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    hard.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length).toSeq)
+      // cos descends with rank; every negative has a different label
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x.getAs[Double]("cos_sim") >= y.getAs[Double]("cos_sim"))
+        case _ =>
+      }
+      sorted.foreach(r =>
+        assert(labels(qid) != r.getAs[Int]("neg_label"), s"anchor $qid"))
+    }
+    // mined hard negatives should on average score above the random draw
+    val rand = Similarity.simNegatives(spark, dir).collect()
+      .map(_.getAs[Double]("cos_sim"))
+    val hardMean = hard.map(_.getAs[Double]("cos_sim")).sum / hard.length
+    val randMean = rand.sum / rand.length
+    assert(hardMean > randMean,
+      s"hard negatives mean $hardMean should exceed random mean $randMean")
+  }
+
   test("text_classifier_score: score in (0,1), keep is the 0.5 threshold") {
     val rows = TextAnalysis.textClassifierScore(spark, dir).collect()
     assert(rows.nonEmpty)
