@@ -151,7 +151,56 @@ object Scalars {
           typedLit(Seq("a", "the", "of")))).as("n_stop_kinds"),
         array_min(col("w")).as("first_tok"))
 
+  /** X17 — URL canonicalization: the normalize-before-dedup step every
+    * web-crawl pipeline runs so `http://Example.com:80/a?b=2&a=1#frag` and
+    * `http://example.com/a?a=1&b=2` count as ONE document. Raw URLs are
+    * injected deterministically per doc_id (the PII-scrub convention —
+    * the fixture has no URL column, so the mess is content-addressed and
+    * both engines rebuild it identically), then canonicalized with pure
+    * string/array expressions: lowercase scheme+host, strip default
+    * :80/:443 ports, drop the fragment, drop `utm_` tracking params, sort
+    * the surviving query params. Zero shuffle, fully codegen'd — linear
+    * scan at any crawl size; `groupBy(url_canon)` IS URL dedup.
+    */
+  def x17UrlNormalize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("url_raw", expr("""
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN concat('HTTPS://WWW.Example.COM:443/Docs/', source,
+            '/', CAST(doc_id AS STRING), '?utm_source=feed&b=2&a=1#frag')
+          WHEN 1 THEN concat('http://Example.com:80/', source,
+            '?id=', CAST(doc_id AS STRING), '&utm_campaign=x')
+          WHEN 2 THEN concat('https://cdn.example.com/img/',
+            CAST(doc_id AS STRING), '.jpg')
+          ELSE concat('HTTP://example.com/a/b?z=9&y=',
+            CAST(doc_id AS STRING), '&utm_medium=m#top')
+        END"""))
+      .withColumn("nofrag", expr("regexp_replace(url_raw, '#.*$', '')"))
+      .withColumn("scheme",
+        expr("lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1))"))
+      .withColumn("rest",
+        expr("regexp_replace(nofrag, '^[A-Za-z]+://', '')"))
+      .withColumn("hostport", expr("regexp_extract(rest, '^([^/?]+)', 1)"))
+      .withColumn("host",
+        expr("regexp_replace(lower(hostport), ':(80|443)$', '')"))
+      .withColumn("tail", expr("substr(rest, length(hostport) + 1)"))
+      .withColumn("path", expr(
+        "CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/' " +
+          "ELSE regexp_extract(tail, '^([^?]*)', 1) END"))
+      .withColumn("params", expr("""
+        array_join(array_sort(filter(split(
+          regexp_extract(tail, '\\?(.*)$', 1), '&'),
+          p -> p != '' AND substr(p, 1, 4) != 'utm_')), '&')"""))
+      .select(col("doc_id"), col("url_raw"),
+        expr("""concat(scheme, '://', host, path,
+          CASE WHEN params = '' THEN '' ELSE concat('?', params) END)""")
+          .as("url_canon"),
+        col("host"),
+        expr("""CASE WHEN params = '' THEN 0
+          ELSE size(split(params, '&')) END""").cast("int").as("n_params"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x17_url_normalize" -> (x17UrlNormalize _),
     "x16_array_funcs" -> (x16ArrayFuncs _),
     "x14_json_extract" -> (x14JsonExtract _),
     "x1_split" -> (x1Split _),
@@ -170,6 +219,48 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    // NOTE: DuckDB array_to_string over an EMPTY list returns NULL where
+    // Spark's array_join returns '' — hence the coalesce around params
+    "x17_url_normalize" -> """
+      WITH raw AS (
+        SELECT doc_id,
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Docs/' || source || '/'
+              || CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+            WHEN 1 THEN 'http://Example.com:80/' || source || '?id='
+              || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+            WHEN 2 THEN 'https://cdn.example.com/img/'
+              || CAST(doc_id AS VARCHAR) || '.jpg'
+            ELSE 'HTTP://example.com/a/b?z=9&y='
+              || CAST(doc_id AS VARCHAR) || '&utm_medium=m#top'
+          END AS url_raw
+        FROM documents),
+      p1 AS (SELECT doc_id, url_raw,
+               regexp_replace(url_raw, '#.*$', '') AS nofrag FROM raw),
+      p2 AS (SELECT *,
+               lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+               regexp_replace(nofrag, '^[A-Za-z]+://', '') AS rest FROM p1),
+      p3 AS (SELECT *, regexp_extract(rest, '^([^/?]+)', 1) AS hostport
+             FROM p2),
+      p4 AS (SELECT *,
+               regexp_replace(lower(hostport), ':(80|443)$', '') AS host,
+               substr(rest, length(hostport) + 1) AS tail FROM p3),
+      p5 AS (SELECT *,
+               CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
+                    ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
+               coalesce(array_to_string(list_sort(list_filter(string_split(
+                 regexp_extract(tail, '\?(.*)$', 1), '&'),
+                 p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&'), '')
+                 AS params
+             FROM p4)
+      SELECT doc_id, url_raw,
+        scheme || '://' || host || path
+          || CASE WHEN params = '' THEN '' ELSE '?' || params END
+          AS url_canon,
+        host,
+        CAST(CASE WHEN params = '' THEN 0
+                  ELSE len(string_split(params, '&')) END AS INT) AS n_params
+      FROM p5""",
     "x16_array_funcs" -> """
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
                    FROM documents)

@@ -134,6 +134,32 @@ class Round12dSpec extends AnyFunSuite {
     }
   }
 
+  test("x17_url_normalize: canon strips fragment/port/tracking, sorts params") {
+    val rows = Scalars.x17UrlNormalize(spark, dir).collect()
+    assert(rows.length ==
+      t(spark, dir, "documents").count())
+    rows.foreach { r =>
+      val canon = r.getAs[String]("url_canon")
+      assert(!canon.contains("#"))
+      assert(!canon.contains("utm_"))
+      assert(!canon.contains(":80/") && !canon.contains(":443/"))
+      val scheme = canon.takeWhile(_ != ':')
+      assert(scheme == scheme.toLowerCase)
+      assert(r.getAs[String]("host") == r.getAs[String]("host").toLowerCase)
+      val qm = canon.indexOf('?')
+      if (qm >= 0) {
+        val params = canon.substring(qm + 1).split("&").toSeq
+        assert(params == params.sorted, s"params unsorted in $canon")
+        assert(params.length == r.getAs[Int]("n_params"))
+      } else assert(r.getAs[Int]("n_params") == 0)
+    }
+    // canonicalization is a dedup key: distinct raw forms that differ only
+    // in case/port/tracking/fragment collapse — here every doc keeps a
+    // distinct canon (ids embedded), so |distinct| == |docs|
+    assert(rows.map(_.getAs[String]("url_canon")).distinct.length ==
+      rows.length)
+  }
+
   test("text_winnowing: counts positive, min is the array head, sum consistent") {
     val rows = TextAnalysis.textWinnowing(spark, dir).collect()
     assert(rows.nonEmpty)
