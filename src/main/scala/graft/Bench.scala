@@ -140,6 +140,27 @@ object Bench {
     } catch { case _: Exception => Map.empty }
   }
 
+  /** Accumulates stage-level shuffle/spill bytes across the whole app;
+    * the metrics pass diffs snapshots around each query. AtomicLongs —
+    * listener callbacks arrive on the bus thread.
+    */
+  private class StageMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val read = new java.util.concurrent.atomic.AtomicLong
+    private val write = new java.util.concurrent.atomic.AtomicLong
+    private val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long, Long) = (read.get, write.get, spill.get)
+  }
+
   private def rssMb: Long =
     try {
       scala.io.Source.fromFile("/proc/self/status").getLines()
@@ -259,6 +280,50 @@ object Bench {
     val results: Seq[(String, Seq[Double])] =
       allRows.map(n => n -> sampleBuf(n).toSeq)
 
+    // Shuffle evidence pass (UNTIMED, after all timed reps): one extra
+    // execution per query with a stage-metrics listener attached, so the
+    // sidecar carries per-query shuffle-write bytes — the measured form
+    // of the "shuffle discipline" scale claims (a query whose shuffle
+    // grows superlinearly shows up here before it shows up in seconds).
+    // Listener events are async; a short stability poll after each query
+    // drains them. Best-effort: any failure leaves the map empty.
+    val shuffleBytes: Seq[(String, (Long, Long, Long))] =
+      try {
+        val lst = new StageMetricsListener
+        spark.sparkContext.addSparkListener(lst)
+        def stable(): (Long, Long, Long) = {
+          var prev = lst.snapshot
+          var calm = 0
+          var waited = 0
+          while (calm < 2 && waited < 2000) {
+            Thread.sleep(50); waited += 50
+            val cur = lst.snapshot
+            if (cur == prev) calm += 1 else { calm = 0; prev = cur }
+          }
+          prev
+        }
+        val out = allRows.map { name =>
+          resetBeforeRep.get(name).foreach(_.apply())
+          val before = stable()
+          try {
+            if (name == indexBuildRow) {
+              graft.operators.Dedup.buildIndexes(spark, sfDir)
+              graft.operators.Similarity.buildIvfIndex(spark, sfDir)
+              graft.operators.Multimodal.buildDhashSketch(spark, sfDir)
+            } else SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            val after = stable()
+            name -> ((after._1 - before._1, after._2 - before._2,
+              after._3 - before._3))
+          } catch { case _: Throwable => name -> ((-1L, -1L, -1L)) }
+        }
+        spark.sparkContext.removeSparkListener(lst)
+        out
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] shuffle metrics pass failed: ${e.getMessage}")
+        Seq.empty
+      }
+
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       s(s.length / 2)
@@ -316,7 +381,15 @@ object Bench {
         if (ratios.isEmpty) ""
         else "," + "\"spark_vs_duckdb\":" + ratios
           .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      val side = s"""{"samples":$samplesJson,"medians":$mediansJson,"loadavg":$loadJson,"reps":$reps,"interleaved":true,"headline_stat":"min","cal_st_sec":${fmt(calSt)},"cal_mt_sec":${fmt(calMt)},"cal_threads":$cpus$oraclePart$ratioMapPart,"sf":"$sfDir"}"""
+      val shufflePart =
+        if (shuffleBytes.isEmpty) ""
+        else "," + "\"shuffle_mb\":" + shuffleBytes.map { case (k, (r, w, sp)) =>
+          def mb(b: Long) =
+            if (b < 0) "-1" else (math.round(b / 1048576.0 * 100) / 100.0).toString
+          "\"" + k + "\":{\"read\":" + mb(r) + ",\"write\":" + mb(w) +
+            ",\"spill\":" + mb(sp) + "}"
+        }.mkString("{", ",", "}")
+      val side = s"""{"samples":$samplesJson,"medians":$mediansJson,"loadavg":$loadJson,"reps":$reps,"interleaved":true,"headline_stat":"min","cal_st_sec":${fmt(calSt)},"cal_mt_sec":${fmt(calMt)},"cal_threads":$cpus$oraclePart$ratioMapPart$shufflePart,"sf":"$sfDir"}"""
       val w = new java.io.PrintWriter("bench_samples.json"); w.println(side); w.close()
     } catch { case e: Exception =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
