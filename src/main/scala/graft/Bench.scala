@@ -426,7 +426,26 @@ object Bench {
           val qs2 = mins
             .map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
             .mkString("{", ",", "}")
-          s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMedian)},"unit":"sec","queries":$qs2,"failed":$failed,"sf":"$sfName"}"""
+          val compact =
+            s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMedian)},"unit":"sec","queries":$qs2,"failed":$failed,"sf":"$sfName"}"""
+          if (compact.length <= 1850) compact
+          else {
+            // The suite has outgrown even the 2-decimal form (the r12
+            // 106-row suite hit 2.4k chars — past the harness's ~2000-char
+            // output-tail window, which would cut the LINE START and fail
+            // the parse). Final fallback: stdout carries the SLOWEST
+            // queries only (every failed row always included), the full
+            // per-query map lives in bench_samples.json, and the headline
+            // total the driver's 2x gate reads stays intact.
+            val slowest = mins.filter(_._2 >= 0).sortBy(-_._2).take(40)
+              .map(_._1).toSet
+            val included = mins.filter { case (k, v) =>
+              v < 0 || slowest.contains(k) }
+            val qs3 = included
+              .map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
+              .mkString("{", ",", "}")
+            s"""{"metric":"total","value":${fmt(total)},"value_median":${fmt(totalMedian)},"unit":"sec","queries":$qs3,"queries_elided":${mins.size - included.size},"failed":$failed,"sf":"$sfName"}"""
+          }
         }
       }
     if (out.length > 1850)
