@@ -477,7 +477,13 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .filter(col("nd") > 1 && col("nd") <= maxBucket)
       .select(col("doc_id"), col("fp"))
-    kept.as("a")
+    // merge-hint the self-join: both sides then need the SAME
+    // hashpartitioning(fp) exchange the window already produced, so
+    // ReuseExchange computes the winnow sketch ONCE (a broadcast build
+    // side would re-run the per-document hashing a second time — the
+    // sketch is the expensive part), and the window's fp sort satisfies
+    // the merge join's ordering — no extra sort either side.
+    kept.as("a").hint("merge")
       .join(kept.as("b"), col("a.fp") === col("b.fp")
         && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
