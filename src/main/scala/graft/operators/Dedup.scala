@@ -491,6 +491,36 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** URL dedup — the cheapest dedup tier a crawl pipeline runs BEFORE any
+    * text sketching: canonicalize the URL (Scalars.x17UrlNormalize's
+    * rules: lowercase scheme/host, default ports, fragments, utm_ params,
+    * param order) and keep one document per canonical key. Raw URLs are
+    * injected content-addressed with DESIGNED collisions (pairs of docs
+    * share a canonical URL under different raw spellings — case, port,
+    * tracking params — exactly the recrawl/self-link mess that motivates
+    * the tier), so the dedup is exercised, not vacuous. Keeper = min
+    * doc_id (the minhash family's convention).
+    *
+    * Scale shape: canonicalization is map-side expression work; the only
+    * shuffle groups by the canonical key (partial+final). At 100 TB this
+    * tier drops the bulk of recrawl duplicates for the price of ONE
+    * string aggregate — orders cheaper than any sketch.
+    */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("url_raw", expr("""
+        CASE CAST(doc_id % 2 AS INT)
+          WHEN 0 THEN concat('HTTP://Site.Example.COM:80/page/',
+            CAST(doc_id div 2 AS STRING), '?utm_source=a&q=1')
+          ELSE concat('http://site.example.com/page/',
+            CAST(doc_id div 2 AS STRING), '?q=1&utm_medium=b#frag')
+        END"""))
+      .withColumn("url_canon",
+        Scalars.urlParts(col("url_raw")).getField("url_canon"))
+      .groupBy(col("url_canon"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper_doc_id"))
+      .filter(col("n_dups") > 1)
+
   /** Edit-distance VERIFICATION of the LSH candidates: a near-dup
     * pipeline's final exactness stage — sketch similarity is an estimate,
     * Levenshtein on the candidate pair is ground truth (normalized by the
@@ -524,6 +554,7 @@ object Dedup {
     "dedup_span" -> ((s: SparkSession, d: String) => dedupSpan(s, d)),
     "dedup_winnow_pairs" ->
       ((s: SparkSession, d: String) => dedupWinnowPairs(s, d)),
+    "dedup_url" -> (dedupUrl _),
     "dedup_containment" -> ((s: SparkSession, d: String) => dedupContainment(s, d)),
   )
 
@@ -559,6 +590,42 @@ object Dedup {
       pairs AS (SELECT da, db, sim_est FROM est WHERE sim_est >= 0.5)"""
 
   val oracle: Map[String, String] = Map(
+    "dedup_url" -> """
+      WITH raw AS (
+        SELECT doc_id,
+          CASE CAST(doc_id % 2 AS INT)
+            WHEN 0 THEN 'HTTP://Site.Example.COM:80/page/'
+              || CAST(doc_id // 2 AS VARCHAR) || '?utm_source=a&q=1'
+            ELSE 'http://site.example.com/page/'
+              || CAST(doc_id // 2 AS VARCHAR) || '?q=1&utm_medium=b#frag'
+          END AS url_raw
+        FROM documents),
+      p1 AS (SELECT doc_id, url_raw,
+               regexp_replace(url_raw, '#.*$', '') AS nofrag FROM raw),
+      p2 AS (SELECT *,
+               lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+               regexp_replace(nofrag, '^[A-Za-z]+://', '') AS rest FROM p1),
+      p3 AS (SELECT *, regexp_extract(rest, '^([^/?]+)', 1) AS hostport
+             FROM p2),
+      p4 AS (SELECT *,
+               regexp_replace(lower(hostport), ':(80|443)$', '') AS host,
+               substr(rest, length(hostport) + 1) AS tail FROM p3),
+      p5 AS (SELECT *,
+               CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
+                    ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
+               coalesce(array_to_string(list_sort(list_filter(string_split(
+                 regexp_extract(tail, '\?(.*)$', 1), '&'),
+                 p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&'), '')
+                 AS params
+             FROM p4),
+      canon AS (SELECT doc_id,
+                  scheme || '://' || host || path
+                    || CASE WHEN params = '' THEN ''
+                            ELSE '?' || params END AS url_canon
+                FROM p5)
+      SELECT url_canon, count(*) AS n_dups,
+        min(doc_id) AS keeper_doc_id
+      FROM canon GROUP BY 1 HAVING count(*) > 1""",
     "dedup_winnow_pairs" -> """
       WITH g AS (SELECT doc_id, text, length(text) AS l FROM documents),
       h AS (SELECT doc_id,

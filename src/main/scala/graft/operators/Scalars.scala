@@ -151,6 +151,32 @@ object Scalars {
           typedLit(Seq("a", "the", "of")))).as("n_stop_kinds"),
         array_min(col("w")).as("first_tok"))
 
+  /** The canonicalization rules, ONCE, as a struct-returning Column
+    * (url_canon, host, params): lowercase scheme+host, strip default
+    * :80/:443 ports, drop the fragment, drop `utm_` tracking params, sort
+    * the surviving query params. Shared by [[x17UrlNormalize]] and
+    * `Dedup.dedupUrl` so the two can never drift.
+    */
+  def urlParts(urlRaw: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nofrag = regexp_replace(urlRaw, "#.*$", "")
+    val scheme = lower(regexp_extract(nofrag, "^([A-Za-z]+)://", 1))
+    val rest = regexp_replace(nofrag, "^[A-Za-z]+://", "")
+    val hostport = regexp_extract(rest, "^([^/?]+)", 1)
+    val host = regexp_replace(lower(hostport), ":(80|443)$", "")
+    val tail = rest.substr(length(hostport) + 1, length(rest))
+    val path0 = regexp_extract(tail, "^([^?]*)", 1)
+    val path = when(path0 === "", "/").otherwise(path0)
+    val params = array_join(array_sort(filter(
+      split(regexp_extract(tail, "\\?(.*)$", 1), "&"),
+      p => p =!= "" && substring(p, 1, 4) =!= "utm_")), "&")
+    struct(
+      concat(scheme, lit("://"), host, path,
+        when(params === "", "").otherwise(concat(lit("?"), params)))
+        .as("url_canon"),
+      host.as("host"),
+      params.as("params"))
+  }
+
   /** X17 — URL canonicalization: the normalize-before-dedup step every
     * web-crawl pipeline runs so `http://Example.com:80/a?b=2&a=1#frag` and
     * `http://example.com/a?a=1&b=2` count as ONE document. Raw URLs are
@@ -175,29 +201,13 @@ object Scalars {
           ELSE concat('HTTP://example.com/a/b?z=9&y=',
             CAST(doc_id AS STRING), '&utm_medium=m#top')
         END"""))
-      .withColumn("nofrag", expr("regexp_replace(url_raw, '#.*$', '')"))
-      .withColumn("scheme",
-        expr("lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1))"))
-      .withColumn("rest",
-        expr("regexp_replace(nofrag, '^[A-Za-z]+://', '')"))
-      .withColumn("hostport", expr("regexp_extract(rest, '^([^/?]+)', 1)"))
-      .withColumn("host",
-        expr("regexp_replace(lower(hostport), ':(80|443)$', '')"))
-      .withColumn("tail", expr("substr(rest, length(hostport) + 1)"))
-      .withColumn("path", expr(
-        "CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/' " +
-          "ELSE regexp_extract(tail, '^([^?]*)', 1) END"))
-      .withColumn("params", expr("""
-        array_join(array_sort(filter(split(
-          regexp_extract(tail, '\\?(.*)$', 1), '&'),
-          p -> p != '' AND substr(p, 1, 4) != 'utm_')), '&')"""))
+      .withColumn("u", urlParts(col("url_raw")))
       .select(col("doc_id"), col("url_raw"),
-        expr("""concat(scheme, '://', host, path,
-          CASE WHEN params = '' THEN '' ELSE concat('?', params) END)""")
-          .as("url_canon"),
-        col("host"),
-        expr("""CASE WHEN params = '' THEN 0
-          ELSE size(split(params, '&')) END""").cast("int").as("n_params"))
+        col("u.url_canon").as("url_canon"),
+        col("u.host").as("host"),
+        when(col("u.params") === "", 0)
+          .otherwise(size(split(col("u.params"), "&")))
+          .cast("int").as("n_params"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x17_url_normalize" -> (x17UrlNormalize _),

@@ -134,6 +134,19 @@ class Round12dSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_url: every designed pair collapses to one canonical key") {
+    val rows = Dedup.dedupUrl(spark, dir).collect()
+    val docs = t(spark, dir, "documents").count()
+    assert(rows.length == docs / 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dups") == 2L)
+      assert(r.getAs[Long]("keeper_doc_id") % 2 == 0, "keeper is the even id")
+      val canon = r.getAs[String]("url_canon")
+      assert(canon.startsWith("http://site.example.com/page/")
+        && canon.endsWith("?q=1"), canon)
+    }
+  }
+
   test("x17_url_normalize: canon strips fragment/port/tracking, sorts params") {
     val rows = Scalars.x17UrlNormalize(spark, dir).collect()
     assert(rows.length ==
