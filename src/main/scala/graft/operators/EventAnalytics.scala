@@ -505,7 +505,44 @@ object EventAnalytics {
           col("m_score").cast("string")).as("segment"))
   }
 
+  /** Holt double exponential smoothing (level + trend, α=β=1/2) over the
+    * per-type daily volume, with the one-step forecast — the trend-aware
+    * sibling of [[tsEwma]]. α=β=1/2 keeps every update a halving of exact
+    * sums, so the fold is bit-identical on any engine (the EWMA exactness
+    * argument, extended to two state variables).
+    *
+    * Scale shape: the fact collapses to the |types|×|days| frame in one
+    * partial+final aggregation; the sequential fold runs per type over a
+    * date-sorted array BOUNDED BY |days| (31 here — state is O(days), not
+    * O(events)). The oracle replays the identical fold as a recursive CTE
+    * (NOT DuckDB's list_reduce, which clobbers the accumulator
+    * field-by-field mid-step).
+    */
+  def tsHolt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.t(spark, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("s"))
+      .withColumn("st", expr("""
+        aggregate(s,
+          named_struct('l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE), 'n', 0),
+          (acc, x) -> CASE WHEN acc.n = 0
+            THEN named_struct('l', x.y, 'b', CAST(0 AS DOUBLE), 'n', 1)
+            ELSE named_struct(
+              'l', CAST(0.5 AS DOUBLE) * x.y
+                   + CAST(0.5 AS DOUBLE) * (acc.l + acc.b),
+              'b', CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * x.y
+                   + CAST(0.5 AS DOUBLE) * (acc.l + acc.b)) - acc.l)
+                   + CAST(0.5 AS DOUBLE) * acc.b,
+              'n', acc.n + 1) END)"""))
+      .select(col("event_type"), col("st.n").as("n_days"),
+        round(col("st.l"), 6).as("level"), round(col("st.b"), 6).as("trend"),
+        round(col("st.l") + col("st.b"), 6).as("forecast_next"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_holt" -> (tsHolt _),
     "ev_rfm" -> (evRfm _),
     "ev_window_funnel" -> (evWindowFunnel _),
     "ev_ab_test" -> (evAbTest _),
@@ -525,6 +562,31 @@ object EventAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_holt" -> """
+      WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+          CAST(count(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2),
+      seq AS (SELECT event_type, y,
+                row_number() OVER (PARTITION BY event_type ORDER BY d)
+                  AS rn
+              FROM daily),
+      rec AS (
+        SELECT event_type, rn, y AS l, CAST(0 AS DOUBLE) AS b
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.rn,
+          0.5::DOUBLE * s.y + 0.5::DOUBLE * (r.l + r.b),
+          0.5::DOUBLE * ((0.5::DOUBLE * s.y + 0.5::DOUBLE * (r.l + r.b))
+            - r.l) + 0.5::DOUBLE * r.b
+        FROM rec r JOIN seq s
+          ON s.event_type = r.event_type AND s.rn = r.rn + 1),
+      last AS (SELECT event_type, max(rn) AS n FROM rec GROUP BY 1)
+      SELECT r.event_type, CAST(r.rn AS INT) AS n_days,
+        round(r.l, 6) AS level, round(r.b, 6) AS trend,
+        round(r.l + r.b, 6) AS forecast_next
+      FROM rec r JOIN last ON r.event_type = last.event_type
+        AND r.rn = last.n""",
     "ev_rfm" -> """
       WITH wm AS (SELECT max(ts) AS as_of FROM events),
       per AS (SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,

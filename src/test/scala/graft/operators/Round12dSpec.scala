@@ -134,6 +134,34 @@ class Round12dSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_holt: fold matches a driver-side recompute bit-for-bit pre-round") {
+    val got = EventAnalytics.tsHolt(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Int]("n_days"), r.getAs[Double]("level"),
+          r.getAs[Double]("trend"), r.getAs[Double]("forecast_next"))).toMap
+    assert(got.nonEmpty)
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getDouble(2)))
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val ys = rows.sortBy(_._2.toString).map(_._3)
+      var l = ys.head; var b = 0.0
+      ys.tail.foreach { y =>
+        val nl = 0.5 * y + 0.5 * (l + b)
+        b = 0.5 * (nl - l) + 0.5 * b
+        l = nl
+      }
+      val (n, gl, gb, gf) = got(tpe)
+      assert(n == ys.length, s"$tpe n_days")
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(gl == r6(l), s"$tpe level $gl vs ${r6(l)}")
+      assert(gb == r6(b), s"$tpe trend")
+      assert(gf == r6(l + b), s"$tpe forecast")
+    }
+  }
+
   test("dedup_url: every designed pair collapses to one canonical key") {
     val rows = Dedup.dedupUrl(spark, dir).collect()
     val docs = t(spark, dir, "documents").count()
