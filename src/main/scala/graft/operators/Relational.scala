@@ -513,6 +513,24 @@ object Relational {
         col("o_orderpriority")))
   }
 
+  /** O11 — latest record per key (the `QUALIFY row_number() = 1` classic):
+    * each customer's most recent order. Planned by the native TopKPerKey
+    * operator with k=1 — per-partition single-slot heaps BEFORE the
+    * exchange, so the shuffle carries at most |keys| rows per partition
+    * and nothing is ever sorted per key (the window idiom shuffles and
+    * sorts every order per customer). Tie-break on o_orderkey makes
+    * "latest" a well-defined row.
+    */
+  def o11LatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .filter(call_function("graft_topk", lit(1),
+        col("o_orderdate").cast("timestamp").cast("long"), lit("desc"),
+        col("o_orderkey").cast("long"), col("o_custkey")))
+  }
+
   /** Q6-shape selective aggregate: every predicate reaches the parquet
     * scan (PushedFilters), only 3 columns are read, and the whole plan is
     * scan → partial agg → single-row final agg — the minimal-IO shape.
@@ -1496,6 +1514,7 @@ object Relational {
     "o3_topk_limit" -> (o3TopKLimit _),
     "o4_window_funcs" -> (o4WindowFuncs _),
     "o5_topk_per_key" -> (o5TopKPerKey _),
+    "o11_latest_per_key" -> (o11LatestPerKey _),
     "u2_intersect" -> (u2Intersect _),
     "u3_except" -> (u3Except _),
     "a5_distinct_count" -> (a5DistinctCount _),
@@ -1835,6 +1854,12 @@ object Relational {
           row_number() OVER (PARTITION BY o_orderpriority
             ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) WHERE rn <= 3""",
+    "o11_latest_per_key" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+        FROM orders) WHERE rn = 1""",
     // a8's raw sketch values are engine-specific; the query outputs the
     // error CONTRACT (exact count + within-5% booleans), which IS exact.
     "a8_approx_agg" -> """
