@@ -134,6 +134,22 @@ class Round12dSpec extends AnyFunSuite {
     }
   }
 
+  test("o11_latest_per_key: one row per customer, max date, heap plan (no Window)") {
+    val df = Relational.o11LatestPerKey(spark, dir)
+    val rows = df.collect()
+    val orders = t(spark, dir, "orders")
+      .select("o_custkey", "o_orderdate").collect()
+      .groupBy(_.getLong(0))
+    assert(rows.length == orders.size)
+    rows.foreach { r =>
+      val latest = orders(r.getAs[Long]("o_custkey")).map(_.get(1).toString).max
+      assert(r.getAs[AnyRef]("o_orderdate").toString == latest)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), "native operator must plan")
+    assert(!plan.contains("Window"), "no window sort for k=1")
+  }
+
   test("ts_holt: fold matches a driver-side recompute bit-for-bit pre-round") {
     val got = EventAnalytics.tsHolt(spark, dir).collect()
       .map(r => r.getString(0) ->
