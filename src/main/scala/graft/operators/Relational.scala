@@ -574,6 +574,23 @@ object Relational {
         Seq("urgent", "high", "medium", "unspec", "low")
           .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
 
+  /** A18 — unpivot (melt), the inverse of [[a10Pivot]]: a wide per-status
+    * metrics row reshaped to long (metric, value) — the feed shape a
+    * dashboard or drift monitor consumes. Spark's native `unpivot`
+    * (Expand under the hood — |metrics| output rows per input row, ZERO
+    * shuffle beyond the upstream aggregate). Values are exact in double:
+    * a count and a cent-sum both sit far below 2^53.
+    */
+  def a18Unpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        centSum(col("o_totalprice")).as("total_price"),
+        countDistinct(col("o_custkey")).cast("double").as("n_customers"))
+      .unpivot(Array(col("o_orderstatus")),
+        Array(col("n_orders"), col("total_price"), col("n_customers")),
+        "metric", "value")
+
   /** O6 — the remaining ranking-function surface (ntile / percent_rank /
     * cume_dist) over a POST-AGGREGATION relation (≤ nations rows), so the
     * window is cheap by construction — the library's standing rule that
@@ -1515,6 +1532,7 @@ object Relational {
     "o4_window_funcs" -> (o4WindowFuncs _),
     "o5_topk_per_key" -> (o5TopKPerKey _),
     "o11_latest_per_key" -> (o11LatestPerKey _),
+    "a18_unpivot" -> (a18Unpivot _),
     "u2_intersect" -> (u2Intersect _),
     "u3_except" -> (u3Except _),
     "a5_distinct_count" -> (a5DistinctCount _),
@@ -1860,6 +1878,20 @@ object Relational {
           row_number() OVER (PARTITION BY o_custkey
             ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
         FROM orders) WHERE rn = 1""",
+    "a18_unpivot" -> """
+      WITH wide AS (
+        SELECT o_orderstatus,
+          CAST(count(*) AS DOUBLE) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS total_price,
+          CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+        FROM orders GROUP BY 1)
+      SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value
+      FROM wide
+      UNION ALL
+      SELECT o_orderstatus, 'total_price', total_price FROM wide
+      UNION ALL
+      SELECT o_orderstatus, 'n_customers', n_customers FROM wide""",
     // a8's raw sketch values are engine-specific; the query outputs the
     // error CONTRACT (exact count + within-5% booleans), which IS exact.
     "a8_approx_agg" -> """
