@@ -292,11 +292,15 @@ object Bench {
       try {
         val lst = new StageMetricsListener
         spark.sparkContext.addSparkListener(lst)
+        try {
         def stable(): (Long, Long, Long) = {
+          // drain async stage-completion events: require 3 consecutive
+          // calm polls and allow up to 5 s per query so one row's bytes
+          // never bleed into the next row's delta (ADVICE r12)
           var prev = lst.snapshot
           var calm = 0
           var waited = 0
-          while (calm < 2 && waited < 2000) {
+          while (calm < 3 && waited < 5000) {
             Thread.sleep(50); waited += 50
             val cur = lst.snapshot
             if (cur == prev) calm += 1 else { calm = 0; prev = cur }
@@ -325,8 +329,10 @@ object Bench {
               after._3 - before._3))
           } catch { case _: Throwable => name -> ((-1L, -1L, -1L)) }
         }.toList // materialize BEFORE the listener detaches
-        spark.sparkContext.removeSparkListener(lst)
         out
+        // finally: the listener must detach even when the pass throws,
+        // or its deltas pollute every later measurement (ADVICE r12)
+        } finally spark.sparkContext.removeSparkListener(lst)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] shuffle metrics pass failed: ${e.getMessage}")
         Seq.empty

@@ -184,10 +184,35 @@ object Dedup {
       .groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** N-gram Jaccard near-dup pairs (exact, all candidate pairs via shared
-    * shingles). τ = 0.8. Baseline/oracle for the LSH variants.
+  /** Hard input-size cap for the two deliberately-quadratic EVAL baselines
+    * ([[dedupNgramJaccard]], [[dedupEmbeddingCosine]]): they exist to
+    * validate the LSH/banded production operators on small corpora and
+    * must fail LOUDLY — not silently melt an executor — if a future
+    * caller points them at a real corpus. The cap is a driver-side count
+    * (one cheap job) paid only on these eval paths.
     */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] val EvalBaselineMaxRows = 200000L
+
+  private def requireEvalScale(df: DataFrame, what: String,
+      maxRows: Long): Unit = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"$what is a deliberately-quadratic EVAL baseline (all-pairs): " +
+        s"input has $n rows > cap $maxRows. Use the LSH/banded production " +
+        "operator at corpus scale, or raise maxRows explicitly for an " +
+        "intentional small-sample evaluation.")
+  }
+
+  /** N-gram Jaccard near-dup pairs (exact, all candidate pairs via shared
+    * shingles). τ = 0.8. Baseline/oracle for the LSH variants — EVAL
+    * ONLY, guarded by an input-size cap (quadratic in hot-shingle
+    * buckets). Joins are AQE-sized, not force-broadcast: the per-doc
+    * count table is O(docs) rows, the same convention
+    * [[dedupContainment]] documents.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String,
+      maxRows: Long = EvalBaselineMaxRows): DataFrame = {
+    requireEvalScale(t(spark, dir, "documents"), "dedupNgramJaccard", maxRows)
     val sh = docShingles(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("s")).distinct()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
@@ -196,10 +221,10 @@ object Dedup {
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(broadcast(cnt.withColumnRenamed("doc_id", "da")
-        .withColumnRenamed("c", "ca")), "da")
-      .join(broadcast(cnt.withColumnRenamed("doc_id", "db")
-        .withColumnRenamed("c", "cb")), "db")
+      .join(cnt.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("c", "ca"), "da")
+      .join(cnt.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("c", "cb"), "db")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
       .filter(col("jaccard") >= 0.8)
@@ -366,9 +391,13 @@ object Dedup {
   /** Embedding-cosine near-dup pairs, brute-force baseline, τ = 0.45
     * (corpus max ≈ 0.51 — no planted duplicate vectors). Norms computed
     * once per side; the nested-loop pair join is the documented
-    * non-scale baseline for Similarity.simLshAnn.
+    * non-scale baseline for Similarity.simLshAnn — EVAL ONLY, guarded
+    * by an input-size cap so it cannot be pointed at a real corpus.
     */
-  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String,
+      maxRows: Long = EvalBaselineMaxRows): DataFrame = {
+    requireEvalScale(t(spark, dir, "embeddings"), "dedupEmbeddingCosine",
+      maxRows)
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"),
       expr("""sqrt(aggregate(transform(embedding,
         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
@@ -546,10 +575,12 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_fuzzy_verify" -> ((s: SparkSession, d: String) => dedupFuzzyVerify(s, d)),
-    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_ngram_jaccard" ->
+      ((s: SparkSession, d: String) => dedupNgramJaccard(s, d)),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_embedding_cosine" ->
+      ((s: SparkSession, d: String) => dedupEmbeddingCosine(s, d)),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_span" -> ((s: SparkSession, d: String) => dedupSpan(s, d)),
     "dedup_winnow_pairs" ->
@@ -608,7 +639,11 @@ object Dedup {
       p3 AS (SELECT *, regexp_extract(rest, '^([^/?]+)', 1) AS hostport
              FROM p2),
       p4 AS (SELECT *,
-               regexp_replace(lower(hostport), ':(80|443)$', '') AS host,
+               CASE WHEN scheme = 'http'
+                      THEN regexp_replace(lower(hostport), ':80$', '')
+                    WHEN scheme = 'https'
+                      THEN regexp_replace(lower(hostport), ':443$', '')
+                    ELSE lower(hostport) END AS host,
                substr(rest, length(hostport) + 1) AS tail FROM p3),
       p5 AS (SELECT *,
                CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'

@@ -293,28 +293,45 @@ object Profiling {
     * vs distinct-key count and the implied duplicate-row count — the first
     * invariant a warehouse load checks after ingest (the reference trusts
     * `to_sql(if_exists='replace')` to keep keys unique; here the check is
-    * a first-class result). Composite keys compare as a '#'-joined string
-    * so the oracle's DISTINCT sees the identical value.
+    * a first-class result). Composite keys compare as a length-prefixed
+    * joined string — each part encodes as `len(part) ':' part` with an
+    * explicit NULL marker — so a '#' INSIDE a key value cannot collide
+    * distinct composites (('a#b','c') vs ('a','b#c')) and NULL parts
+    * count as real key values instead of silently dropping the row, the
+    * same rule the oracle SQL applies (ADVICE r12).
     *
     * Scale: one exact count-distinct per table — a partial+final aggregate
     * shuffled on the key, |output| = 6 rows regardless of input. At
     * 100 TB swap `approx_count_distinct` in for a one-pass HLL sketch
     * (exact here because the oracle is exact).
     */
-  def dqUniqueness(spark: SparkSession, dir: String): DataFrame = {
-    def audit(table: String, df: DataFrame, key: Seq[String]): DataFrame = {
-      val keyExpr =
-        if (key.size == 1) col(key.head).cast("string")
-        else concat_ws("#", key.map(c => col(c).cast("string")): _*)
-      df.agg(count(lit(1)).as("n_rows"),
-          countDistinct(keyExpr).as("n_keys"))
-        .select(lit(table).as("table_name"),
-          lit(key.mkString(",")).as("key_cols"),
-          col("n_rows"), col("n_keys"),
-          (col("n_rows") - col("n_keys")).as("n_dup_rows"),
-          round(col("n_keys").cast("double") / col("n_rows"), 6)
-            .as("uniqueness"))
+  private[graft] def keyUniquenessAudit(table: String, df: DataFrame,
+      key: Seq[String]): DataFrame = {
+    // length-prefixed, NULL-marked part encoding: injective under any
+    // delimiter content (a non-null part always encodes digit-first, so
+    // the bare 'N' marker cannot collide), never NULL itself — composite
+    // rows with a NULL part still count as one key, matching the oracle
+    def enc(c: org.apache.spark.sql.Column) = {
+      val s = c.cast("string")
+      when(s.isNull, lit("N"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
     }
+    val keyExpr =
+      if (key.size == 1) col(key.head).cast("string")
+      else concat_ws("#", key.map(c => enc(col(c))): _*)
+    df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(keyExpr).as("n_keys"))
+      .select(lit(table).as("table_name"),
+        lit(key.mkString(",")).as("key_cols"),
+        col("n_rows"), col("n_keys"),
+        (col("n_rows") - col("n_keys")).as("n_dup_rows"),
+        round(col("n_keys").cast("double") / col("n_rows"), 6)
+          .as("uniqueness"))
+  }
+
+  def dqUniqueness(spark: SparkSession, dir: String): DataFrame = {
+    def audit(table: String, df: DataFrame, key: Seq[String]): DataFrame =
+      keyUniquenessAudit(table, df, key)
     audit("orders", t(spark, dir, "orders"), Seq("o_orderkey"))
       .unionByName(audit("customer", t(spark, dir, "customer"),
         Seq("c_custkey")))
@@ -352,8 +369,15 @@ object Profiling {
           count(DISTINCT CAST(c_custkey AS VARCHAR)) FROM customer
         UNION ALL
         SELECT 'lineitem', 'l_orderkey,l_linenumber', count(*),
-          count(DISTINCT CAST(l_orderkey AS VARCHAR) || '#'
-            || CAST(l_linenumber AS VARCHAR)) FROM lineitem
+          count(DISTINCT
+            (CASE WHEN l_orderkey IS NULL THEN 'N'
+                  ELSE CAST(length(CAST(l_orderkey AS VARCHAR)) AS VARCHAR)
+                    || ':' || CAST(l_orderkey AS VARCHAR) END)
+            || '#' ||
+            (CASE WHEN l_linenumber IS NULL THEN 'N'
+                  ELSE CAST(length(CAST(l_linenumber AS VARCHAR)) AS VARCHAR)
+                    || ':' || CAST(l_linenumber AS VARCHAR) END))
+          FROM lineitem
         UNION ALL
         SELECT 'events', 'event_id', count(*),
           count(DISTINCT CAST(event_id AS VARCHAR)) FROM events

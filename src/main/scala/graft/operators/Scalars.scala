@@ -162,7 +162,14 @@ object Scalars {
     val scheme = lower(regexp_extract(nofrag, "^([A-Za-z]+)://", 1))
     val rest = regexp_replace(nofrag, "^[A-Za-z]+://", "")
     val hostport = regexp_extract(rest, "^([^/?]+)", 1)
-    val host = regexp_replace(lower(hostport), ":(80|443)$", "")
+    // default-port strip is SCHEME-MATCHED: :80 is only a default under
+    // http and :443 only under https — http://host:443/x is a DISTINCT
+    // resource from http://host/x and must not merge (ADVICE r12)
+    val host = when(scheme === "http",
+        regexp_replace(lower(hostport), ":80$", ""))
+      .when(scheme === "https",
+        regexp_replace(lower(hostport), ":443$", ""))
+      .otherwise(lower(hostport))
     val tail = rest.substr(length(hostport) + 1, length(rest))
     val path0 = regexp_extract(tail, "^([^?]*)", 1)
     val path = when(path0 === "", "/").otherwise(path0)
@@ -253,7 +260,11 @@ object Scalars {
       p3 AS (SELECT *, regexp_extract(rest, '^([^/?]+)', 1) AS hostport
              FROM p2),
       p4 AS (SELECT *,
-               regexp_replace(lower(hostport), ':(80|443)$', '') AS host,
+               CASE WHEN scheme = 'http'
+                      THEN regexp_replace(lower(hostport), ':80$', '')
+                    WHEN scheme = 'https'
+                      THEN regexp_replace(lower(hostport), ':443$', '')
+                    ELSE lower(hostport) END AS host,
                substr(rest, length(hostport) + 1) AS tail FROM p3),
       p5 AS (SELECT *,
                CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'

@@ -814,8 +814,12 @@ object Similarity {
 
   /** Contrastive negative sampling: for each anchor vector, k pseudo-random
     * candidate ids drawn by a deterministic affine hash over the id space
-    * (`(vec_id·2654435761 + slot·40503 + 17) mod N` — content-addressed,
-    * so the same anchor draws the same negatives on any engine or rerun,
+    * (`((vec_id mod 2^31−1)·2654435761 + slot·40503 + 17) mod N` — the
+    * pre-reduction keeps the product ≤ ~5.7e18 < Long.Max for ANY vec_id,
+    * so the draw is wrap-free and identical on every engine: no silent
+    * Spark wraparound vs DuckDB overflow error at large id spaces
+    * (ADVICE r12). Content-addressed, so the same anchor draws the same
+    * negatives on any engine or rerun,
     * no stored sample table), joined back to the corpus and kept when the
     * candidate carries a DIFFERENT label (the reproducible random-negative
     * miner a contrastive/embedding training pipeline pairs with in-batch
@@ -836,8 +840,8 @@ object Similarity {
       .crossJoin(broadcast(nTotal))
       .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
       .withColumn("cand_id",
-        pmod(col("vec_id") * lit(2654435761L) + col("slot") * lit(40503L)
-          + lit(17L), col("n_total")))
+        pmod(pmod(col("vec_id"), lit(2147483647L)) * lit(2654435761L)
+          + col("slot") * lit(40503L) + lit(17L), col("n_total")))
     cand.as("a")
       .join(emb.select(col("vec_id").as("cand_id"),
         col("label").as("neg_label"),
@@ -934,8 +938,8 @@ object Similarity {
       lab AS (SELECT n.vec_id, e.label, n.embedding, n.nrm
               FROM n JOIN embeddings e ON n.vec_id = e.vec_id),
       cand AS (SELECT a.vec_id, a.label, a.embedding, a.nrm, g.slot,
-                 (a.vec_id * 2654435761 + g.slot * 40503 + 17) % t.n_total
-                   AS cand_id
+                 ((a.vec_id % 2147483647) * 2654435761
+                   + g.slot * 40503 + 17) % t.n_total AS cand_id
                FROM lab a CROSS JOIN nn t,
                     UNNEST(generate_series(0, 3)) AS g(slot))
       SELECT a.vec_id AS anchor_id, CAST(a.slot AS INT) AS slot,

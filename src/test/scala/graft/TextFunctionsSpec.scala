@@ -81,6 +81,28 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(docs.count() > 0L)
   }
 
+  test("native winnow equals the SQL twin on supplementary (non-BMP) text") {
+    graft.plans.GraftFunctions.register(spark)
+    // astral characters are 2 UTF-16 units but ONE code point; the SQL
+    // twin counts code points (Spark substring/length semantics, same as
+    // DuckDB substr), so the native loop must too (ADVICE r12)
+    val astral = Seq(
+      "ab😀cdefgh rest of the doc",      // emoji early
+      "𓀀𓀁𓀂 plain tail here",
+      "mixed 𝔸𝔹 math letters inside a sentence",
+      "😀😁😂😃" +
+        "😄😅😆😇 all astral")
+    val df = astral.toDF("text")
+      .select(winnow(col("text")).as("native"), winnowSql("text").as("sql"))
+    assert(df.filter(col("native") =!= col("sql")).count() == 0L)
+    // and the gram count itself is code-point based: an 8-astral-char
+    // string has exactly 1 gram -> 1 fingerprint
+    val solo = Seq("😀😁😂😃" +
+      "😄😅😆😇").toDF("text")
+      .select(winnow(col("text")).as("fp")).collect()
+    assert(solo(0).getSeq[Long](0).length == 1)
+  }
+
   test("winnow guarantees a shared fingerprint for a shared long substring") {
     graft.plans.GraftFunctions.register(spark)
     // k + w - 1 = 11: any shared substring of length >= 11 must yield a

@@ -217,6 +217,44 @@ class Round12dSpec extends AnyFunSuite {
       rows.length)
   }
 
+  test("composite-key audit: delimiter collisions and NULL parts count " +
+      "as distinct real keys (ADVICE r12)") {
+    import spark.implicits._
+    // ('a#b','c') vs ('a','b#c') collide under naive '#'-join; a NULL
+    // part drops the row entirely under naive || concatenation
+    val df = Seq(
+      (Option("a#b"), Option("c")),
+      (Option("a"), Option("b#c")),
+      (Option("a"), None: Option[String]),
+      (None: Option[String], Option("a")),
+      (Option("a"), None: Option[String])).toDF("k1", "k2")
+    val r = Profiling.keyUniquenessAudit("t", df, Seq("k1", "k2"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_rows") == 5L)
+    // 4 distinct composites: (a#b,c), (a,b#c), (a,NULL) x2, (NULL,a)
+    assert(r.getAs[Long]("n_keys") == 4L, r.toString)
+    assert(r.getAs[Long]("n_dup_rows") == 1L)
+  }
+
+  test("urlParts: default-port strip is scheme-matched (ADVICE r12)") {
+    import spark.implicits._
+    val df = Seq(
+      "http://host:443/x", "https://host:80/x",
+      "http://host:80/x", "https://host:443/x",
+      "ftp://host:80/x").toDF("u")
+    val got = df.select(col("u"),
+        Scalars.urlParts(col("u"))("url_canon").as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // mismatched scheme/port pairs are DISTINCT resources — never merged
+    assert(got("http://host:443/x") == "http://host:443/x")
+    assert(got("https://host:80/x") == "https://host:80/x")
+    // matched defaults strip
+    assert(got("http://host:80/x") == "http://host/x")
+    assert(got("https://host:443/x") == "https://host/x")
+    // non-http(s) schemes never strip
+    assert(got("ftp://host:80/x") == "ftp://host:80/x")
+  }
+
   test("text_winnowing: counts positive, min is the array head, sum consistent") {
     val rows = TextAnalysis.textWinnowing(spark, dir).collect()
     assert(rows.nonEmpty)
