@@ -119,6 +119,8 @@ object Bench {
     "dq_uniqueness", "ev_rfm", "sim_negatives", "text_classifier_score",
     "text_winnowing", "dedup_winnow_pairs", "sim_negatives_hard",
     "dedup_url", "ts_holt", "o11_latest_per_key", "x17_url_normalize",
+    // round-13 additions: full BPE tokenizer training (k merge rounds)
+    "text_bpe_train",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -34,6 +34,44 @@ class Round12bSpec extends AnyFunSuite {
     assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
   }
 
+  test("text_bpe_train: merge list matches a driver-side greedy BPE trainer") {
+    val got = TextAnalysis.textBpeTrain(spark, dir, nMerges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.length == 6)
+    // reference trainer: symbol lists, argmax (count desc, pair asc),
+    // greedy left-to-right non-overlapping merge application
+    var vocab: Map[Vector[String], Long] =
+      t(spark, dir, "documents").select("text").collect()
+        .flatMap(_.getString(0).split(" ", -1)).filter(_.length >= 2)
+        .groupBy(identity)
+        .map { case (w, g) => w.map(_.toString).toVector -> g.length.toLong }
+    val want = (1 to 6).map { rank =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      val ((l, r), cnt) = pairs.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      vocab = vocab.groupBy { case (syms, _) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == l && s == r)
+            out(out.length - 1) = l + r
+          else out += s
+        }
+        out.toVector
+      }.map { case (syms, g) => syms -> g.values.sum }
+      (rank, l, r, l + r, cnt)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // merge frequencies are non-increasing (each new pair's support is
+    // bounded by a pre-existing pair's support)
+    assert(got.map(_._5).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("ev_path_topk: counts match a driver-side recompute; k rows") {
     val got = EventAnalytics.evPathTopk(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1))
