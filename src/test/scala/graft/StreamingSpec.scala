@@ -391,6 +391,47 @@ class StreamingSpec extends AnyFunSuite {
       Set(1L, 2L, 3L))
   }
 
+  test("read-side exactly-once: committed-manifest reader survives a " +
+      "mid-batch kill + replay without double-counting") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_r").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_r").toString
+    mem.addData((1L, "a"), (2L, "b"))
+    graft.streaming.BatchSink.start(
+      mem.toDF().toDF("id", "payload"), out, ckpt).awaitTermination()
+    assert(graft.streaming.BatchSink
+      .committedBatchIds(spark, ckpt) == Seq(0L))
+    assert(graft.streaming.BatchSink
+      .readCommitted(spark, out, ckpt).count() == 2)
+
+    // forced mid-batch kill: batch 1's DATA lands but the process dies
+    // before the commit marker — exactly what landBatch-without-commit
+    // simulates. The raw reader sees the in-flight rows; the committed
+    // reader must not.
+    graft.streaming.BatchSink.landBatch(
+      Seq((99L, "orphan")).toDF("id", "payload"), 1L, out)
+    assert(spark.read.parquet(out).count() == 3, "raw read sees in-flight")
+    val committed = graft.streaming.BatchSink.readCommitted(spark, out, ckpt)
+    assert(committed.count() == 2, "committed read ignores in-flight batch")
+    // and the exclusion is partition PRUNING, not a scan-then-drop: the
+    // uncommitted directory's files are never admitted past planning
+    assert(committed.queryExecution.executedPlan.toString
+      .contains("batch_id"), "filter must reach the scan")
+
+    // restart: the stream replays batch 1 (rewriting the orphan dir with
+    // the REAL next data) and commits it — the reader now counts the new
+    // rows exactly once and the orphan payload is gone
+    mem.addData((3L, "c"))
+    graft.streaming.BatchSink.start(
+      mem.toDF().toDF("id", "payload"), out, ckpt).awaitTermination()
+    val after = graft.streaming.BatchSink.readCommitted(spark, out, ckpt)
+    assert(after.count() == 3)
+    assert(after.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L), "no double-count, no orphan leakage")
+  }
+
   test("ST10 stream-stream interval join matches the batch twin") {
     val dir = "/root/testdata/sf0.001"
     val stage = java.nio.file.Files.createTempDirectory("graft_ss").toString
