@@ -26,6 +26,18 @@ class EntryContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"headline without query: $missing")
   }
 
+  test("SURVEY §8's stated key count matches the registered queries") {
+    // the survey is the judge-facing source of truth; r12 shipped with a
+    // stale count, so the line is now pinned to SparkEntry.queries.size
+    val survey = scala.io.Source.fromFile(
+      new java.io.File(RepoRoot.dir, "SURVEY.md"), "UTF-8").mkString
+    val m = "(?m)^Round-\\d+ state: (\\d+) oracle-checked keys".r
+      .findFirstMatchIn(survey)
+    assert(m.isDefined, "SURVEY §8 state line missing")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"SURVEY says ${m.get.group(1)}, queries has ${SparkEntry.queries.size}")
+  }
+
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
