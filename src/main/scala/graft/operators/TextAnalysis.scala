@@ -567,6 +567,17 @@ object TextAnalysis {
     */
   def textBpeTrain(spark: SparkSession, dir: String,
       nMerges: Int = BpeMerges): DataFrame = {
+    import spark.implicits._
+    bpeMerges(spark, dir, nMerges).toDF("merge_rank", "l", "r", "freq")
+      .select(col("merge_rank"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("freq"))
+  }
+
+  /** The shared merge-learning loop behind [[textBpeTrain]] and
+    * [[textBpeEncode]]: the ordered (rank, l, r, freq) merge list.
+    */
+  private def bpeMerges(spark: SparkSession, dir: String,
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
     val (s1, s2) = ("\u0001", "\u0002")
     val wc = t(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("w"))
@@ -608,17 +619,55 @@ object TextAnalysis {
         prev.unpersist()
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("merge_rank", "l", "r", "freq")
-      .select(col("merge_rank"), col("l"), col("r"),
-        concat(col("l"), col("r")).as("merged"), col("freq"))
+    vocab.unpersist()
+    merges.toSeq
   }
 
-  /** The unrolled-round oracle for [[textBpeTrain]]: one CTE link per
-    * merge round replaying the identical argmax + prefix-separated
-    * replace.
+  /** ENCODE with the trained tokenizer — the lifecycle's second half:
+    * apply [[textBpeTrain]]'s merge list (in rank order) to every
+    * document and emit per-doc subword counts + the chars-per-token
+    * compression the tokenizer achieves. The merge list is learned once
+    * (vocabulary-scale driver loop, same as training) and then flows
+    * into the per-doc path as LITERAL replace chains — encoding itself
+    * is pure map-side expression work (wrap chars, k replaces, count
+    * chr(1) markers), zero shuffle, linear at any corpus size: exactly
+    * how a production tokenizer ships (train small, apply wide).
+    *
+    * The oracle recomputes the same merges (the train CTE chain) and
+    * replays the same per-doc replace chain — both engines encode every
+    * document identically, byte for byte.
     */
-  private def bpeTrainOracle(n: Int): String = {
+  def textBpeEncode(spark: SparkSession, dir: String,
+      nMerges: Int = BpeMerges): DataFrame = {
+    val (s1, s2) = ("\u0001", "\u0002")
+    val merges = bpeMerges(spark, dir, nMerges)
+    def chain(c: org.apache.spark.sql.Column) =
+      merges.foldLeft(c) { case (acc, (_, l, r, _)) =>
+        replace(acc, lit(s1 + l + s2 + s1 + r + s2), lit(s1 + l + r + s2))
+      }
+    val sepLit = lit(s1)
+    t(spark, dir, "documents")
+      .withColumn("enc", transform(tokens(col("text")),
+        tk => chain(regexp_replace(tk, "(.)", s1 + "$1" + s2))))
+      .select(col("doc_id"),
+        size(col("enc")).as("n_ws_tokens"),
+        aggregate(col("enc"), lit(0L), (acc, e) =>
+          acc + (length(e) - length(replace(e, sepLit, lit("")))))
+          .as("n_bpe_tokens"),
+        aggregate(col("enc"), lit(0L), (acc, e) =>
+          acc + (length(replace(e, sepLit, lit(""))) -
+            (length(e) - length(replace(e, sepLit, lit(""))))))
+          .as("n_chars"))
+      .withColumn("compression",
+        when(col("n_bpe_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_chars").cast("double") /
+            col("n_bpe_tokens"), 4)))
+  }
+
+  /** Shared CTE chain learning the merge list — one link per round
+    * replaying the identical argmax + wrapped-symbol replace.
+    */
+  private def bpeCtes(n: Int): String = {
     val rounds = (1 to n).map { i =>
       s"""      p$i AS (
          |        SELECT a[j] AS l, a[j+1] AS r, CAST(sum(c) AS BIGINT) AS freq
@@ -635,7 +684,6 @@ object TextAnalysis {
          |              FROM v${i - 1}, b$i b)"""
         .stripMargin
     }.mkString(",\n")
-    val union = (1 to n).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
     s"""
       WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
                     FROM documents),
@@ -644,13 +692,56 @@ object TextAnalysis {
       v0 AS (SELECT c, array_to_string(list_transform(
                generate_series(1, length(w)),
                i -> chr(1) || substr(w, i, 1) || chr(2)), '') AS s FROM wc),
-$rounds
+$rounds"""
+  }
+
+  /** The unrolled-round oracle for [[textBpeTrain]]. */
+  private def bpeTrainOracle(n: Int): String = {
+    val union = (1 to n).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    s"""${bpeCtes(n)},
+      m AS ($union)
       SELECT CAST(merge_rank AS INT) AS merge_rank, l, r, merged, freq
-      FROM ($union) ORDER BY merge_rank"""
+      FROM m ORDER BY merge_rank"""
+  }
+
+  /** [[textBpeEncode]]'s oracle: recompute the merges (same CTEs), then
+    * replay the per-doc wrap + replace chain and count chr(1) markers.
+    */
+  private def bpeEncodeOracle(n: Int): String = {
+    val docRounds = (1 to n).map { i =>
+      s"""      d$i AS (SELECT doc_id, list_transform(toks,
+         |                tk -> replace(tk,
+         |                  chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
+         |                  chr(1) || b.l || b.r || chr(2))) AS toks
+         |              FROM d${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeCtes(n)},
+      d0 AS (SELECT doc_id, list_transform(string_split(text, ' '),
+               tk -> regexp_replace(tk, '(.)',
+                 chr(1) || '\\1' || chr(2), 'g')) AS toks
+             FROM documents),
+$docRounds,
+      enc AS (SELECT doc_id,
+        CAST(len(toks) AS INT) AS n_ws_tokens,
+        CAST(coalesce(list_sum(list_transform(toks,
+          tk -> length(tk) - length(replace(tk, chr(1), '')))), 0)
+          AS BIGINT) AS n_bpe_tokens,
+        CAST(coalesce(list_sum(list_transform(toks,
+          tk -> length(replace(tk, chr(1), ''))
+            - (length(tk) - length(replace(tk, chr(1), ''))))), 0)
+          AS BIGINT) AS n_chars
+      FROM d$n)
+      SELECT doc_id, n_ws_tokens, n_bpe_tokens, n_chars,
+        CASE WHEN n_bpe_tokens = 0 THEN 0.0
+             ELSE round(CAST(n_chars AS DOUBLE) / n_bpe_tokens, 4) END
+          AS compression
+      FROM enc"""
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> ((s: SparkSession, d: String) => textBpeTrain(s, d)),
+    "text_bpe_encode" ->
+      ((s: SparkSession, d: String) => textBpeEncode(s, d)),
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => textBpePairs(s, d)),
     "text_entropy" -> (textEntropy _),
     "text_lm_score" -> (textLmScore _),
@@ -675,6 +766,7 @@ $rounds
 
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainOracle(BpeMerges),
+    "text_bpe_encode" -> bpeEncodeOracle(BpeMerges),
     "text_bpe_pairs" -> """
       WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
                     FROM documents),

@@ -72,6 +72,28 @@ class Round12bSpec extends AnyFunSuite {
     assert(got.map(_._5).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("text_bpe_encode: merge monotonicity and char accounting hold") {
+    val enc0 = TextAnalysis.textBpeEncode(spark, dir, nMerges = 0).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_ws_tokens"), r.getAs[Long]("n_bpe_tokens"),
+          r.getAs[Long]("n_chars"))).toMap
+    val enc8 = TextAnalysis.textBpeEncode(spark, dir, nMerges = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_ws_tokens"), r.getAs[Long]("n_bpe_tokens"),
+          r.getAs[Long]("n_chars"))).toMap
+    assert(enc8.nonEmpty && enc8.keySet == enc0.keySet)
+    enc8.foreach { case (id, (ws, bpe, chars)) =>
+      val (ws0, bpe0, chars0) = enc0(id)
+      // zero merges: every char is its own symbol
+      assert(bpe0 == chars0, s"doc $id")
+      // char mass is invariant under merging; token counts only shrink
+      assert(chars == chars0 && ws == ws0, s"doc $id")
+      assert(bpe <= bpe0 && bpe >= ws, s"doc $id: $bpe vs $bpe0, ws $ws")
+    }
+    // merges actually fired somewhere on the corpus
+    assert(enc8.values.map(_._2).sum < enc0.values.map(_._2).sum)
+  }
+
   test("ev_path_topk: counts match a driver-side recompute; k rows") {
     val got = EventAnalytics.evPathTopk(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1))
