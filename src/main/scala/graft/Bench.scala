@@ -120,8 +120,10 @@ object Bench {
     "text_winnowing", "dedup_winnow_pairs", "sim_negatives_hard",
     "dedup_url", "ts_holt", "o11_latest_per_key", "x17_url_normalize",
     // round-13 additions: full BPE tokenizer training (k merge rounds)
-    // + corpus-wide encode with the trained merges
-    "text_bpe_train", "text_bpe_encode",
+    // + corpus-wide encode, partitioned histogram quantiles, multi-touch
+    // linear attribution
+    "text_bpe_train", "text_bpe_encode", "a19_histogram_quantiles",
+    "ev_attribution_multi",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

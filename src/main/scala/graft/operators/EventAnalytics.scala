@@ -250,6 +250,85 @@ object EventAnalytics {
           .as("revenue"))
   }
 
+  /** Multi-touch LINEAR attribution — the fair-share sibling of
+    * [[evAttribution]]'s last-touch rule: each purchase's conversion and
+    * revenue credit splits EQUALLY across all of the user's preceding
+    * non-purchase touches; touchless purchases stay 'direct'.
+    *
+    * Exactness is the hard part: 1/n has no finite binary or decimal
+    * form, so credit is dealt in integer MICRO-units — conversions as
+    * micro-conversions (10^6 per purchase), revenue as cents×10^4 —
+    * floor-divided per channel with the per-purchase REMAINDER assigned
+    * to the last-touch channel (a stated, deterministic crumb rule).
+    * Credit is conserved to the micro-unit: Σ channels = purchases
+    * exactly, on any engine, partitioning, or summation order (spec-
+    * pinned); the single /10^6 at emit is exact in double.
+    *
+    * Scale shape: NO purchase×touch pair explosion — per-channel
+    * preceding-touch counts come from conditional running-count windows
+    * over a |channels|-way broadcast fan-out of the fact (the bounded
+    * ×k multiplier of evStickiness, k = event-type domain), and the
+    * per-purchase share/remainder windows partition on the unique
+    * purchase id over ≤ k rows. Two bounded window passes, one final
+    * tiny groupBy — linear at any history size.
+    */
+  def evAttributionMulti(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    val wLast = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = ev.withColumn("lastch",
+      last(when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(wLast))
+    val channels = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("ch")).distinct()
+    val wCh = Window.partitionBy(col("user_id"), col("ch"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wP = Window.partitionBy(col("event_id"))
+    val shares = base.join(broadcast(channels))
+      .withColumn("n_ch",
+        count(when(col("event_type") === col("ch"), 1)).over(wCh))
+      .filter(col("event_type") === "purchase")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("n", sum(col("n_ch")).over(wP))
+      .withColumn("rev_fl", when(col("n") > 0,
+        expr("(cents * 10000 * n_ch) div n")).otherwise(lit(0L)))
+      .withColumn("conv_fl", when(col("n") > 0,
+        expr("(1000000 * n_ch) div n")).otherwise(lit(0L)))
+      .withColumn("rev_rem",
+        col("cents") * 10000L - sum(col("rev_fl")).over(wP))
+      .withColumn("conv_rem",
+        lit(1000000L) - sum(col("conv_fl")).over(wP))
+    // 'direct' (touchless) purchases fold into the SAME single pass:
+    // their full credit lands on one deterministic representative row
+    // (the lexicographically-first channel of the fan-out), relabeled
+    // 'direct' — no second scan of the shares pipeline
+    shares
+      .withColumn("minch", min(col("ch")).over(wP))
+      .select(
+        when(col("n") === 0, lit("direct")).otherwise(col("ch"))
+          .as("channel"),
+        when(col("n") > 0,
+          col("conv_fl") + when(col("ch") === col("lastch"),
+            col("conv_rem")).otherwise(lit(0L)))
+          .otherwise(when(col("ch") === col("minch"), lit(1000000L))
+            .otherwise(lit(0L))).as("cm"),
+        when(col("n") > 0,
+          col("rev_fl") + when(col("ch") === col("lastch"), col("rev_rem"))
+            .otherwise(lit(0L)))
+          .otherwise(when(col("ch") === col("minch"),
+            col("cents") * 10000L).otherwise(lit(0L))).as("rm"))
+      .groupBy(col("channel"))
+      .agg(sum(col("cm")).as("cm"), sum(col("rm")).as("rm"))
+      .filter(col("cm") > 0)
+      .select(col("channel"),
+        round(col("cm").cast("double") / 1e6, 6).as("n_conversions"),
+        round(col("rm").cast("double") / 1e6, 6).as("revenue"))
+  }
+
   /** DAU / WAU / stickiness — the daily-active over weekly-active ratio
     * every growth dashboard tracks. The fact collapses to DISTINCT
     * (user, day) FIRST (the cheapest possible relation), then each
@@ -559,6 +638,7 @@ object EventAnalytics {
     "ts_gapfill" -> (tsGapfill _),
     "ev_retention" -> (evRetention _),
     "ev_attribution" -> (evAttribution _),
+    "ev_attribution_multi" -> (evAttributionMulti _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -825,6 +905,51 @@ object EventAnalytics {
         count(DISTINCT a.user_id) AS n_users
       FROM active a JOIN cohort c ON a.user_id = c.user_id
       GROUP BY 1, 2""",
+    "ev_attribution_multi" -> """
+      WITH base AS (
+        SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+              THEN event_type END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastch
+        FROM events),
+      channels AS (SELECT DISTINCT event_type AS ch FROM events
+                   WHERE event_type <> 'purchase'),
+      counted AS (
+        SELECT b.*, c.ch,
+          count(CASE WHEN b.event_type = c.ch THEN 1 END) OVER (
+            PARTITION BY b.user_id, c.ch ORDER BY b.ts, b.event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_ch
+        FROM base b CROSS JOIN channels c),
+      sh AS (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents,
+               sum(n_ch) OVER (PARTITION BY event_id) AS n
+             FROM counted WHERE event_type = 'purchase'),
+      fl AS (SELECT *,
+               CASE WHEN n > 0 THEN (cents * 10000 * n_ch) // n
+                    ELSE 0 END AS rev_fl,
+               CASE WHEN n > 0 THEN (1000000 * n_ch) // n
+                    ELSE 0 END AS conv_fl
+             FROM sh),
+      rem AS (SELECT *,
+                cents * 10000 - sum(rev_fl) OVER (PARTITION BY event_id)
+                  AS rev_rem,
+                1000000 - sum(conv_fl) OVER (PARTITION BY event_id)
+                  AS conv_rem
+              FROM fl),
+      cred AS (SELECT *, min(ch) OVER (PARTITION BY event_id) AS minch
+               FROM rem),
+      u AS (
+        SELECT CASE WHEN n = 0 THEN 'direct' ELSE ch END AS channel,
+          CASE WHEN n > 0 THEN conv_fl
+                 + CASE WHEN ch = lastch THEN conv_rem ELSE 0 END
+               WHEN ch = minch THEN 1000000 ELSE 0 END AS cm,
+          CASE WHEN n > 0 THEN rev_fl
+                 + CASE WHEN ch = lastch THEN rev_rem ELSE 0 END
+               WHEN ch = minch THEN cents * 10000 ELSE 0 END AS rm
+        FROM cred)
+      SELECT channel,
+        round(CAST(sum(cm) AS BIGINT) / 1000000.0, 6) AS n_conversions,
+        round(CAST(sum(rm) AS BIGINT) / 1000000.0, 6) AS revenue
+      FROM u GROUP BY 1 HAVING sum(cm) > 0""",
     "ev_attribution" -> """
       WITH tagged AS (
         SELECT event_type, value,

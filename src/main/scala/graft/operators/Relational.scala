@@ -927,6 +927,81 @@ object Relational {
           .as("hll_ok"))
   }
 
+  /** A19 — partitioned histogram maintenance + range quantiles: the
+    * quantile sibling of [[a17HllPartitioned]]. The nightly job appends
+    * one (day, bin, count) row per fixed-width value bucket (the
+    * [[Profiling.DriftBucketWidth]] binning dq_drift already uses —
+    * integer bucket ids, so the stored artifact is engine-exact and
+    * MERGEABLE by plain addition); a range quantile query then merges
+    * |days|×|bins| tiny rows and walks the cumulative histogram instead
+    * of sorting the raw facts — how p50/p90/p99 dashboards stay
+    * sub-second over 100 TB of history.
+    *
+    * Output is the a8/a17-style CONTRACT: the histogram estimates
+    * (bin lower bounds — exact multiples of the width) next to booleans
+    * bounding them against the exact interpolated percentile within
+    * 2×width (the histogram method's published error bound; exact
+    * values are computed only to CHECK the bound, the production query
+    * never touches raw facts). Rank thresholds are pure integer
+    * arithmetic (`(n·q + 99) div 100`), never `n × 0.99` — 0.99 has no
+    * exact binary form and a ulp would flip a ceiling.
+    *
+    * Scale shape: the daily artifact is a partial+final count on a
+    * (day, small-int) key; the merge is a sum over ≤ |bins| rows; the
+    * cumulative walk is a window over that already-reduced ≤ 11-row
+    * frame (bounded by construction, never the fact).
+    */
+  def a19HistogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("2024-01-08").cast("date")
+    val hi = lit("2024-01-21").cast("date")
+    val w = Profiling.DriftBucketWidth
+    val ev = t(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("value"))
+      .filter(col("day").between(lo, hi))
+    // the stored nightly artifact: one row per (day, bin)
+    val daily = ev.groupBy(col("day"),
+        least(floor(col("value") / w), lit(Profiling.DriftBuckets))
+          .cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val merged = daily.groupBy(col("bin")).agg(sum(col("n")).as("n"))
+    // both windows run over the ALREADY-REDUCED <= |bins|+1-row frame
+    // (never the fact); n_values rides the same frame so the whole
+    // estimate side stays ONE scan of the stored artifact
+    val wBins = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cum = merged
+      .withColumn("cum", sum(col("n")).over(wBins.orderBy(col("bin"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("n_values", sum(col("n")).over(wBins))
+    val est = cum
+      .agg(max(col("n_values")).as("n_values"),
+        min(when(col("cum") >= expr("(n_values * 50 + 99) div 100"),
+          col("bin"))).as("b50"),
+        min(when(col("cum") >= expr("(n_values * 90 + 99) div 100"),
+          col("bin"))).as("b90"),
+        min(when(col("cum") >= expr("(n_values * 99 + 99) div 100"),
+          col("bin"))).as("b99"))
+    // the exact side is the CONTRACT CHECK only (the production query
+    // answers from the artifact); range_days rides this scan for free
+    val exact = ev.agg(
+      countDistinct(col("day")).as("range_days"),
+      expr("percentile(value, 0.5D)").as("x50"),
+      expr("percentile(value, 0.9D)").as("x90"),
+      expr("percentile(value, 0.99D)").as("x99"))
+    est.join(broadcast(exact))
+      .select(col("range_days"), col("n_values"),
+        (col("b50").cast("double") * w).as("p50_est"),
+        (col("b90").cast("double") * w).as("p90_est"),
+        (col("b99").cast("double") * w).as("p99_est"),
+        (abs(col("b50").cast("double") * w - col("x50")) <= 2.0 * w)
+          .as("p50_ok"),
+        (abs(col("b90").cast("double") * w - col("x90")) <= 2.0 * w)
+          .as("p90_ok"),
+        (abs(col("b99").cast("double") * w - col("x99")) <= 2.0 * w)
+          .as("p99_ok"))
+  }
+
   /** J6 — salted skew join: when one fact key floods a partition and the
     * dim side is too big to broadcast, salt the fact (deterministic
     * spread: hash of a high-cardinality sibling column mod R) and
@@ -1495,6 +1570,7 @@ object Relational {
     "u6_cdc_apply" -> (u6CdcApply _),
     "u7_incremental_agg" -> (u7IncrementalAgg _),
     "a17_hll_partitioned" -> (a17HllPartitioned _),
+    "a19_histogram_quantiles" -> (a19HistogramQuantiles _),
     "a16_mode_median" -> (a16ModeMedian _),
     "o9_value_windows" -> (o9ValueWindows _),
     "j6_salted_join" -> (j6SaltedJoin _),
@@ -1704,6 +1780,38 @@ object Relational {
       FROM events
       WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
         AND DATE '2024-01-21'""",
+    "a19_histogram_quantiles" -> """
+      WITH ev AS (SELECT CAST(ts AS DATE) AS day, value FROM events
+                  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+                    AND DATE '2024-01-21'),
+      daily AS (SELECT day,
+                  CAST(least(floor(value / 25), 10) AS INT) AS bin,
+                  count(*) AS n
+                FROM ev GROUP BY 1, 2),
+      merged AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n
+                 FROM daily GROUP BY 1),
+      cum AS (SELECT bin, sum(n) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM merged),
+      nv AS (SELECT CAST(sum(n) AS BIGINT) AS n_values FROM merged),
+      dd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS range_days
+             FROM daily),
+      est AS (SELECT max(n_values) AS n_values,
+        min(CASE WHEN cum >= (n_values * 50 + 99) // 100 THEN bin END) AS b50,
+        min(CASE WHEN cum >= (n_values * 90 + 99) // 100 THEN bin END) AS b90,
+        min(CASE WHEN cum >= (n_values * 99 + 99) // 100 THEN bin END) AS b99
+        FROM cum, nv),
+      ex AS (SELECT quantile_cont(value, 0.5) AS x50,
+               quantile_cont(value, 0.9) AS x90,
+               quantile_cont(value, 0.99) AS x99 FROM ev)
+      SELECT d.range_days, e.n_values,
+        CAST(e.b50 * 25 AS DOUBLE) AS p50_est,
+        CAST(e.b90 * 25 AS DOUBLE) AS p90_est,
+        CAST(e.b99 * 25 AS DOUBLE) AS p99_est,
+        (abs(e.b50 * 25 - ex.x50) <= 50.0) AS p50_ok,
+        (abs(e.b90 * 25 - ex.x90) <= 50.0) AS p90_ok,
+        (abs(e.b99 * 25 - ex.x99) <= 50.0) AS p99_ok
+      FROM est e, ex, dd d""",
     "u6_cdc_apply" -> """
       WITH base AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment
                     FROM customer),
