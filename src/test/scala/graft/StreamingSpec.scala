@@ -432,6 +432,37 @@ class StreamingSpec extends AnyFunSuite {
       Set(1L, 2L, 3L), "no double-count, no orphan leakage")
   }
 
+  test("e2e compose: kafka-shaped replay -> watermarked agg -> " +
+      "idempotent sink -> committed reader equals the batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_e2e_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e2e_ck").toString
+    // the full production shape end to end: Kafka-schema source (replay
+    // stand-in; format("kafka") is one line), shared windowAgg transform
+    // under a watermark, batch-id-keyed idempotent parquet sink, and the
+    // committed-manifest reader on the far side
+    def run(): Unit = graft.streaming.BatchSink.start(
+      EventConsumer.windowAgg(
+        EventConsumer.kafkaReplaySource(spark, dir)
+          .withWatermark("ts", "10 minutes")),
+      out, ckpt).awaitTermination()
+    run()
+    val committed = graft.streaming.BatchSink
+      .readCommitted(spark, out, ckpt).drop("batch_id")
+    val batch = EventConsumer.batchWindowAgg(spark, dir)
+    assert(committed.count() > 0)
+    // append mode emits only watermark-closed windows; each must equal
+    // its batch-computed twin exactly
+    assert(committed.exceptAll(batch).count() == 0)
+    // re-running the whole stream from the same checkpoint lands nothing
+    // new: offsets are committed, the sink is idempotent, and the reader
+    // count is stable — exactly-once across the full pipeline
+    val before = committed.count()
+    run()
+    assert(graft.streaming.BatchSink.readCommitted(spark, out, ckpt)
+      .count() == before)
+  }
+
   test("ST10 stream-stream interval join matches the batch twin") {
     val dir = "/root/testdata/sf0.001"
     val stage = java.nio.file.Files.createTempDirectory("graft_ss").toString
