@@ -78,6 +78,252 @@ object TextAnalysis {
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("raw"))), 6))
       .select(col("doc_id"), col("score"), (col("score") >= 0.5).as("keep"))
 
+  /** TRAIN the hashed-feature quality classifier IN the engine — the
+    * companion that closes [[textClassifierScore]]'s loop the way
+    * textBpeTrain closed the tokenizer's: k rounds of logistic-style
+    * gradient descent over the 64-bucket hashing-trick features, labels
+    * self-derived from the oracle-exact [[textQuality]] score (≥ 0.75,
+    * ~the corpus median, so classes are balanced).
+    * Returns the learned per-bucket weights — the broadcast artifact
+    * textClassifierScore documents swapping in.
+    *
+    * Engine-exactness is the design: EVERYTHING is integer micro-units.
+    * Features are `(count·10^6) div n_tokens`; the link is the HARD
+    * sigmoid `clip(z/5 + ½, 1%, 99%)` (the quantized-ML piecewise-linear
+    * form — no exp(), whose last-ulp varies between libm and the JVM);
+    * the learning rate is 1/2 (a binary shift); per-term divisions are
+    * offset-shifted to NON-NEGATIVE dividends (where truncation and
+    * floor coincide on every engine), and the single possibly-negative
+    * division — the weight update — relies on Spark `div`, DuckDB `//`
+    * and Scala `/` all truncating toward zero. Integer sums commute, so the gradient is
+    * identical under any partitioning — the oracle replays the rounds
+    * bit-for-bit.
+    *
+    * Scale shape: the corpus collapses once to the (doc, bucket, x)
+    * feature table (persisted across rounds); each round is one
+    * per-doc aggregate + one per-bucket aggregate (64 rows collected —
+    * the bounded codebook convention, like k-means). The weight vector
+    * rides into the next round as a 64-entry literal map: train small
+    * state, scan-free apply.
+    */
+  def textClassifierTrain(spark: SparkSession, dir: String,
+      rounds: Int = ClassifierTrainRounds): DataFrame = {
+    val wm = classifierWeights(spark, dir, rounds)
+    import spark.implicits._
+    wm.zipWithIndex.map { case (v, i) => (i, v, v.toDouble / 1e6) }.toSeq
+      .toDF("bucket", "weight_micro", "weight")
+  }
+
+  /** The (doc_id, bucket, x_micro, y_micro) feature/label table shared by
+    * training and eval — buckets 0..63 hashed tokens, 64 the length
+    * feature, 65 the intercept.
+    */
+  private def classifierFeatures(spark: SparkSession,
+      dir: String): DataFrame = {
+    // Label threshold 0.75 ~ the corpus quality median, so classes are
+    // balanced and the learned boundary is non-degenerate (0.5 labels
+    // every fixture doc positive); 0.75 is exact in binary and compares
+    // against the oracle-hash-identical 6-dp quality, so membership can
+    // never flip cross-engine. The quality formula is inlined (same
+    // expression tree as textQuality) so the label rides the SAME scan
+    // as the features — the whole table is TWO passes over documents
+    // (token rows + the len/bias rows), nothing joined.
+    val base = t(spark, dir, "documents")
+      .withColumn("wAll", tokens(col("text")))
+      .withColumn("w", filter(col("wAll"), x => length(x) > 0))
+      .filter(size(col("w")) > 0)
+      .withColumn("quality", round(
+        lit(0.4) * least(size(col("wAll")) / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) -
+            stopwordCount(col("wAll")).cast("double") / size(col("wAll"))) +
+          lit(0.3) * (length(regexp_replace(col("text"), "[^a-z]", ""))
+            .cast("double") / length(col("text"))), 6))
+      .withColumn("ym",
+        when(col("quality") >= 0.75, lit(1000000L)).otherwise(lit(0L)))
+      .select(col("doc_id"), col("w"), col("ym"))
+    val tokRows = base
+      .select(col("doc_id"), size(col("w")).as("n"), col("ym"),
+        explode(col("w")).as("tok"))
+      .withColumn("b", expr(
+        "CAST(pmod(CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT), 64) AS INT)"))
+      .groupBy(col("doc_id"), col("n"), col("ym"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("xm", expr("(c * 1000000) div n"))
+      .select(col("doc_id"), col("b"), col("xm"), col("ym"))
+    // bucket 64 is the explicit LENGTH feature (min(n,100)/100 in
+    // micro-units): per-token normalization strips the doc-length signal
+    // the quality label leans on, so the model gets it back as its own
+    // column. Bucket 65 is the INTERCEPT (constant 1.0): every feature
+    // is non-negative, so without a bias the boundary z >= 0 could never
+    // move off all-positive — the intercept learns the negative shift.
+    val extra = base
+      .select(col("doc_id"), col("ym"), explode(array(
+        struct(lit(64).as("b"),
+          (least(size(col("w")), lit(100)) * 10000L).as("xm")),
+        struct(lit(65).as("b"), lit(1000000L).as("xm")))).as("f"))
+      .select(col("doc_id"), col("f.b").as("b"), col("f.xm").as("xm"),
+        col("ym"))
+    tokRows.unionByName(extra)
+  }
+
+  /** The integer-micro gradient fold (see [[textClassifierTrain]]). */
+  private def classifierWeights(spark: SparkSession, dir: String,
+      rounds: Int): Array[Long] = {
+    val allFeats = classifierFeatures(spark, dir).persist()
+    val nDocs = allFeats.select(col("doc_id")).distinct().count()
+    var wm = Array.fill(66)(0L)
+    for (_ <- 1 to rounds) {
+      val wmap = typedLit(wm.zipWithIndex.map { case (v, i) => i -> v }.toMap)
+      val p = allFeats
+        .withColumn("wmc", coalesce(element_at(wmap, col("b")), lit(0L)))
+        // offset-shifted floor((wm·xm)/10^6): the 4·10^6 offset keeps the
+        // dividend non-negative for any |w| < 4 (far above the ~0.4 the
+        // 1/2-rate rounds can reach), and 4·10^6·xm div 10^6 = 4·xm is an
+        // exact shift
+        .withColumn("tz", expr("((wmc + 4000000) * xm) div 1000000 - 4 * xm"))
+        .groupBy(col("doc_id"), col("ym"))
+        .agg(sum(col("tz")).as("z"))
+        // hard sigmoid in micro-units: floor(z/5) + 500000, clipped
+        .withColumn("pm", least(greatest(
+          expr("(z + 40000000) div 5 - 8000000 + 500000"),
+          lit(10000L)), lit(990000L)))
+      val grads = allFeats
+        .join(p.select(col("doc_id"), col("pm")), "doc_id")
+        .withColumn("g", expr("((ym - pm + 1000000) * xm) div 1000000 - xm"))
+        .groupBy(col("b")).agg(sum(col("g")).as("gsum"))
+        .collect().map(r => r.getAs[Int]("b") -> r.getAs[Long]("gsum")).toMap
+      // plain truncating division: Spark SQL `div`, DuckDB `//`, and
+      // Scala Long `/` all round toward zero, so the three agree on
+      // negative gradients (measured: DuckDB -7 // 2 = -3, NOT floor)
+      wm = wm.zipWithIndex.map { case (v, i) =>
+        v + grads.getOrElse(i, 0L) / (2L * nDocs) }
+    }
+    allFeats.unpersist()
+    wm
+  }
+
+  /** EVAL the trained classifier on its corpus — the accuracy readout
+    * that makes "the engine trains" a CHECKED claim, not a story: one
+    * summary row (docs, label positives, predicted positives, correct)
+    * computed with the same integer-exact scoring the trainer used, so
+    * the oracle replays training AND scoring and must land on the same
+    * four integers. The all-positive baseline (untrained boundary)
+    * scores exactly n_pos_label correct, so n_correct > n_pos_label IS
+    * the measured learning margin.
+    */
+  def textClassifierEval(spark: SparkSession, dir: String,
+      rounds: Int = ClassifierTrainRounds): DataFrame = {
+    val wm = classifierWeights(spark, dir, rounds)
+    val wmap = typedLit(wm.zipWithIndex.map { case (v, i) => i -> v }.toMap)
+    classifierFeatures(spark, dir)
+      .withColumn("wmc", coalesce(element_at(wmap, col("b")), lit(0L)))
+      .withColumn("tz", expr("((wmc + 4000000) * xm) div 1000000 - 4 * xm"))
+      .groupBy(col("doc_id"), col("ym"))
+      .agg(sum(col("tz")).as("z"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ym") === 1000000L, 1L).otherwise(0L))
+          .as("n_pos_label"),
+        sum(when(col("z") >= 0, 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when((col("z") >= 0) === (col("ym") === 1000000L), 1L)
+          .otherwise(0L)).as("n_correct"))
+  }
+
+  private[operators] val ClassifierTrainRounds = 10
+
+  /** [[textClassifierTrain]]'s oracle: the identical integer-micro
+    * gradient rounds unrolled as a CTE chain. Division semantics are
+    * the trap: Spark `div`, DuckDB `//`, and Scala Long `/` all
+    * TRUNCATE toward zero, so the weight update (the one division of a
+    * possibly-negative sum) agrees across all three; the per-term
+    * divisions are offset-shifted to non-negative dividends where
+    * truncation and floor coincide anyway.
+    */
+  private def classifierTrainOracle(rounds: Int): String =
+    classifierOracle(rounds, eval = false)
+
+  private def classifierEvalOracle(rounds: Int): String =
+    classifierOracle(rounds, eval = true)
+
+  private def classifierOracle(rounds: Int, eval: Boolean): String = {
+    val links = (1 to rounds).map { i =>
+      s"""      z$i AS MATERIALIZED (SELECT f.doc_id, f.ym,
+         |        CAST(sum(((w.wm + 4000000) * f.xm) // 1000000 - 4 * f.xm)
+         |             AS BIGINT) AS z
+         |        FROM feats f JOIN w${i - 1} w ON f.b = w.bucket
+         |        GROUP BY 1, 2),
+         |      p$i AS MATERIALIZED (SELECT doc_id,
+         |        least(greatest((z + 40000000) // 5 - 8000000 + 500000,
+         |          10000), 990000) AS pm
+         |        FROM z$i),
+         |      g$i AS MATERIALIZED (SELECT f.b AS bucket,
+         |        CAST(sum(((f.ym - p.pm + 1000000) * f.xm) // 1000000
+         |          - f.xm) AS BIGINT) AS gsum
+         |        FROM feats f JOIN p$i p USING (doc_id) GROUP BY 1),
+         |      w$i AS MATERIALIZED (SELECT w.bucket,
+         |        CAST(w.wm + coalesce(g.gsum, 0) // (2 * nd.n_docs)
+         |             AS BIGINT) AS wm
+         |        FROM w${i - 1} w LEFT JOIN g$i g USING (bucket), nd)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""
+      WITH lab AS MATERIALIZED (
+        SELECT doc_id,
+          CASE WHEN round(0.4 * least(len(string_split(text, ' ')) / 100.0,
+              1.0)
+            + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                x -> x = 'a' OR x = 'the')) AS DOUBLE)
+              / len(string_split(text, ' ')))
+            + 0.3 * CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                AS DOUBLE) / length(text), 6) >= 0.75
+          THEN 1000000 ELSE 0 END AS ym
+        FROM documents),
+      tk AS MATERIALIZED (SELECT doc_id, tok
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents)
+             WHERE tok <> ''),
+      nn AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+      fx AS MATERIALIZED (SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64
+                    AS INT) AS b,
+               count(*) AS c
+             FROM tk GROUP BY 1, 2),
+      feats AS MATERIALIZED (
+        SELECT f.doc_id, f.b, (f.c * 1000000) // nn.n AS xm, lab.ym
+        FROM fx f JOIN nn USING (doc_id) JOIN lab USING (doc_id)
+        UNION ALL
+        SELECT nn.doc_id, 64 AS b, least(nn.n, 100) * 10000 AS xm, lab.ym
+        FROM nn JOIN lab USING (doc_id)
+        UNION ALL
+        SELECT nn.doc_id, 65 AS b, 1000000 AS xm, lab.ym
+        FROM nn JOIN lab USING (doc_id)),
+      nd AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n_docs FROM feats),
+      w0 AS MATERIALIZED (SELECT CAST(g.i AS INT) AS bucket, CAST(0 AS BIGINT) AS wm
+             FROM UNNEST(generate_series(0, 65)) AS g(i)),
+$links
+${if (eval) evalTail(rounds) else trainTail(rounds)}"""
+  }
+
+  private def trainTail(rounds: Int): String =
+    s"""
+      SELECT bucket, wm AS weight_micro,
+        CAST(wm AS DOUBLE) / 1000000.0 AS weight
+      FROM w$rounds"""
+
+  private def evalTail(rounds: Int): String =
+    s"""
+      , ze AS (SELECT f.doc_id, max(f.ym) AS ym,
+          CAST(sum(((w.wm + 4000000) * f.xm) // 1000000 - 4 * f.xm)
+               AS BIGINT) AS z
+        FROM feats f JOIN w$rounds w ON f.b = w.bucket GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN ym = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pos_label,
+        CAST(sum(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pred_pos,
+        CAST(sum(CASE WHEN (z >= 0) = (ym = 1000000) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct
+      FROM ze"""
+
   /** Quality scoring: length, stopword ratio, alphabetic ratio → composite
     * score in [0,1]. Pure double arithmetic, identical across engines.
     */
@@ -669,16 +915,16 @@ object TextAnalysis {
     */
   private def bpeCtes(n: Int): String = {
     val rounds = (1 to n).map { i =>
-      s"""      p$i AS (
+      s"""      p$i AS MATERIALIZED (
          |        SELECT a[j] AS l, a[j+1] AS r, CAST(sum(c) AS BIGINT) AS freq
          |        FROM (SELECT c, list_transform(
          |                 list_filter(string_split(s, chr(2)), x -> x <> ''),
          |                 x -> substr(x, 2)) AS a FROM v${i - 1}) t,
          |             UNNEST(generate_series(1, len(a) - 1)) AS g(j)
          |        GROUP BY 1, 2),
-         |      b$i AS (SELECT $i AS merge_rank, l, r, l || r AS merged, freq
+         |      b$i AS MATERIALIZED (SELECT $i AS merge_rank, l, r, l || r AS merged, freq
          |              FROM p$i ORDER BY freq DESC, l ASC, r ASC LIMIT 1),
-         |      v$i AS (SELECT c, replace(s,
+         |      v$i AS MATERIALIZED (SELECT c, replace(s,
          |                chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
          |                chr(1) || b.l || b.r || chr(2)) AS s
          |              FROM v${i - 1}, b$i b)"""
@@ -687,9 +933,9 @@ object TextAnalysis {
     s"""
       WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
                     FROM documents),
-      wc AS (SELECT w, count(*) AS c FROM toks
+      wc AS MATERIALIZED (SELECT w, count(*) AS c FROM toks
              WHERE length(w) >= 2 GROUP BY 1),
-      v0 AS (SELECT c, array_to_string(list_transform(
+      v0 AS MATERIALIZED (SELECT c, array_to_string(list_transform(
                generate_series(1, length(w)),
                i -> chr(1) || substr(w, i, 1) || chr(2)), '') AS s FROM wc),
 $rounds"""
@@ -709,14 +955,14 @@ $rounds"""
     */
   private def bpeEncodeOracle(n: Int): String = {
     val docRounds = (1 to n).map { i =>
-      s"""      d$i AS (SELECT doc_id, list_transform(toks,
+      s"""      d$i AS MATERIALIZED (SELECT doc_id, list_transform(toks,
          |                tk -> replace(tk,
          |                  chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2),
          |                  chr(1) || b.l || b.r || chr(2))) AS toks
          |              FROM d${i - 1}, b$i b)""".stripMargin
     }.mkString(",\n")
     s"""${bpeCtes(n)},
-      d0 AS (SELECT doc_id, list_transform(string_split(text, ' '),
+      d0 AS MATERIALIZED (SELECT doc_id, list_transform(string_split(text, ' '),
                tk -> regexp_replace(tk, '(.)',
                  chr(1) || '\\1' || chr(2), 'g')) AS toks
              FROM documents),
@@ -740,6 +986,10 @@ $docRounds,
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> ((s: SparkSession, d: String) => textBpeTrain(s, d)),
+    "text_classifier_train" ->
+      ((s: SparkSession, d: String) => textClassifierTrain(s, d)),
+    "text_classifier_eval" ->
+      ((s: SparkSession, d: String) => textClassifierEval(s, d)),
     "text_bpe_encode" ->
       ((s: SparkSession, d: String) => textBpeEncode(s, d)),
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => textBpePairs(s, d)),
@@ -766,11 +1016,13 @@ $docRounds,
 
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainOracle(BpeMerges),
+    "text_classifier_train" -> classifierTrainOracle(ClassifierTrainRounds),
+    "text_classifier_eval" -> classifierEvalOracle(ClassifierTrainRounds),
     "text_bpe_encode" -> bpeEncodeOracle(BpeMerges),
     "text_bpe_pairs" -> """
       WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
                     FROM documents),
-      wc AS (SELECT w, count(*) AS c FROM toks
+      wc AS MATERIALIZED (SELECT w, count(*) AS c FROM toks
              WHERE length(w) >= 2 GROUP BY 1),
       pairs AS (SELECT substr(w, g.i, 2) AS pair, c
                 FROM wc, UNNEST(generate_series(1, length(w) - 1)) AS g(i))

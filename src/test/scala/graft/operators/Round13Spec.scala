@@ -32,6 +32,31 @@ class Round13Spec extends AnyFunSuite {
     assert(r.getAs[Long]("range_days") == 14L)
   }
 
+  test("text_classifier_train learns the known corpus signal; eval " +
+      "beats the untrained boundary by an exact margin") {
+    val w = TextAnalysis.textClassifierTrain(spark, dir).collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("weight_micro")))
+      .toMap
+    assert(w.size == 66)
+    // longer docs score higher quality (the 0.4·len term), so the length
+    // feature must come out positive; all features are non-negative, so
+    // the intercept must have learned the NEGATIVE shift that moves the
+    // decision boundary off all-positive
+    assert(w(64) > 0, s"length weight ${w(64)}")
+    assert(w(65) < 0, s"intercept ${w(65)}")
+    // the offset-shift exactness argument needs |w| < 4
+    assert(w.values.forall(v => math.abs(v) < 4000000L))
+    val e = TextAnalysis.textClassifierEval(spark, dir).collect()(0)
+    val (n, pos, correct) = (e.getAs[Long]("n_docs"),
+      e.getAs[Long]("n_pos_label"), e.getAs[Long]("n_correct"))
+    // untrained boundary (w=0 -> z=0 -> all positive) scores exactly
+    // `pos` correct; the whole fold is integer-deterministic so this
+    // margin is exact, not statistical
+    assert(correct > pos, s"trained $correct vs baseline $pos of $n")
+    assert(e.getAs[Long]("n_pred_pos") < n,
+      "trained model must not predict all-positive")
+  }
+
   test("ev_attribution_multi: credit is conserved to the micro-unit") {
     val multi = EventAnalytics.evAttributionMulti(spark, dir).collect()
     assert(multi.nonEmpty)
