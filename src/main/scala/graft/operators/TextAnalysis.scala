@@ -172,6 +172,9 @@ object TextAnalysis {
     val allFeats = classifierFeatures(spark, dir).persist()
     val nDocs = allFeats.select(col("doc_id")).distinct().count()
     var wm = Array.fill(66)(0L)
+    // empty-corpus contract (EdgeCaseSpec): zero documents -> the
+    // untrained zero-weight model, never a /0 in the update
+    if (nDocs == 0) { allFeats.unpersist(); return wm }
     for (_ <- 1 to rounds) {
       val wmap = typedLit(wm.zipWithIndex.map { case (v, i) => i -> v }.toMap)
       val p = allFeats
@@ -221,11 +224,12 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("ym"))
       .agg(sum(col("tz")).as("z"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("ym") === 1000000L, 1L).otherwise(0L))
-          .as("n_pos_label"),
-        sum(when(col("z") >= 0, 1L).otherwise(0L)).as("n_pred_pos"),
-        sum(when((col("z") >= 0) === (col("ym") === 1000000L), 1L)
-          .otherwise(0L)).as("n_correct"))
+        coalesce(sum(when(col("ym") === 1000000L, 1L).otherwise(0L)),
+          lit(0L)).as("n_pos_label"),
+        coalesce(sum(when(col("z") >= 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_pred_pos"),
+        coalesce(sum(when((col("z") >= 0) === (col("ym") === 1000000L), 1L)
+          .otherwise(0L)), lit(0L)).as("n_correct"))
   }
 
   private[operators] val ClassifierTrainRounds = 10
