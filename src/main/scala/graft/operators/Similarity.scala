@@ -254,6 +254,49 @@ object Similarity {
     ivfIndex(spark, dir); ()
   }
 
+  /** PERSIST the IVF index as three parquet tables (codebook, per-vector
+    * assignment, per-list radii) — the artifact a production deployment
+    * writes at ingest time so queries NEVER pay the corpus pass again,
+    * across restarts, sessions, or clusters. The assignment table
+    * deliberately carries embedding+norm: the exact-rerank stage reads
+    * only probed lists from it, so at 100 TB this is the table that gets
+    * bucketed by `cid` and the raw corpus is never touched at query
+    * time.
+    */
+  def saveIvfIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    val (code, assigned, radii) = ivfIndex(spark, dir)
+    import spark.implicits._
+    code.toDF("cid", "centroid", "cnorm")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    assigned.write.mode("overwrite").parquet(s"$path/assigned")
+    radii.write.mode("overwrite").parquet(s"$path/radii")
+  }
+
+  /** LOAD a persisted IVF index and install it as `dir`'s session index:
+    * every ANN/semantic-prune/kNN query then reads the restored artifact
+    * — provably identical results to the freshly-built index (spec-
+    * pinned), with zero corpus passes. The restart story the memoized
+    * in-session cache alone cannot give.
+    */
+  def loadIvfIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    val code: Codebook = spark.read.parquet(s"$path/codebook")
+      .collect()
+      .map(r => (r.getAs[Long]("cid"),
+        r.getAs[scala.collection.Seq[Double]]("centroid").toVector: Seq[Double],
+        r.getAs[Double]("cnorm")))
+      .sortBy(_._1).toSeq
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    val radii = spark.read.parquet(s"$path/radii")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    radii.count()
+    release(spark, Some(dir))
+    ivfCache.put((graft.GraftSession.sessionId(spark), dir),
+      (code, assigned, radii))
+    ()
+  }
+
   private[operators] def ivfIndex(spark: SparkSession, dir: String)
       : (Codebook, DataFrame, DataFrame) =
     ivfCache.getOrElseUpdate((graft.GraftSession.sessionId(spark), dir), {

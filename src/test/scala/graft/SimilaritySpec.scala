@@ -166,4 +166,22 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("keep") === 0).count()
     assert(none == 0L)
   }
+
+  test("IVF index survives persist + reload: restored artifact answers " +
+      "identically with zero corpus passes") {
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.toList).sortBy(_.toString).toList
+    Similarity.buildIvfIndex(spark, dir)
+    val fresh = canon(Similarity.simIvfAnn(spark, dir).collect())
+    val freshPrune = canon(Similarity.simSemanticPrune(spark, dir).collect())
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.saveIvfIndex(spark, dir, path)
+    // evict the in-session index entirely, then restore from parquet —
+    // the restart a memoized cache can't survive
+    Similarity.release(spark, Some(dir))
+    Similarity.loadIvfIndex(spark, dir, path)
+    assert(canon(Similarity.simIvfAnn(spark, dir).collect()) == fresh)
+    assert(canon(Similarity.simSemanticPrune(spark, dir).collect())
+      == freshPrune)
+  }
 }
