@@ -123,7 +123,7 @@ object Bench {
     // + corpus-wide encode, partitioned histogram quantiles, multi-touch
     // linear attribution
     "text_bpe_train", "text_bpe_encode", "a19_histogram_quantiles",
-    "ev_attribution_multi", "text_classifier_train",
+    "ev_attribution_multi", "text_classifier_train", "mm_shot_boundary",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

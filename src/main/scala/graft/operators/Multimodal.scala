@@ -440,7 +440,66 @@ object Multimodal {
       .toDF()
   }
 
+  /** VIDEO shot-boundary detection through the REAL codec boundary: each
+    * document stands in for a clip of `2 + doc_id % 7` frames with
+    * planted cuts every `2 + doc_id % 3` frames; every frame is rendered
+    * as an actual 8×8 PNG (executor-side ImageIO, pixels a pure function
+    * of (doc, shot)), decoded BACK from the bytes, and fingerprinted by
+    * an md5 over its decoded pixel values. A cut is a frame whose pixel
+    * digest differs from its predecessor — the content-based
+    * shot-boundary rule a real video pipeline applies to decoded frames
+    * (per-shot seeds differ by 1–3, and ×31 pixel mixing is odd, so
+    * cross-shot frames can never collide mod 2^24). The oracle predicts
+    * the per-doc shot count arithmetically — ceil(n_frames/shot_len) —
+    * without touching a codec, so a hash-green run proves real bytes
+    * crossed encode→decode→fingerprint intact (the mm family contract).
+    *
+    * Scale shape: frame fan-out is a bounded ≤8× map-side flatMap;
+    * mapPartitions is the justified codec-kernel seam (ImageIO is not a
+    * Catalyst expression); only 32-byte digests shuffle (one doc_id
+    * exchange for the per-clip lag window, ≤ 8 rows per key).
+    */
+  def mmShotBoundary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frames = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val nf = 2 + (id % 7).toInt
+        val sl = 2 + (id % 3).toInt
+        (0 until nf).iterator.map { f => (id, f, encodePng(8, 8,
+          id * 131 + f / sl)) }
+      }
+      .mapPartitions(_.map { case (id, f, png) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y) & 0xffffff
+            md.update((p & 0xff).toByte)
+            md.update(((p >> 8) & 0xff).toByte)
+            md.update(((p >> 16) & 0xff).toByte)
+            x += 1
+          }
+          y += 1
+        }
+        (id, f, md.digest().map("%02x".format(_)).mkString)
+      })
+      .toDF("doc_id", "frame_idx", "pixel_md5")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev", lag(col("pixel_md5"), 1).over(w))
+      .withColumn("is_cut",
+        col("prev").isNotNull && col("prev") =!= col("pixel_md5"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        (sum(when(col("is_cut"), 1L).otherwise(0L)) + 1L).as("n_shots"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shot_boundary" -> (mmShotBoundary _),
     "mm_audio_stats" -> (mmAudioStats _),
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_decode_real" -> (mmDecodeReal _),
@@ -490,6 +549,15 @@ object Multimodal {
            FROM bits GROUP BY 1)"""
 
   val oracle: Map[String, String] = Map(
+    // n_shots = ceil(n_frames / shot_len), predicted without a codec —
+    // a hash match proves the engine derived the SAME counts from real
+    // decoded pixels
+    "mm_shot_boundary" -> """
+      SELECT doc_id,
+        CAST(2 + doc_id % 7 AS BIGINT) AS n_frames,
+        CAST((2 + doc_id % 7 + (2 + doc_id % 3) - 1) // (2 + doc_id % 3)
+             AS BIGINT) AS n_shots
+      FROM documents""",
     "mm_dhash" -> s"""
       WITH $dhashCte
       SELECT doc_id, dhash FROM dh""",

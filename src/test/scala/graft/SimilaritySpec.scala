@@ -167,6 +167,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(none == 0L)
   }
 
+  test("mm_shot_boundary: decoded-pixel cuts reproduce the planted " +
+      "shot structure for every clip") {
+    val rows = Multimodal.mmShotBoundary(spark, dir).collect()
+    assert(rows.length ==
+      graft.Tables.t(spark, dir, "documents").count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nf, sl) = (2 + (id % 7), 2 + (id % 3))
+      assert(r.getAs[Long]("n_frames") == nf, s"doc $id")
+      // the engine derived this count from REAL decoded pixels; the
+      // planted structure says exactly ceil(nf / sl) shots
+      assert(r.getAs[Long]("n_shots") == (nf + sl - 1) / sl, s"doc $id")
+    }
+  }
+
   test("IVF index survives persist + reload: restored artifact answers " +
       "identically with zero corpus passes") {
     def canon(rows: Array[org.apache.spark.sql.Row]) =
