@@ -175,23 +175,25 @@ object TextAnalysis {
     // empty-corpus contract (EdgeCaseSpec): zero documents -> the
     // untrained zero-weight model, never a /0 in the update
     if (nDocs == 0) { allFeats.unpersist(); return wm }
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
     for (_ <- 1 to rounds) {
       val wmap = typedLit(wm.zipWithIndex.map { case (v, i) => i -> v }.toMap)
-      val p = allFeats
+      // one pass per round: the per-doc z rides a doc-partitioned window
+      // (<= 66 rows per key) instead of an aggregate + self-join, so a
+      // round is ONE exchange on doc_id plus the 66-row gradient agg
+      val grads = allFeats
         .withColumn("wmc", coalesce(element_at(wmap, col("b")), lit(0L)))
         // offset-shifted floor((wm·xm)/10^6): the 4·10^6 offset keeps the
         // dividend non-negative for any |w| < 4 (far above the ~0.4 the
         // 1/2-rate rounds can reach), and 4·10^6·xm div 10^6 = 4·xm is an
         // exact shift
         .withColumn("tz", expr("((wmc + 4000000) * xm) div 1000000 - 4 * xm"))
-        .groupBy(col("doc_id"), col("ym"))
-        .agg(sum(col("tz")).as("z"))
+        .withColumn("z", sum(col("tz")).over(wDoc))
         // hard sigmoid in micro-units: floor(z/5) + 500000, clipped
         .withColumn("pm", least(greatest(
           expr("(z + 40000000) div 5 - 8000000 + 500000"),
           lit(10000L)), lit(990000L)))
-      val grads = allFeats
-        .join(p.select(col("doc_id"), col("pm")), "doc_id")
         .withColumn("g", expr("((ym - pm + 1000000) * xm) div 1000000 - xm"))
         .groupBy(col("b")).agg(sum(col("g")).as("gsum"))
         .collect().map(r => r.getAs[Int]("b") -> r.getAs[Long]("gsum")).toMap
