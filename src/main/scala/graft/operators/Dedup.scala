@@ -87,6 +87,37 @@ object Dedup {
     ()
   }
 
+  /** PERSIST the dedup index — the signature sketch table and the
+    * verified candidate-pair set — as parquet, the ingest-time artifact
+    * a production corpus maintains so no query ever re-shingles the
+    * corpus after a restart (the scaladoc on [[sketches]] has always
+    * called the session cache "the in-process twin" of this table; this
+    * is the table).
+    */
+  def saveDedupIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    sketches(spark, dir).write.mode("overwrite").parquet(s"$path/sketches")
+    combinedPairs(spark, dir, 64)
+      .write.mode("overwrite").parquet(s"$path/pairs")
+  }
+
+  /** LOAD a persisted dedup index and install it as `dir`'s session
+    * index: every LSH/banded consumer (minhash, simhash, incremental
+    * admission, clustering, the corpus pipeline) then reads the restored
+    * artifact — identical results, zero corpus passes (spec-pinned).
+    */
+  def loadDedupIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    release(spark, Some(dir))
+    val sid = graft.GraftSession.sessionId(spark)
+    val sk = spark.read.parquet(s"$path/sketches")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sketchCache.put((sid, dir), sk)
+    val pr = spark.read.parquet(s"$path/pairs")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pr.count()
+    pairCache.put((sid, dir, "pairs-64"), pr)
+    ()
+  }
+
   private[operators] def sketches(spark: SparkSession, dir: String): DataFrame =
     sketchCache.getOrElseUpdate((graft.GraftSession.sessionId(spark), dir), {
       graft.plans.GraftFunctions.register(spark)

@@ -46,6 +46,23 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.45))
   }
 
+  test("dedup index survives persist + reload: restored artifact " +
+      "answers identically with zero corpus re-shingling") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    Dedup.buildIndexes(spark, dir)
+    val freshM = canon(Dedup.dedupMinhashLsh(spark, dir))
+    val freshS = canon(Dedup.dedupSimhash(spark, dir))
+    val freshI = canon(Dedup.dedupIncremental(spark, dir))
+    val path = java.nio.file.Files.createTempDirectory("graft_dix").toString
+    Dedup.saveDedupIndex(spark, dir, path)
+    Dedup.release(spark, Some(dir))
+    Dedup.loadDedupIndex(spark, dir, path)
+    assert(canon(Dedup.dedupMinhashLsh(spark, dir)) == freshM)
+    assert(canon(Dedup.dedupSimhash(spark, dir)) == freshS)
+    assert(canon(Dedup.dedupIncremental(spark, dir)) == freshI)
+  }
+
   test("quadratic eval baselines fail LOUDLY over their input-size cap") {
     // an over-cap corpus must be rejected before any all-pairs join is
     // built — the guard that keeps the eval-only baselines from ever
