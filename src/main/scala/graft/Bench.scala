@@ -124,6 +124,7 @@ object Bench {
     // linear attribution
     "text_bpe_train", "text_bpe_encode", "a19_histogram_quantiles",
     "ev_attribution_multi", "text_classifier_train", "mm_shot_boundary",
+    "cur_token_budget_bpe",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

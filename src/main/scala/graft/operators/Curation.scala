@@ -774,6 +774,31 @@ object Curation {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"))
+    budgetReportTail(perSource)
+  }
+
+  /** The same report in TOKENIZER tokens — the unit a trainer actually
+    * budgets (whitespace counts over- or under-state a corpus by its
+    * subword compression, and the gap VARIES by source): per-doc subword
+    * counts come from [[TextAnalysis.textBpeEncode]]'s trained-merge
+    * chain, then the identical share/target/deficit math runs on those.
+    * Composition cost: the merge list is learned once (vocabulary-scale)
+    * and the per-doc encode is map-side; only the doc_id join and the
+    * |sources|-row aggregate are added.
+    */
+  def tokenBudgetReportBpe(spark: SparkSession, dir: String): DataFrame = {
+    val enc = TextAnalysis.textBpeEncode(spark, dir)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val perSource = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(enc, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("n_tokens"))
+    budgetReportTail(perSource)
+  }
+
+  private def budgetReportTail(perSource: DataFrame): DataFrame = {
     val bp = when(col("source").isin(EpochHighSrcs: _*), EpochHighBp)
       .when(col("source").isin(EpochMidSrcs: _*), EpochMidBp)
       .otherwise(EpochTailBp)
@@ -803,6 +828,7 @@ object Curation {
     "cur_curriculum" -> ((s, d) => curriculum(s, d)),
     "cur_temperature_mix" -> ((s, d) => temperatureMix(s, d)),
     "cur_token_budget" -> ((s, d) => tokenBudgetReport(s, d)),
+    "cur_token_budget_bpe" -> ((s, d) => tokenBudgetReportBpe(s, d)),
     "cur_epoch_plan" -> ((s, d) => epochPlan(s, d)),
     "cur_global_shuffle" -> ((s, d) => globalShuffle(s, d)),
     "cur_top_quality" -> ((s, d) => topQualityPerSource(s, d)),
@@ -924,6 +950,30 @@ object Curation {
         CAST(round(CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS BIGINT)
           / CAST(count(*) AS DOUBLE)) AS BIGINT) / 1e6 AS avg_quality
       FROM p GROUP BY 1""",
+    "cur_token_budget_bpe" -> s"""${TextAnalysis.bpeEncodeCtes(
+        TextAnalysis.BpeMerges)},
+      per_source AS (
+        SELECT d.source, count(*) AS n_docs,
+          CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_tokens
+        FROM enc e JOIN documents d USING (doc_id) GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens
+              FROM per_source),
+      tgt AS (
+        SELECT source, n_docs, n_tokens, t_tokens,
+          CASE WHEN source IN (${EpochHighSrcs.map("'" + _ + "'").mkString(",")})
+                 THEN $EpochHighBp
+               WHEN source IN (${EpochMidSrcs.map("'" + _ + "'").mkString(",")})
+                 THEN $EpochMidBp
+               ELSE $EpochTailBp END AS target_bp
+        FROM per_source, tot)
+      SELECT source, n_docs, n_tokens,
+        round(CAST(n_tokens AS DOUBLE) / t_tokens, 6) AS actual_share,
+        target_bp,
+        (target_bp * t_tokens) // $TotalBp AS target_tokens,
+        (target_bp * t_tokens) // $TotalBp - n_tokens AS deficit_tokens,
+        round(CAST((target_bp * t_tokens) // $TotalBp AS DOUBLE) / n_tokens,
+          4) AS repeat_factor
+      FROM tgt""",
     "cur_token_budget" -> s"""
       WITH per_source AS (
         SELECT source, count(*) AS n_docs,

@@ -959,7 +959,10 @@ $rounds"""
   /** [[textBpeEncode]]'s oracle: recompute the merges (same CTEs), then
     * replay the per-doc wrap + replace chain and count chr(1) markers.
     */
-  private def bpeEncodeOracle(n: Int): String = {
+  /** The encode chain through the per-doc `enc` CTE — shared with the
+    * Curation budget oracle that consumes subword counts.
+    */
+  private[operators] def bpeEncodeCtes(n: Int): String = {
     val docRounds = (1 to n).map { i =>
       s"""      d$i AS MATERIALIZED (SELECT doc_id, list_transform(toks,
          |                tk -> replace(tk,
@@ -973,7 +976,7 @@ $rounds"""
                  chr(1) || '\\1' || chr(2), 'g')) AS toks
              FROM documents),
 $docRounds,
-      enc AS (SELECT doc_id,
+      enc AS MATERIALIZED (SELECT doc_id,
         CAST(len(toks) AS INT) AS n_ws_tokens,
         CAST(coalesce(list_sum(list_transform(toks,
           tk -> length(tk) - length(replace(tk, chr(1), '')))), 0)
@@ -982,13 +985,16 @@ $docRounds,
           tk -> length(replace(tk, chr(1), ''))
             - (length(tk) - length(replace(tk, chr(1), ''))))), 0)
           AS BIGINT) AS n_chars
-      FROM d$n)
+      FROM d$n)"""
+  }
+
+  private def bpeEncodeOracle(n: Int): String =
+    s"""${bpeEncodeCtes(n)}
       SELECT doc_id, n_ws_tokens, n_bpe_tokens, n_chars,
         CASE WHEN n_bpe_tokens = 0 THEN 0.0
              ELSE round(CAST(n_chars AS DOUBLE) / n_bpe_tokens, 4) END
           AS compression
       FROM enc"""
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> ((s: SparkSession, d: String) => textBpeTrain(s, d)),
