@@ -22,6 +22,13 @@ import graft.sources.Sources
   * Curation mode: `--curate <corpusDir> --out <dir>` runs the full
   * training-data prep pipeline (Curation.corpusCurate) over the corpus
   * and lands the curated doc set as parquet instead.
+  *
+  * Index mode: `--build-index <corpusDir> --out <dir>` runs the
+  * ingest-time index jobs and PERSISTS their artifacts (dedup signature
+  * sketch + verified pairs, IVF codebook + assignment + radii) — the
+  * nightly job after which no query session ever re-shingles or
+  * re-scans the corpus (load via Dedup.loadDedupIndex /
+  * Similarity.loadIvfIndex).
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -44,6 +51,19 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
+
+    opts.get("build-index") match {
+      case Some(corpus) =>
+        operators.Dedup.buildIndexes(spark, corpus)
+        operators.Dedup.saveDedupIndex(spark, corpus, s"$out/dedup_index")
+        operators.Similarity.buildIvfIndex(spark, corpus)
+        operators.Similarity.saveIvfIndex(spark, corpus, s"$out/ivf_index")
+        println(s"indexes saved: $out/dedup_index $out/ivf_index")
+        GraftSession.release(spark)
+        spark.stop()
+        return
+      case None => ()
+    }
 
     opts.get("curate") match {
       case Some(corpus) =>
