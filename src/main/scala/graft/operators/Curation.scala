@@ -344,6 +344,74 @@ object Curation {
     out
   }
 
+  /** Triangle census over the near-dup pair graph — the closure signal
+    * PageRank misses. A doc whose neighbors are ALSO pairwise near-dups
+    * sits inside a dense duplication clique (template families, mirror
+    * farms); a doc with high degree but zero triangles is a hub stitching
+    * unrelated near-dup chains (often a boilerplate-heavy page that
+    * partially matches everything). The local clustering coefficient
+    * 2·T(v) ∕ deg(v)·(deg(v)−1) separates the two, which is exactly what
+    * a curation policy needs when deciding "drop the whole clique" vs
+    * "keep the hub, drop its spokes".
+    *
+    * Scale shape — Schank–Wagner degree orientation, the MapReduce
+    * triangle-counting standard (Suri & Vassilvitskii, WWW'11): every
+    * edge is oriented toward its (degree, id)-larger endpoint, so each
+    * triangle is enumerated exactly once at its smallest vertex and the
+    * wedge self-join's volume is Σ_v outdeg(v)² = O(|E|^{3∕2}) worst
+    * case instead of Σ_v deg(v)² (which a hot hub makes quadratic).
+    * Edges come from the memoized MinHash candidate index (no
+    * re-pairing), and the hot-bucket anchor-star guard upstream already
+    * caps clique blowup from giant duplicate clusters. All joins are
+    * equi-joins on node ids; the oriented-edge frame is checkpointed
+    * once and probed three times (both wedge legs + the closing edge).
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupMinhashLsh(spark, dir).select(col("da"), col("db"))
+    val scratch = scala.collection.mutable.Buffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); scratch += c; c
+    }
+    val und = ckpt(pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst"))))
+    val deg = ckpt(und.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+      .select(col("src").as("node"), col("deg"))
+    // ≺ = (deg, id) total order; keep only ≺-increasing edges, carrying
+    // the destination's degree so the wedge legs can be ≺-compared
+    // without re-joining deg.
+    val oe = ckpt(und
+      .join(deg.select(col("node").as("sn"), col("deg").as("sd")),
+        col("src") === col("sn"))
+      .join(deg.select(col("node").as("dn"), col("deg").as("dd")),
+        col("dst") === col("dn"))
+      .filter(struct(col("sd"), col("src")) < struct(col("dd"), col("dst")))
+      .select(col("src"), col("dst"), col("dd")))
+    // wedge (a→b, a→c) with b ≺ c closes iff oriented edge b→c exists;
+    // orientation guarantees each triangle {a≺b≺c} is counted once.
+    val tri = oe.as("e1")
+      .join(oe.as("e2"), col("e1.src") === col("e2.src") &&
+        struct(col("e1.dd"), col("e1.dst")) <
+          struct(col("e2.dd"), col("e2.dst")))
+      .join(oe.as("e3"), col("e3.src") === col("e1.dst") &&
+        col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("ta"), col("e1.dst").as("tb"),
+        col("e2.dst").as("tc"))
+    val perNode = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    val out = deg.join(perNode, Seq("node"), "left_outer")
+      .select(col("node").as("doc_id"), col("deg").cast("long").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1))), 6))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint() // eager: safe to drop the scratch frames
+    scratch.foreach(freeCheckpoint)
+    out
+  }
+
   /** The stratum membership predicate: first byte of md5(doc_id) under the
     * per-language rate — 128/256 for English, 64/256 otherwise.
     */
@@ -836,6 +904,7 @@ object Curation {
     "cur_shard_plan" -> ((s, d) => shardPlan(s, d)),
     "cur_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "graph_pagerank" -> ((s, d) => graphPagerank(s, d)),
+    "graph_triangles" -> ((s, d) => graphTriangles(s, d)),
     "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "cur_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "cur_corpus_curate" -> ((s, d) => corpusCurate(s, d)),
@@ -1075,6 +1144,31 @@ object Curation {
       FROM r$PagerankIters JOIN deg d ON r$PagerankIters.node = d.node
       ORDER BY pagerank DESC, doc_id ASC"""
     },
+    "graph_triangles" -> s"""
+      WITH ${Dedup.minhashPairsCte},
+      und AS (SELECT da AS src, db AS dst FROM pairs
+              UNION ALL SELECT db, da FROM pairs),
+      deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+      oe AS (SELECT u.src, u.dst, dd.deg AS dd
+             FROM und u JOIN deg ds ON u.src = ds.node
+                        JOIN deg dd ON u.dst = dd.node
+             WHERE (ds.deg, u.src) < (dd.deg, u.dst)),
+      tri AS (SELECT e1.src AS ta, e1.dst AS tb, e2.dst AS tc
+              FROM oe e1 JOIN oe e2 ON e1.src = e2.src
+                AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+              JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      pn AS (SELECT node, count(*) AS n_tri FROM (
+               SELECT ta AS node FROM tri
+               UNION ALL SELECT tb FROM tri
+               UNION ALL SELECT tc FROM tri)
+             GROUP BY 1)
+      SELECT d.node AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+        CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_triangles,
+        CASE WHEN d.deg >= 2
+          THEN round(2.0 * coalesce(p.n_tri, 0) / (d.deg * (d.deg - 1)), 6)
+          ELSE 0.0 END AS clustering_coeff
+      FROM deg d LEFT JOIN pn p ON d.node = p.node
+      ORDER BY doc_id""",
     "cur_split_leakfree" -> s"""
       WITH RECURSIVE ${Dedup.minhashPairsCte},
       edges AS (SELECT da AS src, db AS dst FROM pairs
