@@ -125,6 +125,11 @@ object Bench {
     "text_bpe_train", "text_bpe_encode", "a19_histogram_quantiles",
     "ev_attribution_multi", "text_classifier_train", "mm_shot_boundary",
     "cur_token_budget_bpe",
+    // round-13b additions: triangle census over the pair graph, corpus
+    // Zipf/Heaps law report, STL seasonal-trend decomposition (the LSH
+    // recall audit stays unbenched — its ground-truth side is the
+    // quarantined quadratic baseline)
+    "graph_triangles", "text_zipf", "ts_stl",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -241,8 +241,14 @@ object Dedup {
     * count table is O(docs) rows, the same convention
     * [[dedupContainment]] documents.
     */
+  /** Default τ for the registered eval query; [[dedupLshRecall]] calls
+    * with [[RecallTau]] to match the LSH index's own admission threshold.
+    */
+  private[operators] val NgramTau = 0.8
+
   def dedupNgramJaccard(spark: SparkSession, dir: String,
-      maxRows: Long = EvalBaselineMaxRows): DataFrame = {
+      maxRows: Long = EvalBaselineMaxRows,
+      tau: Double = NgramTau): DataFrame = {
     requireEvalScale(t(spark, dir, "documents"), "dedupNgramJaccard", maxRows)
     val sh = docShingles(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("s")).distinct()
@@ -258,8 +264,42 @@ object Dedup {
         .withColumnRenamed("c", "cb"), "db")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= tau)
       .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** Sketch-quality audit: recall AND precision of the MinHash-LSH
+    * candidate index against exact set-Jaccard ground truth at the
+    * index's own admission threshold (τ = 0.5) — the dedup analog of
+    * [[Similarity]]'s recall@k for ANN. The number a 100 TB rollout
+    * decision actually needs ("what fraction of true near-dup pairs
+    * does the 8-permutation × 4-band index surface, and how much junk
+    * rides along?") measured instead of assumed.
+    *
+    * EVAL ONLY: the ground-truth side is the quadratic
+    * [[dedupNgramJaccard]] baseline (LSH is its scale path), so the
+    * same input-size cap guards this query. Run it on a bounded sample;
+    * the production index itself never needs it.
+    */
+  private[operators] val RecallTau = 0.5
+
+  def dedupLshRecall(spark: SparkSession, dir: String,
+      maxRows: Long = EvalBaselineMaxRows): DataFrame = {
+    val exact = dedupNgramJaccard(spark, dir, maxRows, tau = RecallTau)
+      .select(col("da"), col("db"), lit(1).as("e"))
+    val lsh = dedupMinhashLsh(spark, dir)
+      .select(col("da"), col("db"), lit(1).as("l"))
+    exact.join(lsh, Seq("da", "db"), "full_outer")
+      .agg(count(col("e")).as("n_exact"), count(col("l")).as("n_lsh"),
+        sum(when(col("e").isNotNull && col("l").isNotNull, 1L).otherwise(0L))
+          .as("n_hit"))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        when(col("n_exact") > 0,
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
+          .as("recall"),
+        when(col("n_lsh") > 0,
+          round(col("n_hit").cast("double") / col("n_lsh"), 6))
+          .as("precision"))
   }
 
   /** BOTH verified candidate-pair indexes in ONE persisted frame
@@ -608,6 +648,8 @@ object Dedup {
     "dedup_fuzzy_verify" -> ((s: SparkSession, d: String) => dedupFuzzyVerify(s, d)),
     "dedup_ngram_jaccard" ->
       ((s: SparkSession, d: String) => dedupNgramJaccard(s, d)),
+    "dedup_lsh_recall" ->
+      ((s: SparkSession, d: String) => dedupLshRecall(s, d)),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" ->
@@ -741,7 +783,31 @@ object Dedup {
                 GROUP BY 1, 2)
       SELECT da, db, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
       FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
-      WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.8""",
+      WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= $NgramTau""",
+    "dedup_lsh_recall" -> s"""
+      WITH $minhashPairsCte,
+      cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      exact AS (SELECT da, db FROM inter
+                JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+                WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= $RecallTau),
+      j AS (SELECT CASE WHEN e.da IS NOT NULL THEN 1 END AS e,
+                   CASE WHEN p.da IS NOT NULL THEN 1 END AS l
+            FROM exact e FULL OUTER JOIN pairs p
+              ON e.da = p.da AND e.db = p.db),
+      a AS (SELECT CAST(count(e) AS BIGINT) AS n_exact,
+              CAST(count(l) AS BIGINT) AS n_lsh,
+              CAST(sum(CASE WHEN e IS NOT NULL AND l IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+            FROM j)
+      SELECT n_exact, n_lsh, n_hit,
+        CASE WHEN n_exact > 0
+          THEN round(CAST(n_hit AS DOUBLE) / n_exact, 6) END AS recall,
+        CASE WHEN n_lsh > 0
+          THEN round(CAST(n_hit AS DOUBLE) / n_lsh, 6) END AS precision
+      FROM a""",
     "dedup_minhash_lsh" -> s"""
       WITH $minhashPairsCte
       SELECT da, db, sim_est FROM pairs""",

@@ -205,6 +205,68 @@ object EventAnalytics {
         last(col("total_value"), ignoreNulls = true).over(w))
   }
 
+  /** STL-style seasonal-trend decomposition of the per-type daily event
+    * series: y = trend + seasonal + resid, with trend a centered 7-day
+    * moving average (defined only where the full window exists),
+    * seasonal the zero-mean day-of-week profile of the detrended
+    * series, and resid the remainder a monitoring rule alerts on —
+    * deseasonalized residuals are what make "traffic dropped" detectable
+    * on a weekend without a weekday-shaped false alarm.
+    *
+    * Scale shape: the raw fact reduces to the (event_type, day) daily
+    * frame FIRST (the memoized dailyAgg — one shuffle with partial
+    * aggregation); everything after runs over O(types × days) rows:
+    * per-type windows for the moving average, a (type, dow) 7-row
+    * profile, and a join back. State never exceeds the calendar, no
+    * matter the corpus size.
+    *
+    * Cross-engine determinism: all sums run in integer micro-units
+    * (y·1e6) so partition order cannot perturb them; each average is
+    * one exact-long sum, one IEEE division, one round — identical in
+    * both engines (the text_lm_score idiom).
+    */
+  def tsStl(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyAgg(spark, dir)
+      .select(col("event_type"), col("day"), col("n_events").as("y"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val dense = spine.join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), col("day"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val tr = dense
+      .withColumn("win_n", count(lit(1)).over(w7))
+      .withColumn("trend_u",
+        when(col("win_n") === 7,
+          round(sum(col("y")).over(w7).cast("double") * 1e6 / 7)
+            .cast("long")))
+      .withColumn("detrend_u",
+        when(col("trend_u").isNotNull, col("y") * 1000000L - col("trend_u")))
+      .withColumn("dow", weekday(col("day")) + 1)
+    val season = tr.filter(col("detrend_u").isNotNull)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(round(sum(col("detrend_u")).cast("double") / count(lit(1)))
+        .cast("long").as("raw_u"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val seasonNorm = season
+      .withColumn("mean_u",
+        round(sum(col("raw_u")).over(wAll).cast("double") /
+          count(lit(1)).over(wAll)).cast("long"))
+      .select(col("event_type"), col("dow"),
+        (col("raw_u") - col("mean_u")).as("seasonal_u"))
+    tr.join(seasonNorm, Seq("event_type", "dow"), "left_outer")
+      .select(col("event_type"), col("day"), col("y").as("n_events"),
+        round(col("trend_u").cast("double") / 1e6, 6).as("trend"),
+        when(col("trend_u").isNotNull,
+          round(col("seasonal_u").cast("double") / 1e6, 6)).as("seasonal"),
+        when(col("trend_u").isNotNull,
+          round((col("detrend_u") - col("seasonal_u")).cast("double") / 1e6,
+            6)).as("resid"))
+  }
+
   /** EV3 — weekly cohort retention: users grouped by first-active week,
     * distinct actives per (cohort, week offset) — the retention matrix a
     * product-analytics user reads as a triangle. Plan: one distinct over
@@ -636,6 +698,7 @@ object EventAnalytics {
     "ev_conversions_outer" -> (evConversionsOuter _),
     "ev_funnel" -> (evFunnel _),
     "ts_gapfill" -> (tsGapfill _),
+    "ts_stl" -> (tsStl _),
     "ev_retention" -> (evRetention _),
     "ev_attribution" -> (evAttribution _),
     "ev_attribution_multi" -> (evAttributionMulti _),
@@ -894,6 +957,51 @@ object EventAnalytics {
           PARTITION BY event_type ORDER BY day
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value
       FROM filled""",
+    "ts_stl" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        FROM events GROUP BY 1, 2),
+      bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+                 FROM daily GROUP BY 1),
+      spine AS (SELECT event_type,
+          CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+            CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds),
+      dense AS (SELECT s.event_type, s.day,
+          CAST(coalesce(d.y, 0) AS BIGINT) AS y
+        FROM spine s LEFT JOIN daily d
+          ON s.event_type = d.event_type AND s.day = d.day),
+      tr AS (SELECT event_type, day, y,
+          count(*) OVER w AS win_n,
+          CAST(round(CAST(sum(y) OVER w AS DOUBLE) * 1e6 / 7) AS BIGINT)
+            AS sum_u
+        FROM dense
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      tr2 AS (SELECT event_type, day, y,
+          CASE WHEN win_n = 7 THEN sum_u END AS trend_u,
+          CASE WHEN win_n = 7 THEN y * 1000000 - sum_u END AS detrend_u,
+          isodow(day) AS dow
+        FROM tr),
+      season AS (SELECT event_type, dow,
+          CAST(round(CAST(sum(detrend_u) AS DOUBLE) / count(*)) AS BIGINT)
+            AS raw_u
+        FROM tr2 WHERE detrend_u IS NOT NULL GROUP BY 1, 2),
+      sn AS (SELECT event_type, dow,
+          raw_u - CAST(round(
+            CAST(sum(raw_u) OVER (PARTITION BY event_type) AS DOUBLE)
+            / count(*) OVER (PARTITION BY event_type)) AS BIGINT)
+            AS seasonal_u
+        FROM season)
+      SELECT t.event_type, t.day, t.y AS n_events,
+        round(CAST(t.trend_u AS DOUBLE) / 1e6, 6) AS trend,
+        CASE WHEN t.trend_u IS NOT NULL
+          THEN round(CAST(s.seasonal_u AS DOUBLE) / 1e6, 6) END AS seasonal,
+        CASE WHEN t.trend_u IS NOT NULL
+          THEN round(CAST(t.detrend_u - s.seasonal_u AS DOUBLE) / 1e6, 6) END
+          AS resid
+      FROM tr2 t LEFT JOIN sn s
+        ON t.event_type = s.event_type AND t.dow = s.dow""",
     "ev_retention" -> """
       WITH active AS (
         SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week

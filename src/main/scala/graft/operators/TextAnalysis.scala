@@ -415,6 +415,56 @@ ${if (eval) evalTail(rounds) else trainTail(rounds)}"""
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
 
+  /** Corpus-law report: Zipf slope over the head of the frequency
+    * distribution plus the vocabulary summary (types, hapax legomena,
+    * type-token ratio). A training-data pipeline reads this as a corpus
+    * HEALTH check — a natural-language corpus fits ln(freq) ≈ a − s·ln
+    * (rank) with s near 1; machine-generated or boilerplate-heavy
+    * corpora bend the head (s far from 1) and template floods collapse
+    * the hapax share. One number per corpus snapshot, cheap enough to
+    * track per ingest batch.
+    *
+    * Scale shape: ONE token-frequency aggregation (map-side explode,
+    * partial+final combine on the token key) feeds both the O(1)-row
+    * summary and the top-N head; the head is TakeOrderedAndProject
+    * (per-partition heaps, never a global sort), and the least-squares
+    * fit runs over N=100 rows. The final join is a broadcast of two
+    * 1-row aggregates — the pct-of-total shape.
+    *
+    * Cross-engine determinism: the fit's sums run over integer-micro
+    * log coordinates (round(ln·1e6) per point — the text_lm_score
+    * idiom), so Σx, Σy, Σxy, Σxx are exact longs in any partition
+    * order and the slope is one IEEE division on identical integers.
+    */
+  def textZipf(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val summary = counts.agg(
+      sum(col("n")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val top = counts.orderBy(col("n").desc, col("tok").asc).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("tok").asc)))
+    val pts = top.select(
+      round(log(col("rank").cast("double")) * 1e6).cast("long").as("xu"),
+      round(log(col("n").cast("double")) * 1e6).cast("long").as("yu"))
+    val fit = pts
+      .agg(count(lit(1)).as("m"), sum(col("xu")).as("sx"),
+        sum(col("yu")).as("sy"), sum(col("xu") * col("yu")).as("sxy"),
+        sum(col("xu") * col("xu")).as("sxx"))
+      .select(col("m").cast("long").as("n_fit_points"),
+        round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("m") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"))
+    summary.crossJoin(fit)
+      .select(col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        col("n_fit_points"), col("zipf_slope"))
+  }
+
   /** PII scrubbing: redact emails and IPv4 addresses, count what was
     * removed. The synthetic corpus carries no PII, so the query first
     * INJECTS deterministic PII for a subset of docs (doc_id-derived email
@@ -1008,6 +1058,7 @@ $docRounds,
     "text_entropy" -> (textEntropy _),
     "text_lm_score" -> (textLmScore _),
     "text_token_topk" -> ((s: SparkSession, d: String) => textTokenTopk(s, d)),
+    "text_zipf" -> ((s: SparkSession, d: String) => textZipf(s, d)),
     "text_tokens" -> (textTokens _),
     "text_classifier_score" -> (textClassifierScore _),
     "text_winnowing" -> (textWinnowing _),
@@ -1080,6 +1131,33 @@ $docRounds,
       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       WHERE tok <> ''
       GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 20""",
+    "text_zipf" -> """
+      WITH c AS (
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY 1),
+      s AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+              count(*) AS n_types,
+              CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hapax
+            FROM c),
+      top AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank
+              FROM (SELECT n, tok FROM c ORDER BY n DESC, tok ASC LIMIT 100)),
+      pts AS (SELECT
+                CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS xu,
+                CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS yu
+              FROM top),
+      f AS (SELECT count(*) AS m,
+              CAST(sum(xu) AS BIGINT) AS sx, CAST(sum(yu) AS BIGINT) AS sy,
+              CAST(sum(xu * yu) AS BIGINT) AS sxy,
+              CAST(sum(xu * xu) AS BIGINT) AS sxx
+            FROM pts)
+      SELECT s.n_tokens, s.n_types, s.n_hapax,
+        round(CAST(s.n_types AS DOUBLE) / s.n_tokens, 6) AS ttr,
+        CAST(f.m AS BIGINT) AS n_fit_points,
+        round(CAST(f.m * f.sxy - f.sx * f.sy AS DOUBLE) /
+              (f.m * f.sxx - f.sx * f.sx), 6) AS zipf_slope
+      FROM s, f""",
     "text_tokens" -> """
       SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
              len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))

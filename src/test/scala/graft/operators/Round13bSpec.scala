@@ -47,4 +47,88 @@ class Round13bSpec extends AnyFunSuite {
     val ids = out.map(_.getLong(0)).toSeq
     assert(ids == ids.sorted)
   }
+
+  test("text_zipf: summary and integer-micro least-squares slope match a " +
+      "driver-side recompute from raw token counts") {
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val counts = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (tok, xs) => tok -> xs.length.toLong }
+    val top = counts.toSeq.sortBy { case (tok, n) => (-n, tok) }.take(100)
+    val pts = top.zipWithIndex.map { case ((_, n), i) =>
+      (math.rint(math.log(i + 1.0) * 1e6).toLong,
+        math.rint(math.log(n.toDouble) * 1e6).toLong)
+    }
+    val m = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map { case (x, y) => x * y }.sum
+    val sxx = pts.map { case (x, _) => x * x }.sum
+    val slope =
+      math.rint((m * sxy - sx * sy).toDouble / (m * sxx - sx * sx) * 1e6) / 1e6
+    val r = TextAnalysis.textZipf(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == counts.values.sum)
+    assert(r.getAs[Long]("n_types") == counts.size.toLong)
+    assert(r.getAs[Long]("n_hapax") == counts.values.count(_ == 1L).toLong)
+    assert(r.getAs[Long]("n_fit_points") == m)
+    assert(r.getAs[Double]("zipf_slope") == slope)
+    // a frequency-ranked corpus always fits with non-positive slope
+    assert(r.getAs[Double]("zipf_slope") <= 0.0)
+  }
+
+  test("ts_stl: decomposition identity holds, trend is null exactly at " +
+      "the 3-day edges, seasonal is a zero-mean day-of-week profile") {
+    val rows = EventAnalytics.tsStl(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      // centered 7-day MA: undefined for the first and last 3 days only
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val defined = i >= 3 && i < sorted.length - 3
+        assert(r.isNullAt(3) == !defined,
+          s"trend null-ness at index $i of ${sorted.length}")
+        assert(r.isNullAt(4) == !defined && r.isNullAt(5) == !defined)
+        if (defined) {
+          // y = trend + seasonal + resid (terms are exact micro multiples)
+          val y = r.getLong(2).toDouble
+          val sum3 = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+          assert(math.abs(sum3 - y) < 1e-6, s"identity: $sum3 vs $y")
+          // trend really is the 7-day centered mean
+          val win = sorted.slice(i - 3, i + 4).map(_.getLong(2)).sum
+          val expTrend = math.rint(win.toDouble * 1e6 / 7) / 1e6
+          assert(math.abs(r.getDouble(3) - expTrend) < 1e-9)
+        }
+      }
+      // day-of-week profile sums to ~0 over one distinct week
+      val perDow = sorted.filter(!_.isNullAt(4))
+        .map(r => r.getDate(1).toLocalDate.getDayOfWeek.getValue ->
+          r.getDouble(4)).toMap
+      if (perDow.size == 7)
+        assert(math.abs(perDow.values.sum) < 7e-6,
+          s"seasonal profile not zero-mean: ${perDow.values.sum}")
+    }
+  }
+
+  test("dedup_lsh_recall: metrics match driver-side set arithmetic over " +
+      "the exact and LSH pair sets; the eval-scale guard trips loudly") {
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.dedupNgramJaccard(spark, dir, tau = 0.5))
+    val lsh = pairSet(Dedup.dedupMinhashLsh(spark, dir))
+    assert(exact.nonEmpty, "fixture should plant true near-dup pairs")
+    val hit = (exact intersect lsh).size.toLong
+    val r = Dedup.dedupLshRecall(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_exact") == exact.size.toLong)
+    assert(r.getAs[Long]("n_lsh") == lsh.size.toLong)
+    assert(r.getAs[Long]("n_hit") == hit)
+    assert(r.getAs[Double]("recall") ==
+      math.rint(hit.toDouble / exact.size * 1e6) / 1e6)
+    assert(r.getAs[Double]("precision") ==
+      math.rint(hit.toDouble / lsh.size * 1e6) / 1e6)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupLshRecall(spark, dir, maxRows = 1)
+    }
+    assert(e.getMessage.contains("EVAL baseline"))
+  }
 }
