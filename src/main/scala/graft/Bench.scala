@@ -130,6 +130,7 @@ object Bench {
     // recall audit stays unbenched — its ground-truth side is the
     // quarantined quadratic baseline)
     "graph_triangles", "text_zipf", "ts_stl",
+    "ts_changepoint", "dq_benford",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -267,6 +267,47 @@ object EventAnalytics {
             6)).as("resid"))
   }
 
+  /** CUSUM change-point detection over the per-type daily series — the
+    * monitoring primitive that catches a SUSTAINED small shift (a feed
+    * silently dropping 10% of events) that per-day z-score anomaly
+    * checks ([[tsAnomaly]]) structurally miss. Tabular CUSUM with
+    * allowance k = μ∕[[CusumAllowanceDiv]] and decision threshold h = μ:
+    * alert when either one-sided statistic exceeds h.
+    *
+    * Scale + determinism: the textbook recursion sᵢ = max(0, sᵢ₋₁ + devᵢ)
+    * is NOT folded sequentially — it is rewritten with the prefix-sum
+    * identity sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ), so both one-sided
+    * statistics are plain unbounded-preceding windows over the reduced
+    * O(types × days) daily frame. All terms are integer micro-units
+    * (exact longs under any partition order); both engines run the
+    * identical window algebra.
+    */
+  private[operators] val CusumAllowanceDiv = 20L
+
+  def tsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyAgg(spark, dir)
+      .select(col("event_type"), col("day"), col("n_events").as("y"))
+    val mu = daily.groupBy(col("event_type"))
+      .agg(round(sum(col("y")).cast("double") * 1e6 / count(lit(1)))
+        .cast("long").as("mu_u"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = daily.join(mu, "event_type")
+      .withColumn("k_u", expr(s"mu_u DIV $CusumAllowanceDiv"))
+      .withColumn("dev_up", col("y") * 1000000L - col("mu_u") - col("k_u"))
+      .withColumn("dev_dn", col("y") * 1000000L - col("mu_u") + col("k_u"))
+      .withColumn("p_up", sum(col("dev_up")).over(wCum))
+      .withColumn("p_dn", sum(col("dev_dn")).over(wCum))
+      .withColumn("up_u",
+        col("p_up") - least(min(col("p_up")).over(wCum), lit(0L)))
+      .withColumn("dn_u",
+        greatest(max(col("p_dn")).over(wCum), lit(0L)) - col("p_dn"))
+    base.select(col("event_type"), col("day"), col("y").as("n_events"),
+      round(col("up_u").cast("double") / 1e6, 6).as("cusum_up"),
+      round(col("dn_u").cast("double") / 1e6, 6).as("cusum_down"),
+      (col("up_u") > col("mu_u") || col("dn_u") > col("mu_u")).as("alert"))
+  }
+
   /** EV3 — weekly cohort retention: users grouped by first-active week,
     * distinct actives per (cohort, week offset) — the retention matrix a
     * product-analytics user reads as a triangle. Plan: one distinct over
@@ -699,6 +740,7 @@ object EventAnalytics {
     "ev_funnel" -> (evFunnel _),
     "ts_gapfill" -> (tsGapfill _),
     "ts_stl" -> (tsStl _),
+    "ts_changepoint" -> (tsChangepoint _),
     "ev_retention" -> (evRetention _),
     "ev_attribution" -> (evAttribution _),
     "ev_attribution_multi" -> (evAttributionMulti _),
@@ -957,6 +999,32 @@ object EventAnalytics {
           PARTITION BY event_type ORDER BY day
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value
       FROM filled""",
+    "ts_changepoint" -> s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        FROM events GROUP BY 1, 2),
+      mu AS (SELECT event_type,
+          CAST(round(CAST(sum(y) AS DOUBLE) * 1e6 / count(*)) AS BIGINT)
+            AS mu_u
+        FROM daily GROUP BY 1),
+      b AS (SELECT d.event_type, d.day, d.y, m.mu_u,
+              m.mu_u // $CusumAllowanceDiv AS k_u
+            FROM daily d JOIN mu m USING (event_type)),
+      p AS (SELECT *,
+          sum(y * 1000000 - mu_u - k_u) OVER w AS p_up,
+          sum(y * 1000000 - mu_u + k_u) OVER w AS p_dn
+        FROM b WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      s AS (SELECT *,
+          p_up - least(min(p_up) OVER w, 0) AS up_u,
+          greatest(max(p_dn) OVER w, 0) - p_dn AS dn_u
+        FROM p WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_type, day, CAST(y AS BIGINT) AS n_events,
+        round(CAST(up_u AS DOUBLE) / 1e6, 6) AS cusum_up,
+        round(CAST(dn_u AS DOUBLE) / 1e6, 6) AS cusum_down,
+        (up_u > mu_u OR dn_u > mu_u) AS alert
+      FROM s""",
     "ts_stl" -> """
       WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y

@@ -345,7 +345,39 @@ object Profiling {
         Seq("vec_id")))
   }
 
+  /** Benford first-digit audit over the money column — the forensic DQ
+    * check for FABRICATED or system-generated numeric data: organically
+    * grown amounts follow log₁₀(1+1∕d) first-digit frequencies, while
+    * synthetic/defaulted/capped feeds bend the curve (uniform generators
+    * show it hardest — which this fixture's prices do, making the
+    * deviation column the interesting output, not a vacuous pass).
+    * Emits one row per leading digit: observed count/share, the Benford
+    * expectation, and |obs − exp|.
+    *
+    * Scale shape: one pruned scan → map-side digit extraction → a 9-row
+    * aggregate; the share denominator is a window over the 9-row frame.
+    * Digit extraction goes through the EXACT cent representation
+    * (round(price·100) as long → first char of its decimal string), so
+    * no float log₁₀ boundary can misclassify 999.99… vs 1000.
+    */
+  def dqBenford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = t(spark, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+    val w9 = Window.partitionBy()
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(w9), 6))
+      .withColumn("benford_p",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("abs_dev", round(abs(col("share") - col("benford_p")), 6))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_benford" -> (dqBenford _),
     "dq_uniqueness" -> (dqUniqueness _),
     "dq_referential" -> (dqReferential _),
     "dq_freshness" -> (dqFreshness _),
@@ -358,6 +390,20 @@ object Profiling {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_benford" -> """
+      WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM lineitem
+        WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
+      g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
+      SELECT digit, CAST(n AS BIGINT) AS n,
+        round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
+          AS share,
+        round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+        round(abs(round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
+          - round(log10(1.0 + 1.0 / digit), 6)), 6) AS abs_dev
+      FROM g ORDER BY digit""",
     "dq_uniqueness" -> """
       WITH a AS (
         SELECT 'orders' AS table_name, 'o_orderkey' AS key_cols,

@@ -131,4 +131,47 @@ class Round13bSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("EVAL baseline"))
   }
+
+  test("ts_changepoint: the window-identity CUSUM equals the textbook " +
+      "sequential recursion, alerts fire iff a statistic exceeds mu") {
+    val rows = EventAnalytics.tsChangepoint(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      val ys = sorted.map(_.getLong(2))
+      val muU = math.rint(ys.sum.toDouble * 1e6 / ys.length).toLong
+      val kU = muU / 20L
+      var (up, dn) = (0L, 0L)
+      sorted.zip(ys).foreach { case (r, y) =>
+        up = math.max(0L, up + (y * 1000000L - muU - kU))
+        dn = math.max(0L, dn - (y * 1000000L - muU + kU))
+        assert(r.getDouble(3) == math.rint(up.toDouble / 1e6 * 1e6) / 1e6,
+          s"cusum_up at ${r.getDate(1)}")
+        assert(r.getDouble(4) == math.rint(dn.toDouble / 1e6 * 1e6) / 1e6,
+          s"cusum_down at ${r.getDate(1)}")
+        assert(r.getBoolean(5) == (up > muU || dn > muU))
+      }
+    }
+  }
+
+  test("dq_benford: digit histogram matches a driver recompute over " +
+      "exact cents, shares sum to 1, expectations follow log10(1+1/d)") {
+    val cents = graft.Tables.t(spark, dir, "lineitem")
+      .select("l_extendedprice").collect()
+      .map(r => math.rint(r.getDouble(0) * 100).toLong).filter(_ > 0)
+    val hist = cents.map(_.toString.head.asDigit).groupBy(identity)
+      .map { case (d, xs) => d -> xs.length.toLong }
+    val total = hist.values.sum
+    val out = Profiling.dqBenford(spark, dir).collect()
+    assert(out.map(_.getInt(0)).toSeq == (1 to 9).filter(hist.contains))
+    out.foreach { r =>
+      val (d, n, share, p) =
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n == hist(d))
+      assert(share == math.rint(n.toDouble / total * 1e6) / 1e6)
+      assert(p == math.rint(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6)
+      assert(r.getDouble(4) == math.rint(math.abs(share - p) * 1e6) / 1e6)
+    }
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-5)
+  }
 }
