@@ -131,6 +131,9 @@ object Bench {
     // quarantined quadratic baseline)
     "graph_triangles", "text_zipf", "ts_stl",
     "ts_changepoint", "dq_benford",
+    // round-13c additions: label-propagation communities, the ACF
+    // diagnostic, RAKE keyword extraction
+    "graph_label_prop", "ts_acf", "text_keywords",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -412,6 +412,64 @@ object Curation {
     out
   }
 
+  /** Synchronous label-propagation rounds — fixed so the oracle can
+    * replay the exact same schedule (async LPA is order-dependent). */
+  private[operators] val LabelPropIters = 4
+
+  /** Community detection over the near-dup pair graph by synchronous
+    * label propagation (Raghavan et al. 2007, made deterministic): every
+    * node starts as its own label; each round every node simultaneously
+    * adopts the most frequent label among its neighbors, ties broken by
+    * smallest label. Communities are FINER than connected components
+    * (`cur_dedup_clusters`): a chain of weak near-dup links that hash-min
+    * would fuse into one component splits at its sparse cut, which is the
+    * granularity a curation policy wants for "keep one per template
+    * family" decisions (components over-merge through boilerplate hubs).
+    *
+    * Determinism: synchronous update + (count desc, label asc) argmax is
+    * a pure function of the round number — no dependence on partition
+    * visit order — so DuckDB replays it as k chained CTEs bit-for-bit.
+    *
+    * Scale shape: edges come from the memoized MinHash candidate index
+    * (no re-pairing of the corpus). Each round is ONE shuffle on dst
+    * (the count aggregate) and the per-node argmax window runs on the
+    * already-reduced (node, label, count) frame — partitioned by node,
+    * never global. Per-round `localCheckpoint` truncates lineage exactly
+    * like PageRank; k is a constant, so total work is O(k·|E|).
+    */
+  def graphLabelProp(spark: SparkSession, dir: String,
+      iters: Int = LabelPropIters): DataFrame = {
+    val pairs = Dedup.dedupMinhashLsh(spark, dir).select(col("da"), col("db"))
+    val scratch = scala.collection.mutable.Buffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); scratch += c; c
+    }
+    val edges = ckpt(pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst"))))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val counted = edges.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val wl = Window.partitionBy(col("dst"))
+        .orderBy(col("c").desc, col("label").asc)
+      labels = ckpt(counted
+        .withColumn("rn", row_number().over(wl))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label")))
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("community_size"))
+    val out = labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("community"),
+        col("community_size"))
+      .orderBy(col("community"), col("doc_id"))
+      .localCheckpoint() // eager: safe to drop the per-round frames
+    scratch.foreach(freeCheckpoint)
+    out
+  }
+
   /** The stratum membership predicate: first byte of md5(doc_id) under the
     * per-language rate — 128/256 for English, 64/256 otherwise.
     */
@@ -905,6 +963,7 @@ object Curation {
     "cur_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "graph_pagerank" -> ((s, d) => graphPagerank(s, d)),
     "graph_triangles" -> ((s, d) => graphTriangles(s, d)),
+    "graph_label_prop" -> ((s, d) => graphLabelProp(s, d)),
     "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "cur_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "cur_corpus_curate" -> ((s, d) => corpusCurate(s, d)),
@@ -1169,6 +1228,28 @@ object Curation {
           ELSE 0.0 END AS clustering_coeff
       FROM deg d LEFT JOIN pn p ON d.node = p.node
       ORDER BY doc_id""",
+    "graph_label_prop" -> {
+      val rounds = (1 to LabelPropIters).map { i =>
+        s"""l$i AS (SELECT node, label FROM (
+               SELECT e.dst AS node, r.label, count(*) AS c,
+                 row_number() OVER (PARTITION BY e.dst
+                   ORDER BY count(*) DESC, r.label ASC) AS rn
+               FROM edges e JOIN l${i - 1} r ON e.src = r.node
+               GROUP BY e.dst, r.label)
+             WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH ${Dedup.minhashPairsCte},
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION ALL SELECT db, da FROM pairs),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+      $rounds,
+      sizes AS (SELECT label, count(*) AS community_size
+                FROM l$LabelPropIters GROUP BY 1)
+      SELECT l.node AS doc_id, l.label AS community, s.community_size
+      FROM l$LabelPropIters l JOIN sizes s ON l.label = s.label
+      ORDER BY community, doc_id"""
+    },
     "cur_split_leakfree" -> s"""
       WITH RECURSIVE ${Dedup.minhashPairsCte},
       edges AS (SELECT da AS src, db AS dst FROM pairs

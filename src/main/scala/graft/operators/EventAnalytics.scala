@@ -308,6 +308,41 @@ object EventAnalytics {
       (col("up_u") > col("mu_u") || col("dn_u") > col("mu_u")).as("alert"))
   }
 
+  /** Maximum ACF lag (days). */
+  private[graft] val AcfMaxLag = 7
+
+  /** TS — lag-k autocorrelation function (ACF) of the per-type daily
+    * value series, lags 1..[[AcfMaxLag]], over the observed (gap-skipping)
+    * row order: Pearson correlation of (v_t, v_{t-k}) pairs through the
+    * codegen'd `corr` aggregate. The seasonality/memory diagnostic that
+    * motivates the STL period and the Holt smoothing constants.
+    *
+    * Scale shape: the 100 TB fact first collapses to the bounded
+    * O(types × days) daily frame (the memoized [[dailyAgg]] — one shuffle
+    * with map-side partial aggregation); ONE window pass produces all
+    * seven lag columns, `stack` unpivots without a join, and the final
+    * aggregate runs on |types| × 7 groups. Pairs with fewer than 3
+    * observations are dropped so a degenerate series can never produce a
+    * zero-variance corr (engine-dependent NaN-vs-NULL).
+    */
+  def tsAcf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyAgg(spark, dir)
+      .select(col("event_type"), col("day"), col("total_value").as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = (1 to AcfMaxLag).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"v$k", lag(col("v"), k).over(w))
+    }
+    val stackArgs = (1 to AcfMaxLag).map(k => s"$k, v$k").mkString(", ")
+    lagged
+      .selectExpr("event_type", "v",
+        s"stack($AcfMaxLag, $stackArgs) AS (lag_d, vk)")
+      .filter(col("vk").isNotNull)
+      .groupBy(col("event_type"), col("lag_d").cast("int").as("lag_d"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("v"), col("vk")), 6).as("acf"))
+      .filter(col("n_pairs") >= 3)
+  }
+
   /** EV3 — weekly cohort retention: users grouped by first-active week,
     * distinct actives per (cohort, week offset) — the retention matrix a
     * product-analytics user reads as a triangle. Plan: one distinct over
@@ -741,6 +776,7 @@ object EventAnalytics {
     "ts_gapfill" -> (tsGapfill _),
     "ts_stl" -> (tsStl _),
     "ts_changepoint" -> (tsChangepoint _),
+    "ts_acf" -> (tsAcf _),
     "ev_retention" -> (evRetention _),
     "ev_attribution" -> (evAttribution _),
     "ev_attribution_multi" -> (evAttributionMulti _),
@@ -974,6 +1010,30 @@ object EventAnalytics {
              CAST(coalesce(cc.n_conv_clicks, 0) AS BIGINT) AS n_conv_clicks,
              coalesce(cc.n_conv_clicks, 0) > 0 AS converted
       FROM base b LEFT JOIN cc ON b.user_id = cc.user_id""",
+    "ts_acf" -> {
+      val lagCols = (1 to AcfMaxLag)
+        .map(k => s"lag(v, $k) OVER w AS v$k").mkString(",\n          ")
+      val unions = (1 to AcfMaxLag)
+        .map(k => s"SELECT event_type, $k AS lag_d, v, v$k AS vk FROM l")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+            AS v
+        FROM events GROUP BY 1, 2),
+      l AS (
+        SELECT event_type, v,
+          $lagCols
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)),
+      u AS (
+        $unions)
+      SELECT event_type, CAST(lag_d AS INT) AS lag_d,
+        count(*) AS n_pairs, round(corr(v, vk), 6) AS acf
+      FROM u WHERE vk IS NOT NULL
+      GROUP BY 1, 2 HAVING count(*) >= 3"""
+    },
     "ts_gapfill" -> """
       WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,

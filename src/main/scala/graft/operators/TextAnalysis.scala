@@ -1046,7 +1046,62 @@ $docRounds,
           AS compression
       FROM enc"""
 
+  /** Corpus keywords kept (score desc, phrase asc). */
+  private[graft] val RakeTopK = 20
+
+  /** RAKE keyword extraction (Rose et al. 2010) over the corpus: candidate
+    * phrases are maximal runs of non-stopword tokens (the corpus'
+    * stopwords are 'a'/'the' — the same set the quality scorer counts);
+    * each word scores degree∕frequency where degree sums the lengths of
+    * every phrase occurrence containing the word (co-occurrence incl.
+    * self) and frequency counts occurrences; a phrase scores the sum of
+    * its member words' scores. Top-[[RakeTopK]] phrases corpus-wide.
+    *
+    * Cross-engine exactness: word scores are computed in integer
+    * micro-units (`round(deg·1e6 ∕ freq)` — both engines evaluate the
+    * same IEEE division on the same integers), so the per-phrase sum is
+    * exact long arithmetic with no float association drift; only the
+    * final display division rounds.
+    *
+    * Scale shape: phrase segmentation is one window pass partitioned by
+    * doc_id (the running stopword count is the phrase id — no
+    * self-join), phrase length is a window on the (doc, phrase) key, and
+    * the two aggregates shuffle the word-level frame twice on bounded
+    * keys (vocabulary, then distinct phrases). Final top-k is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def textKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "w")
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val phraseWords = tok
+      .withColumn("is_stop", col("w").isin("a", "the"))
+      .withColumn("pid", sum(col("is_stop").cast("int")).over(wp))
+      .filter(!col("is_stop") && length(col("w")) > 0)
+    val wl = Window.partitionBy(col("doc_id"), col("pid"))
+    val withLen = phraseWords.withColumn("plen", count(lit(1)).over(wl))
+    val wordScores = withLen.groupBy(col("w"))
+      .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+      .select(col("w"),
+        round(col("deg") * lit(1000000.0) / col("freq")).cast("long")
+          .as("wscore_u"))
+    val occ = withLen.join(wordScores, "w")
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"),
+        sum(col("wscore_u")).as("score_u"))
+    occ.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"),
+        round(max(col("score_u")) / lit(1000000.0), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(RakeTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keywords" -> ((s: SparkSession, d: String) => textKeywords(s, d)),
     "text_bpe_train" -> ((s: SparkSession, d: String) => textBpeTrain(s, d)),
     "text_classifier_train" ->
       ((s: SparkSession, d: String) => textClassifierTrain(s, d)),
@@ -1078,6 +1133,34 @@ $docRounds,
   )
 
   val oracle: Map[String, String] = Map(
+    "text_keywords" -> s"""
+      WITH tok AS (
+        SELECT doc_id, g.i AS pos, l[g.i] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             UNNEST(generate_series(1, len(l))) AS g(i)),
+      p AS (
+        SELECT doc_id, pos, w,
+          sum(CASE WHEN w IN ('a', 'the') THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+        FROM tok),
+      wl AS (
+        SELECT doc_id, pid, pos, w,
+          count(*) OVER (PARTITION BY doc_id, pid) AS plen
+        FROM p WHERE w NOT IN ('a', 'the') AND length(w) > 0),
+      ws AS (
+        SELECT w, CAST(round(sum(plen) * 1000000.0 / count(*)) AS BIGINT)
+          AS wscore_u
+        FROM wl GROUP BY 1),
+      occ AS (
+        SELECT wl.doc_id, wl.pid,
+          string_agg(wl.w, ' ' ORDER BY wl.pos) AS phrase,
+          sum(ws.wscore_u) AS score_u
+        FROM wl JOIN ws ON wl.w = ws.w
+        GROUP BY 1, 2)
+      SELECT phrase, count(*) AS n_occ,
+        round(max(score_u) / 1000000.0, 6) AS score
+      FROM occ GROUP BY 1
+      ORDER BY score DESC, phrase ASC LIMIT $RakeTopK""",
     "text_bpe_train" -> bpeTrainOracle(BpeMerges),
     "text_classifier_train" -> classifierTrainOracle(ClassifierTrainRounds),
     "text_classifier_eval" -> classifierEvalOracle(ClassifierTrainRounds),
