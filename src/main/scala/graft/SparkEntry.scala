@@ -23,6 +23,7 @@ object SparkEntry {
     (operators.EventAnalytics.queries, operators.EventAnalytics.oracle),
     (operators.RangeJoin.queries, operators.RangeJoin.oracle),
     (operators.Profiling.queries, operators.Profiling.oracle),
+    (operators.Warehouse.queries, operators.Warehouse.oracle),
     (streaming.EventConsumer.queries, streaming.EventConsumer.oracle),
     (streaming.DocStream.queries, streaming.DocStream.oracle),
   )

@@ -3,6 +3,7 @@ package graft.operators
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -262,6 +263,66 @@ object Dedup {
         .withColumnRenamed("c", "ca"), "da")
       .join(cnt.withColumnRenamed("doc_id", "db")
         .withColumnRenamed("c", "cb"), "db")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** EXACT set-similarity self-join by prefix filtering (the
+    * SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08): emits EXACTLY the pairs with shingle-set Jaccard ≥ τ —
+    * the same result set as the quadratic [[dedupNgramJaccard]]
+    * baseline — from an equi-join plan. Unlike MinHash (probabilistic
+    * recall) this is LOSSLESS: tokens get a global total order
+    * (document frequency asc, shingle asc — rarest first), each doc
+    * keeps only its first |x| − ⌈τ·|x|⌉ + 1 tokens (its "prefix"), and
+    * the prefix-filter theorem guarantees any pair with an overlap
+    * ≥ ⌈τ·max(|x|,|y|)⌉ shares a prefix token, so the candidate join on
+    * prefix tokens misses nothing. Exact Jaccard is then verified on
+    * candidates only.
+    *
+    * Scale shape: candidate volume is Σ_t prefix_count(t)² over PREFIX
+    * occurrences only — high-df tokens sort last and almost never enter
+    * a prefix, which is the whole trick (the quadratic baseline pays
+    * Σ_t count(t)² over ALL occurrences). A length filter
+    * (τ·|x| ≤ |y| ≤ |x|∕τ) prunes candidates the Jaccard bound already
+    * excludes. All joins are equi-joins; the shingle posting frame is
+    * checkpointed once and feeds the df aggregate, the prefix build,
+    * and both verify sides (the containment-index convention). A
+    * pathological corpus whose RARE tokens are still hot would pair
+    * this with the anchor-star bucket guard the banded joins use.
+    */
+  private[operators] val PrefixJoinTau = 0.8
+
+  def dedupPrefixJoin(spark: SparkSession, dir: String,
+      tau: Double = PrefixJoinTau): DataFrame = {
+    val sh = docShingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+      .localCheckpoint() // feeds df agg + prefix build + both verify sides
+    val dfx = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("s"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val pref = sh.join(dfx, "s")
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("c", count(lit(1)).over(wDoc))
+      .filter(col("rn") <= col("c") - ceil(lit(tau) * col("c")) + 1)
+      .select(col("doc_id"), col("s"), col("c"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.c") >= lit(tau) * col("a.c") &&
+          col("a.c") >= lit(tau) * col("b.c"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("da"), col("c").as("ca")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("c").as("cb")), "db")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
       .filter(col("jaccard") >= tau)
@@ -660,6 +721,8 @@ object Dedup {
       ((s: SparkSession, d: String) => dedupWinnowPairs(s, d)),
     "dedup_url" -> (dedupUrl _),
     "dedup_containment" -> ((s: SparkSession, d: String) => dedupContainment(s, d)),
+    "dedup_prefix_join" ->
+      ((s: SparkSession, d: String) => dedupPrefixJoin(s, d)),
   )
 
   private[operators] val shinglesCte = """
@@ -775,6 +838,18 @@ object Dedup {
         round(CAST(i.shared AS DOUBLE) / c.c, 6) AS containment
       FROM inter i JOIN cnt c ON i.src = c.doc_id
       WHERE CAST(i.shared AS DOUBLE) / c.c >= $ContainmentTau""",
+    // the quadratic truth IS the oracle: the prefix filter is lossless by
+    // theorem, so a hash-green run proves the equi-join plan missed no
+    // pair (a lossy filter would diverge from this exact replay)
+    "dedup_prefix_join" -> s"""
+      WITH $shinglesCte,
+      cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT da, db, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
+      FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+      WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= $PrefixJoinTau""",
     "dedup_ngram_jaccard" -> s"""
       WITH $shinglesCte,
       cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),

@@ -343,6 +343,59 @@ object EventAnalytics {
       .filter(col("n_pairs") >= 3)
   }
 
+  /** TS — rolling-origin one-step-ahead forecast backtest of the three
+    * standard zero-parameter forecasters over the per-type daily count
+    * series: naive (ŷ_t = y_{t−1}), seasonal-naive (ŷ_t = y_{t−7} —
+    * [[tsAcf]] motivates the period) and the trailing 3-day mean. Every
+    * observed day is scored with ONLY past observations (the rolling
+    * origin — no look-ahead by construction of the lag frames), which is
+    * the honest protocol for "which forecaster should page the on-call":
+    * MAE ranks accuracy, mean signed error (bias) exposes a forecaster
+    * that is accurate on average but systematically high or low.
+    *
+    * Scale + determinism: the 100 TB fact first collapses to the
+    * memoized O(types × days) daily frame; ONE window pass produces all
+    * lag columns, `stack` unpivots the three methods join-free, and the
+    * final aggregate runs on |types| × 3 groups. Counts are exact longs;
+    * forecasts and errors live in integer micro-units (the ma3 forecast
+    * rounds ·1e6∕3 once), each reported metric is one exact-long sum,
+    * one IEEE division, one round — bit-identical cross-engine under any
+    * partitioning.
+    */
+  def tsBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyAgg(spark, dir)
+      .select(col("event_type"), col("day"), col("n_events").as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = daily
+      .withColumn("l1", lag(col("y"), 1).over(w))
+      .withColumn("l2", lag(col("y"), 2).over(w))
+      .withColumn("l3", lag(col("y"), 3).over(w))
+      .withColumn("l7", lag(col("y"), 7).over(w))
+      .withColumn("f_naive", col("l1") * 1000000L)
+      .withColumn("f_snaive", col("l7") * 1000000L)
+      .withColumn("f_ma3",
+        when(col("l3").isNotNull,
+          round((col("l1") + col("l2") + col("l3")).cast("double") * 1e6 / 3)
+            .cast("long")))
+    lagged
+      .selectExpr("event_type", "y",
+        "stack(3, 'naive', f_naive, 'snaive', f_snaive, 'ma3', f_ma3) " +
+          "AS (method, fc_u)")
+      .filter(col("fc_u").isNotNull)
+      .groupBy(col("event_type"), col("method"))
+      .agg(count(lit(1)).as("n_evals"),
+        sum(abs(col("y") * 1000000L - col("fc_u"))).as("sae_u"),
+        sum(col("y") * 1000000L - col("fc_u")).as("se_u"))
+      // tsStl idiom: round to whole micros FIRST (exact long), then one
+      // display division — round(x, 6) on a ≤6-decimal value is identity
+      // in both engines, so no half-ulp rounding boundary is ever crossed
+      .select(col("event_type"), col("method"), col("n_evals"),
+        (round(col("sae_u").cast("double") / col("n_evals")).cast("long")
+          .cast("double") / 1e6).as("mae"),
+        (round(col("se_u").cast("double") / col("n_evals")).cast("long")
+          .cast("double") / 1e6).as("bias"))
+  }
+
   /** EV3 — weekly cohort retention: users grouped by first-active week,
     * distinct actives per (cohort, week offset) — the retention matrix a
     * product-analytics user reads as a triangle. Plan: one distinct over
@@ -777,6 +830,7 @@ object EventAnalytics {
     "ts_stl" -> (tsStl _),
     "ts_changepoint" -> (tsChangepoint _),
     "ts_acf" -> (tsAcf _),
+    "ts_backtest" -> (tsBacktest _),
     "ev_retention" -> (evRetention _),
     "ev_attribution" -> (evAttribution _),
     "ev_attribution_multi" -> (evAttributionMulti _),
@@ -1034,6 +1088,31 @@ object EventAnalytics {
       FROM u WHERE vk IS NOT NULL
       GROUP BY 1, 2 HAVING count(*) >= 3"""
     },
+    "ts_backtest" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        FROM events GROUP BY 1, 2),
+      l AS (
+        SELECT event_type, y,
+          lag(y, 1) OVER w AS l1, lag(y, 2) OVER w AS l2,
+          lag(y, 3) OVER w AS l3, lag(y, 7) OVER w AS l7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)),
+      f AS (
+        SELECT event_type, y, 'naive' AS method, l1 * 1000000 AS fc_u FROM l
+        UNION ALL
+        SELECT event_type, y, 'snaive', l7 * 1000000 FROM l
+        UNION ALL
+        SELECT event_type, y, 'ma3',
+          CASE WHEN l3 IS NOT NULL
+            THEN CAST(round((l1 + l2 + l3)::DOUBLE * 1e6 / 3) AS BIGINT) END
+        FROM l)
+      SELECT event_type, method, count(*) AS n_evals,
+        CAST(CAST(round(sum(abs(y * 1000000 - fc_u))::DOUBLE / count(*))
+          AS BIGINT) AS DOUBLE) / 1e6 AS mae,
+        CAST(CAST(round(sum(y * 1000000 - fc_u)::DOUBLE / count(*))
+          AS BIGINT) AS DOUBLE) / 1e6 AS bias
+      FROM f WHERE fc_u IS NOT NULL GROUP BY 1, 2""",
     "ts_gapfill" -> """
       WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,

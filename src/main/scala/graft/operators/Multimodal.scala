@@ -440,6 +440,78 @@ object Multimodal {
       .toDF()
   }
 
+  /** Typed row for the audio-segmentation contract. */
+  case class AudioSegments(doc_id: Long, n_windows: Int, n_active: Int,
+    n_segments: Int, longest_run: Int)
+
+  /** Encode a PCM16-LE waveform with PLANTED silence: window w
+    * (64 samples) of doc d is all-zero when (w + d) mod 3 == 0, else the
+    * [[encodePcm16]] sample formula — the arithmetic plan both engines
+    * can replay without touching bytes.
+    */
+  def encodePcm16Gated(docId: Long, n: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      val silent = ((i / 64) + docId) % 3 == 0
+      val s = if (silent) 0
+        else (((docId * 31 + i.toLong * 17) % 2048) - 1024).toInt
+      bb.putShort(s.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Voice-activity segmentation through the REAL byte boundary: render
+    * a PCM16 payload with planted per-window silence ([[encodePcm16Gated]]),
+    * parse the bytes back as little-endian int16, classify each full
+    * 64-sample window as active by its energy (Σ s² > 64·100² — an
+    * integer compare, no float RMS), and fold the active/silent window
+    * sequence into segments (maximal active runs) — the
+    * silence-splitting stage every speech pipeline runs before ASR. The
+    * oracle predicts window activity arithmetically from the silence
+    * plan, so a hash-green run proves the samples crossed the binary
+    * boundary intact (the mm family contract); a real VAD (energy or
+    * model-based) plugs in at the same bytes→windows signature.
+    *
+    * Scale shape: map-side kernel, constant memory per row (the fold
+    * carries one run counter, never the sample buffer), zero shuffle
+    * before the final tiny result.
+    */
+  def mmAudioSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (256 + id % 256).toInt
+        (id, encodePcm16Gated(id, n))
+      })
+      .mapPartitions(_.map { case (id, bytes) =>
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nw = bytes.length / 2 / 64
+        var w = 0; var nActive = 0; var nSeg = 0
+        var run = 0; var longest = 0
+        while (w < nw) {
+          var j = 0; var sumSq = 0L
+          while (j < 64) {
+            val s = bb.getShort((w * 64 + j) * 2).toInt
+            sumSq += s.toLong * s
+            j += 1
+          }
+          if (sumSq > 64L * 100 * 100) {
+            nActive += 1
+            if (run == 0) nSeg += 1
+            run += 1
+            if (run > longest) longest = run
+          } else run = 0
+          w += 1
+        }
+        AudioSegments(id, nw, nActive, nSeg, longest)
+      })
+      .toDF()
+  }
+
   /** VIDEO shot-boundary detection through the REAL codec boundary: each
     * document stands in for a clip of `2 + doc_id % 7` frames with
     * planted cuts every `2 + doc_id % 3` frames; every frame is rendered
@@ -501,6 +573,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_shot_boundary" -> (mmShotBoundary _),
     "mm_audio_stats" -> (mmAudioStats _),
+    "mm_audio_segments" -> (mmAudioSegments _),
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_decode_real" -> (mmDecodeReal _),
     "mm_dhash" -> (mmDhash _),
@@ -595,6 +668,24 @@ object Multimodal {
         round(sqrt(sum(smp * smp)::DOUBLE / n), 6) AS rms,
         round(n / 16000.0, 6) AS duration_s
       FROM v GROUP BY doc_id, n""",
+    "mm_audio_segments" -> """
+      WITH d AS (SELECT doc_id, (256 + doc_id % 256) // 64 AS nw
+                 FROM documents),
+      w AS (SELECT doc_id, nw, unnest(generate_series(0, nw - 1)) AS w
+            FROM d),
+      act AS (SELECT doc_id, w,
+                w - row_number() OVER (PARTITION BY doc_id ORDER BY w)
+                  AS grp
+              FROM w WHERE (w + doc_id) % 3 <> 0),
+      seg AS (SELECT doc_id, grp, count(*) AS len FROM act GROUP BY 1, 2),
+      s AS (SELECT doc_id, sum(len) AS n_active, count(*) AS n_segments,
+              max(len) AS longest_run
+            FROM seg GROUP BY 1)
+      SELECT d.doc_id, CAST(d.nw AS INT) AS n_windows,
+        CAST(coalesce(s.n_active, 0) AS INT) AS n_active,
+        CAST(coalesce(s.n_segments, 0) AS INT) AS n_segments,
+        CAST(coalesce(s.longest_run, 0) AS INT) AS longest_run
+      FROM d LEFT JOIN s USING (doc_id)""",
     "mm_decode_meta" -> """
       WITH h AS (SELECT doc_id, length(text) AS byte_len, md5(text) AS hex
                  FROM documents)
