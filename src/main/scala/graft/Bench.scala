@@ -134,6 +134,10 @@ object Bench {
     // round-13c additions: label-propagation communities, the ACF
     // diagnostic, RAKE keyword extraction
     "graph_label_prop", "ts_acf", "text_keywords",
+    // round-13d additions: prefix-filter exact similarity join, warehouse
+    // snapshot diff + SCD2 merge, forecast backtest, audio segmentation
+    "dedup_prefix_join", "wh_snapshot_diff", "wh_scd2", "ts_backtest",
+    "mm_audio_segments",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.
