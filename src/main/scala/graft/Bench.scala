@@ -138,6 +138,9 @@ object Bench {
     // snapshot diff + SCD2 merge, forecast backtest, audio segmentation
     "dedup_prefix_join", "wh_snapshot_diff", "wh_scd2", "ts_backtest",
     "mm_audio_segments",
+    // round-13e additions: snapshot profile drift, held-out LM eval,
+    // JL projection distortion audit
+    "wh_profile_drift", "text_lm_heldout", "sim_jl_audit",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

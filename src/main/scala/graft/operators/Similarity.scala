@@ -703,6 +703,59 @@ object Similarity {
         round(col("n_hits").cast("double") / col("k"), 6).as("recall"))
   }
 
+  /** JL projection shape: 64-dim embeddings down to [[JlK]] components,
+    * integer weight w(p,d) = ((p·89 + d·37 + 11) mod 19) − 9 — the
+    * [[bucketExpr]] arithmetic-hyperplane convention (pure function,
+    * reproducible in any engine, no stored model; zeros make it a
+    * sparse-JL/Achlioptas-style matrix). [[JlW2Sum]] is Σ w² over the
+    * whole matrix, the exact normalizer both engines interpolate.
+    */
+  private[operators] val JlK = 16
+  private[operators] val JlW2Sum: Long = (for {
+    p <- 0 until JlK; d <- 0 until 64
+  } yield { val w = (p * 89 + d * 37 + 11) % 19 - 9; (w * w).toLong }).sum
+
+  /** Johnson–Lindenstrauss projection AUDIT: project every embedding
+    * 64 → [[JlK]] dims through the fixed arithmetic sign matrix and
+    * MEASURE the realized norm distortion r = |Pv|²∕(E·|v|²) (E the
+    * matrix's exact energy normalizer) — the number that says whether a
+    * 4× cheaper index layer (LSH over projected vectors, coarse
+    * quantizer training, dedup pre-filters) is safe for THIS corpus,
+    * measured instead of assumed from the JL bound. One summary row:
+    * realized mean/min/max ratio and the fraction inside ±10%.
+    *
+    * Scale shape: the projection is one map-side fold per vector (k
+    * fixed dot products — same kernel class as the IVF assignment);
+    * the audit aggregate reduces to a single row with exact-long micro
+    * sums (the tsStl idiom; min/max are order-free), so nothing but
+    * 3 numbers per partition shuffles. At 100 TB the same expression
+    * WRITES the projected corpus; the audit is its free byproduct.
+    */
+  def simJlAudit(spark: SparkSession, dir: String): DataFrame = {
+    val proj = expr(s"""transform(sequence(0, ${JlK - 1}, 1), p ->
+      aggregate(transform(sequence(0, 63, 1),
+        d -> CAST(embedding[d] AS DOUBLE)
+             * CAST((p * 89 + d * 37 + 11) % 19 - 9 AS DOUBLE)),
+        CAST(0 AS DOUBLE), (acc, v) -> acc + v))""")
+    withNorm(t(spark, dir, "embeddings"))
+      .filter(col("nrm") > 0)
+      .withColumn("pv", proj)
+      .withColumn("sp", expr("""aggregate(transform(pv, x -> x * x),
+        CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
+      .withColumn("ratio",
+        col("sp") * 64.0 / (lit(JlW2Sum.toDouble) * col("nrm") * col("nrm")))
+      .withColumn("ratio_u", round(col("ratio") * 1e6).cast("long"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(round(col("ratio"), 6)).as("min_ratio"),
+        max(round(col("ratio"), 6)).as("max_ratio"),
+        sum(col("ratio_u")).as("ru"),
+        sum(when(col("ratio_u").between(900000L, 1100000L), 1L)
+          .otherwise(0L)).as("n_within_10pct"))
+      .select(col("n_vecs"), col("min_ratio"), col("max_ratio"),
+        (round(col("ru").cast("double") / col("n_vecs")).cast("long")
+          / 1e6).as("mean_ratio"), col("n_within_10pct"))
+  }
+
   /** L2 normalization to unit vectors — the preprocessing step every
     * cosine-metric index (IVF, HNSW, LSH) wants done once upfront so
     * downstream distance math is a plain dot product. Long-format output
@@ -937,6 +990,7 @@ object Similarity {
     "sim_centroid" -> (simCentroid _),
     "sim_recall_at_k" -> (simRecallAtK _),
     "sim_l2_normalize" -> (simL2Normalize _),
+    "sim_jl_audit" -> (simJlAudit _),
     "sim_quantize_int8" -> (simQuantizeInt8 _),
     "sim_pq_ann" -> (simPqAnn _),
     "sim_ivfpq_ann" -> (simIvfPqAnn _),
@@ -1246,6 +1300,32 @@ object Similarity {
       FROM bf LEFT JOIN lsh l
         ON bf.qid = l.qid AND bf.vec_id = l.vec_id
       GROUP BY 1""",
+    "sim_jl_audit" -> s"""
+      WITH b AS (SELECT vec_id, embedding,
+          sqrt(list_sum(list_transform(embedding,
+            x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        FROM embeddings),
+      p AS (SELECT vec_id, nrm,
+          list_transform(generate_series(0, ${JlK - 1}), p ->
+            list_sum(list_transform(generate_series(0, 63),
+              d -> embedding[d + 1]::DOUBLE
+                   * CAST((p * 89 + d * 37 + 11) % 19 - 9 AS DOUBLE))))
+            AS pv
+        FROM b WHERE nrm > 0),
+      r AS (SELECT vec_id,
+          list_sum(list_transform(pv, x -> x * x)) * 64.0
+            / ($JlW2Sum * nrm * nrm) AS ratio
+        FROM p),
+      u AS (SELECT ratio, CAST(round(ratio * 1e6) AS BIGINT) AS ratio_u
+            FROM r)
+      SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        min(round(ratio, 6)) AS min_ratio,
+        max(round(ratio, 6)) AS max_ratio,
+        CAST(round(CAST(sum(ratio_u) AS BIGINT)
+          / CAST(count(*) AS DOUBLE)) AS BIGINT) / 1e6 AS mean_ratio,
+        CAST(sum(CASE WHEN ratio_u BETWEEN 900000 AND 1100000
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct
+      FROM u""",
     "sim_l2_normalize" -> s"""
       WITH $normCte
       SELECT vec_id, CAST(i AS INT) AS dim, round(nrm, 6) AS norm,

@@ -773,6 +773,84 @@ ${if (eval) evalTail(rounds) else trainTail(rounds)}"""
           .cast("long") / lit(1e6))), 6).as("ppl"))
   }
 
+  /** Jelinek–Mercer interpolation weight on the bigram term, and the
+    * probability floor that keeps a fully-OOV bigram's log finite. Both
+    * interpolated into the oracle so the engines cannot drift.
+    */
+  private[operators] val LmLambda = 0.7
+  private[operators] val LmFloor = 1e-9
+
+  /** HELD-OUT evaluation of the interpolated bigram LM — the calibration
+    * readout [[textLmScore]] cannot give (an MLE model scored on its own
+    * training data never meets an unseen bigram, so its perplexity
+    * flatters): train on the even-doc_id half, score the odd half with
+    * Jelinek–Mercer interpolation p = λ·p_bigram + (1−λ)·p_unigram, and
+    * report per-source held-out perplexity plus the unseen-bigram rate.
+    * This is the number that says whether an LM-based quality filter is
+    * calibrated for NEW crawl batches — which is the only data it will
+    * ever score in production.
+    *
+    * Scale + determinism: the count tables are the vocabulary-sized
+    * trained artifact (broadcast, the [[textLmScore]] convention); the
+    * held-out bigram stream joins them map-side and aggregates once on
+    * |sources| groups. Each bigram's interpolated log-prob is a FIXED
+    * expression-order double (two divisions, one fused λ-combination,
+    * one floor, one log) rounded to integer micro-nats before the sum —
+    * exact long arithmetic under any partitioning; per-source means use
+    * the integer-micro round-then-divide idiom.
+    */
+  def textLmHeldout(spark: SparkSession, dir: String,
+      lambda: Double = LmLambda): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test = docs.filter(col("doc_id") % 2 === 1)
+    def bigrams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      col("source"), explode(expr(
+        """CASE WHEN size(w) >= 2
+           THEN transform(sequence(0, size(w) - 2),
+                  i -> named_struct('w1', w[i], 'w2', w[i + 1]))
+           ELSE CAST(array() AS array<struct<w1: string, w2: string>>)
+           END""")).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+    val uni = train.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("t_tokens"))
+    val cb = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val scored = bigrams(test)
+      .join(broadcast(cb), Seq("w1", "w2"), "left_outer")
+      .join(broadcast(uni.select(col("tok").as("w1"), col("cu").as("c1"))),
+        Seq("w1"), "left_outer")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("cu").as("c2"))),
+        Seq("w2"), "left_outer")
+      .join(broadcast(tot))
+      .withColumn("p",
+        greatest(
+          lit(lambda) *
+            (coalesce(col("cb"), lit(0L)).cast("double") /
+              coalesce(col("c1"), lit(1L))) +
+          lit(1 - lambda) *
+            (coalesce(col("c2"), lit(0L)).cast("double") /
+              col("t_tokens")),
+          lit(LmFloor)))
+      .withColumn("ll_u", round(log(col("p")) * 1e6).cast("long"))
+      .withColumn("oov", when(col("cb").isNull, 1L).otherwise(0L))
+    val perSource = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ll_u")).as("llu"),
+        sum(col("oov")).as("n_oov"))
+    val nDocs = test.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    nDocs.join(perSource, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        (round(col("llu").cast("double") / col("n_bigrams")).cast("long")
+          / 1e6).as("avg_ll"),
+        round(exp(-(round(col("llu").cast("double") / col("n_bigrams"))
+          .cast("long") / lit(1e6))), 6).as("ppl"))
+  }
+
   /** Token-entropy quality signal: per-document Shannon entropy of the
     * token distribution (nats) plus the ln(distinct)-normalized form in
     * [0,1]. Low entropy flags the degenerate docs a quality filter wants
@@ -1112,6 +1190,8 @@ $docRounds,
     "text_bpe_pairs" -> ((s: SparkSession, d: String) => textBpePairs(s, d)),
     "text_entropy" -> (textEntropy _),
     "text_lm_score" -> (textLmScore _),
+    "text_lm_heldout" ->
+      ((s: SparkSession, d: String) => textLmHeldout(s, d)),
     "text_token_topk" -> ((s: SparkSession, d: String) => textTokenTopk(s, d)),
     "text_zipf" -> ((s: SparkSession, d: String) => textZipf(s, d)),
     "text_tokens" -> (textTokens _),
@@ -1192,6 +1272,48 @@ $docRounds,
           THEN (ln(n_tokens) - su / 1e6 / n_tokens) / ln(n_distinct)
           ELSE 0.0 END, 4) AS entropy_norm
       FROM agg""",
+    "text_lm_heldout" -> s"""
+      WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                   FROM documents),
+      train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+      test AS (SELECT * FROM tok WHERE doc_id % 2 = 1),
+      uni AS (SELECT t AS tok, count(*) AS cu
+              FROM (SELECT unnest(w) AS t FROM train) GROUP BY 1),
+      tot AS (SELECT CAST(sum(cu) AS BIGINT) AS t_tokens FROM uni),
+      cb AS (SELECT w1, w2, count(*) AS cb FROM (
+               SELECT w[i] AS w1, w[i + 1] AS w2
+               FROM train, UNNEST(generate_series(1, len(w) - 1)) AS g(i))
+             GROUP BY 1, 2),
+      tbg AS (SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+              FROM test, UNNEST(generate_series(1, len(w) - 1)) AS g(i)),
+      s AS (SELECT tbg.source,
+              greatest(
+                $LmLambda * (coalesce(cb.cb, 0)::DOUBLE
+                  / coalesce(u1.cu, 1)) +
+                ${1 - LmLambda} * (coalesce(u2.cu, 0)::DOUBLE
+                  / tot.t_tokens),
+                $LmFloor) AS p,
+              CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END AS oov
+            FROM tbg
+            LEFT JOIN cb ON tbg.w1 = cb.w1 AND tbg.w2 = cb.w2
+            LEFT JOIN uni u1 ON tbg.w1 = u1.tok
+            LEFT JOIN uni u2 ON tbg.w2 = u2.tok
+            CROSS JOIN tot),
+      agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(CAST(round(ln(p) * 1e6) AS BIGINT)) AS BIGINT)
+                  AS llu,
+                CAST(sum(oov) AS BIGINT) AS n_oov
+              FROM s GROUP BY 1),
+      nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             FROM test GROUP BY 1)
+      SELECT nd.source, nd.n_docs,
+        coalesce(agg.n_bigrams, 0) AS n_bigrams,
+        coalesce(agg.n_oov, 0) AS n_oov,
+        CAST(round(agg.llu / CAST(agg.n_bigrams AS DOUBLE)) AS BIGINT)
+          / 1e6 AS avg_ll,
+        round(exp(-(CAST(round(agg.llu / CAST(agg.n_bigrams AS DOUBLE))
+          AS BIGINT) / 1e6)), 6) AS ppl
+      FROM nd LEFT JOIN agg USING (source)""",
     "text_lm_score" -> """
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       uni AS (SELECT t AS w1, count(*) AS c1

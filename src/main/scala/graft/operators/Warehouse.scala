@@ -45,7 +45,7 @@ object Warehouse {
   private[operators] val LoadDay1 = "2024-02-01"
 
   /** t0/t1 snapshot pair with per-row fingerprints, shared by both ops. */
-  private def snapshots(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[operators] def snapshots(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = t(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
@@ -136,9 +136,45 @@ object Warehouse {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** WH3 — snapshot profile drift: per-column statistical profile (row
+    * count, nulls, exact distinct count) of BOTH snapshots side by side
+    * with the deltas — the structural-drift monitor a nightly load runs
+    * before trusting an upstream extract (a column whose distinct count
+    * halves overnight is a silently-broken join upstream, caught here
+    * before [[whScd2]] writes history). Complements `dq_drift` (PSI on
+    * VALUE distributions) with schema-level profile drift.
+    *
+    * Scale shape: ONE pass per snapshot — every per-column metric is an
+    * aggregate of the same scan (the dqProfile skeleton: Expand +
+    * partial aggregation, never one job per column), output is
+    * |columns| rows joined on the column name. At 100 TB the exact
+    * distincts swap to approx_count_distinct (the dq_uniqueness
+    * convention, documented there).
+    */
+  def whProfileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, t1) = snapshots(spark, dir)
+    val cols = Seq("c_name", "c_nationkey", "bal_cents", "c_mktsegment")
+    def profile(df: DataFrame, tag: String): DataFrame = {
+      val aggs = count(lit(1)).as(s"n_$tag") +: cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+          countDistinct(col(c)).as(s"dist_$c"))
+      }
+      val stack = cols.map(c => s"'$c', nulls_$c, dist_$c").mkString(", ")
+      df.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"n_$tag",
+          s"stack(${cols.length}, $stack) AS " +
+            s"(col_name, nulls_$tag, ndv_$tag)")
+    }
+    profile(t0, "t0").join(profile(t1, "t1"), "col_name")
+      .select(col("col_name"), col("n_t0"), col("n_t1"),
+        col("nulls_t0"), col("nulls_t1"), col("ndv_t0"), col("ndv_t1"),
+        (col("ndv_t1") - col("ndv_t0")).as("ndv_delta"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wh_snapshot_diff" -> (whSnapshotDiff _),
     "wh_scd2" -> (whScd2 _),
+    "wh_profile_drift" -> (whProfileDrift _),
   )
 
   /** Snapshot CTEs shared by both oracles — the same arithmetic the
@@ -173,6 +209,41 @@ object Warehouse {
         t0.fp AS old_fp, t1.fp AS new_fp
       FROM t0 FULL OUTER JOIN t1 ON t0.c_custkey = t1.c_custkey
       WHERE t0.fp IS NULL OR t1.fp IS NULL OR t0.fp <> t1.fp""",
+    "wh_profile_drift" -> s"""
+      WITH $snapshotsCte,
+      p0 AS (SELECT count(*) AS n,
+               CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS u1, count(DISTINCT c_name) AS d1,
+               CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS u2, count(DISTINCT c_nationkey) AS d2,
+               CAST(sum(CASE WHEN bal_cents IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS u3, count(DISTINCT bal_cents) AS d3,
+               CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS u4, count(DISTINCT c_mktsegment) AS d4
+             FROM t0),
+      p1 AS (SELECT count(*) AS n,
+               CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS u1, count(DISTINCT c_name) AS d1,
+               CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS u2, count(DISTINCT c_nationkey) AS d2,
+               CAST(sum(CASE WHEN bal_cents IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS u3, count(DISTINCT bal_cents) AS d3,
+               CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS u4, count(DISTINCT c_mktsegment) AS d4
+             FROM t1),
+      l0 AS (SELECT 'c_name' AS col_name, n AS n_t0, u1 AS nulls_t0,
+               d1 AS ndv_t0 FROM p0
+             UNION ALL SELECT 'c_nationkey', n, u2, d2 FROM p0
+             UNION ALL SELECT 'bal_cents', n, u3, d3 FROM p0
+             UNION ALL SELECT 'c_mktsegment', n, u4, d4 FROM p0),
+      l1 AS (SELECT 'c_name' AS col_name, n AS n_t1, u1 AS nulls_t1,
+               d1 AS ndv_t1 FROM p1
+             UNION ALL SELECT 'c_nationkey', n, u2, d2 FROM p1
+             UNION ALL SELECT 'bal_cents', n, u3, d3 FROM p1
+             UNION ALL SELECT 'c_mktsegment', n, u4, d4 FROM p1)
+      SELECT l0.col_name, n_t0, n_t1, nulls_t0, nulls_t1, ndv_t0, ndv_t1,
+        ndv_t1 - ndv_t0 AS ndv_delta
+      FROM l0 JOIN l1 ON l0.col_name = l1.col_name""",
     "wh_scd2" -> s"""
       WITH $snapshotsCte,
       j AS (SELECT coalesce(t0.c_custkey, t1.c_custkey) AS c_custkey,
