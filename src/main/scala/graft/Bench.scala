@@ -141,6 +141,10 @@ object Bench {
     // round-13e additions: snapshot profile drift, held-out LM eval,
     // JL projection distortion audit
     "wh_profile_drift", "text_lm_heldout", "sim_jl_audit",
+    // round-13f additions: filter-threshold sweep, power-iteration PCA
+    // (the IVF-PQ recall readout stays unbenched — its ground-truth side
+    // is the quarantined quadratic baseline, the dedup_lsh_recall rule)
+    "cur_filter_sweep", "sim_pca_power",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -753,6 +753,46 @@ object Curation {
     * the custom plan stack (marker → rewrite → bounded-heap exec, no sort,
     * no window) doing real work inside the curation family.
     */
+  /** Quality-filter THRESHOLD SWEEP — the ablation table a curation
+    * decision actually reads ("if we cut at 0.6 we keep 71% of docs but
+    * 83% of tokens") instead of committing to one threshold blind: for
+    * every cut t ∈ {0.0, 0.1, …, 0.9}, how many documents and tokens
+    * survive `quality ≥ t`, as counts and corpus shares. One pass bins
+    * each doc by quality decile; the sweep is a 10-row cumulative window
+    * over the binned aggregate — the full sweep costs exactly one
+    * corpus scan no matter how many thresholds are read off it.
+    *
+    * Scale shape: map-side quality scoring → one shuffle to the 10-bin
+    * aggregate → windows over 10 rows. The dense bin spine keeps all 10
+    * thresholds present even when a decile is empty.
+    */
+  def curFilterSweep(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+    val binned = q
+      .withColumn("bin",
+        least(floor(col("quality") * 10), lit(9.0)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
+    val spine = spark.range(10).select(col("id").cast("int").as("bin"))
+    val wCum = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    spine.join(binned, Seq("bin"), "left_outer")
+      .select(col("bin"), coalesce(col("nd"), lit(0L)).as("nd"),
+        coalesce(col("nt"), lit(0L)).as("nt"))
+      .withColumn("n_docs_surviving", sum(col("nd")).over(wCum))
+      .withColumn("n_tokens_surviving", sum(col("nt")).over(wCum))
+      .withColumn("doc_share", round(col("n_docs_surviving").cast("double") /
+        sum(col("nd")).over(wAll), 6))
+      .withColumn("token_share",
+        round(col("n_tokens_surviving").cast("double") /
+          sum(col("nt")).over(wAll), 6))
+      .select(round(col("bin") / 10.0, 1).as("threshold"),
+        col("n_docs_surviving"), col("n_tokens_surviving"),
+        col("doc_share"), col("token_share"))
+  }
+
   def topQualityPerSource(spark: SparkSession, dir: String,
       k: Int = 5): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
@@ -958,6 +998,7 @@ object Curation {
     "cur_epoch_plan" -> ((s, d) => epochPlan(s, d)),
     "cur_global_shuffle" -> ((s, d) => globalShuffle(s, d)),
     "cur_top_quality" -> ((s, d) => topQualityPerSource(s, d)),
+    "cur_filter_sweep" -> ((s, d) => curFilterSweep(s, d)),
     "cur_data_card" -> ((s, d) => corpusDataCard(s, d)),
     "cur_shard_plan" -> ((s, d) => shardPlan(s, d)),
     "cur_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
@@ -1159,6 +1200,31 @@ object Curation {
         CAST(row_number() OVER (PARTITION BY shard
           ORDER BY skey, doc_id) AS INT) AS pos, skey
       FROM sharded""",
+    "cur_filter_sweep" -> s"""
+      WITH ${CorpusPipeline.qualityCte},
+      tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+             FROM documents),
+      b AS (SELECT least(CAST(floor(q.quality * 10) AS INT), 9) AS bin,
+              count(*) AS nd, CAST(sum(tk.n_tokens) AS BIGINT) AS nt
+            FROM qual q JOIN tk USING (doc_id) GROUP BY 1),
+      sp AS (SELECT unnest(generate_series(0, 9)) AS bin),
+      f AS (SELECT sp.bin, coalesce(b.nd, 0) AS nd, coalesce(b.nt, 0) AS nt
+            FROM sp LEFT JOIN b USING (bin)),
+      c AS (SELECT bin,
+              CAST(sum(nd) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_docs_surviving,
+              CAST(sum(nt) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_tokens_surviving,
+              CAST(sum(nd) OVER () AS BIGINT) AS td,
+              CAST(sum(nt) OVER () AS BIGINT) AS tt
+            FROM f)
+      SELECT round(bin / 10.0, 1) AS threshold,
+        n_docs_surviving, n_tokens_surviving,
+        round(CAST(n_docs_surviving AS DOUBLE) / td, 6) AS doc_share,
+        round(CAST(n_tokens_surviving AS DOUBLE) / tt, 6) AS token_share
+      FROM c""",
     "cur_top_quality" -> s"""
       WITH ${CorpusPipeline.qualityCte}
       SELECT doc_id, source, quality FROM (

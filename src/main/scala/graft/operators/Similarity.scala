@@ -703,6 +703,127 @@ object Similarity {
         round(col("n_hits").cast("double") / col("k"), 6).as("recall"))
   }
 
+  /** Power-iteration rounds for the PC1 extraction — fixed so the oracle
+    * replays the exact same schedule as chained CTEs.
+    */
+  private[operators] val PcaIters = 4
+
+  /** Distributed PCA — top principal component of the (centered)
+    * embedding corpus by POWER ITERATION: v ← normalize(Σ_rows (x̃·v)·x̃)
+    * for [[PcaIters]] rounds from the all-ones start, x̃ = x − μ. The
+    * spectral readout an embedding pipeline uses to detect anisotropy
+    * (one direction hogging variance degrades cosine retrieval — the
+    * "all-but-the-top" correction starts from exactly this vector), with
+    * the eigenvalue estimate and its explained-variance share measured
+    * alongside.
+    *
+    * Scale shape — the MapReduce power-method standard: each round is
+    * ONE pass over the corpus (a per-row fold for s = x̃·v, then 64
+    * partial-aggregated per-dimension sums — the shuffle carries 64 rows
+    * per partition, never data); the driver holds only the 64-value
+    * iterate between rounds (the k-means codebook convention). Mean and
+    * variance passes are the same shape. Total: k+2 corpus passes,
+    * driver state O(dims).
+    *
+    * Cross-engine determinism: per-row dot products are ordered folds
+    * (identical IEEE sequences both engines); every cross-ROW sum is
+    * rounded to integer micro-units per row first and summed as exact
+    * longs, so partition order cannot perturb any iterate; the driver
+    * normalization walks dimensions in ascending order exactly like the
+    * oracle's list folds.
+    */
+  def simPcaPower(spark: SparkSession, dir: String,
+      iters: Int = PcaIters): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val n = emb.count()
+    require(n > 0, "simPcaPower: empty corpus")
+    val dims = 64
+    def collectByDim(df: DataFrame): Array[Long] = {
+      val m = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      Array.tabulate(dims)(m(_))
+    }
+    // pass 1: exact per-dim micro means
+    val muU = collectByDim(emb
+      .select(posexplode(col("embedding")))
+      .select(col("pos").cast("int").as("d"),
+        round(col("col").cast("double") * 1e6).cast("long").as("xu"))
+      .groupBy(col("d")).agg(sum(col("xu")).as("su"))
+      .select(col("d"), round(col("su").cast("double") / n).cast("long")))
+    val mu = muU.map(_ / 1e6)
+    val muL = typedLit(mu.toSeq)
+    // pass 2: exact per-dim micro second moments (for the trace)
+    val s2U = collectByDim(emb
+      .select(posexplode(col("embedding")))
+      .select(col("pos").cast("int").as("d"),
+        col("col").cast("double").as("x"))
+      .withColumn("cu", round((col("x") - element_at(muL, col("d") + 1)) *
+        (col("x") - element_at(muL, col("d") + 1)) * 1e6).cast("long"))
+      .groupBy(col("d")).agg(sum(col("cu")).as("su"))
+      .select(col("d"), col("su")))
+    var traceMicro = 0L
+    s2U.foreach(traceMicro += _)
+    val trace = traceMicro / 1e6 / n
+    // power rounds: each is one corpus pass + a 64-long driver fold
+    var v = Array.fill(dims)(1.0)
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val vL = typedLit(v.toSeq)
+      val s = aggregate(sequence(lit(0), lit(dims - 1)), lit(0.0),
+        (acc, d) => acc +
+          (element_at(col("embedding"), d + 1).cast("double") -
+            element_at(muL, d + 1)) * element_at(vL, d + 1))
+      val wU = collectByDim(emb
+        .withColumn("s", s)
+        .select(posexplode(col("embedding")), col("s"))
+        .select(col("pos").cast("int").as("d"),
+          round((col("col").cast("double") -
+            element_at(muL, col("pos").cast("int") + 1)) * col("s") * 1e6)
+            .cast("long").as("cu"))
+        .groupBy(col("d")).agg(sum(col("cu")).as("su"))
+        .select(col("d"), col("su")))
+      // ascending-dim sequential fold — the oracle's list_sum order
+      val u = wU.map(_ / 1e6)
+      var nrm2 = 0.0
+      var d = 0
+      while (d < dims) { nrm2 += u(d) * u(d); d += 1 }
+      val nrm = math.sqrt(nrm2)
+      v = u.map(_ / nrm)
+      lambda = nrm / n
+    }
+    import spark.implicits._
+    val rows = (0 until dims).map { d =>
+      (d, mu(d), v(d), lambda, lambda / trace)
+    }
+    rows.toDF("dim", "mu_raw", "loading_raw", "lambda_raw", "share_raw")
+      .select(col("dim"),
+        round(col("mu_raw"), 6).as("mu"),
+        round(col("loading_raw"), 6).as("loading"),
+        round(col("lambda_raw"), 6).as("lambda"),
+        round(col("share_raw"), 6).as("explained_share"))
+  }
+
+  /** Recall@5 of the COMPOSED IVF-PQ pipeline against the brute-force
+    * ground truth — the compression-loss readout the billion-scale
+    * layout needs before anyone trusts it ([[simRecallAtK]] measures the
+    * sign-LSH path; this measures coarse-quantizer pruning AND the PQ
+    * codes' asymmetric-distance approximation TOGETHER, which is what a
+    * production query actually pays). EVAL-ONLY dependence on the
+    * quadratic baseline, same quarantine contract as sim_recall_at_k.
+    */
+  def simIvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = simTopkBruteforce(spark, dir).select(col("qid"), col("vec_id"))
+    val ap = simIvfPqAnn(spark, dir)
+      .select(col("qid").as("a_qid"), col("vec_id").as("a_vec"))
+    bf.join(broadcast(ap),
+        col("qid") === col("a_qid") && col("vec_id") === col("a_vec"),
+        "left_outer")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("a_vec").isNull, 0L).otherwise(1L)).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("k"), 6).as("recall"))
+  }
+
   /** JL projection shape: 64-dim embeddings down to [[JlK]] components,
     * integer weight w(p,d) = ((p·89 + d·37 + 11) mod 19) − 9 — the
     * [[bucketExpr]] arithmetic-hyperplane convention (pure function,
@@ -989,6 +1110,8 @@ object Similarity {
     "sim_lsh_join" -> (simLshJoin _),
     "sim_centroid" -> (simCentroid _),
     "sim_recall_at_k" -> (simRecallAtK _),
+    "sim_ivfpq_recall" -> (simIvfPqRecall _),
+    "sim_pca_power" -> ((s: SparkSession, d: String) => simPcaPower(s, d)),
     "sim_l2_normalize" -> (simL2Normalize _),
     "sim_jl_audit" -> (simJlAudit _),
     "sim_quantize_int8" -> (simQuantizeInt8 _),
@@ -1379,6 +1502,85 @@ object Similarity {
       WHERE rank <= 5""",
     "sim_ivfpq_ann" -> s"""
       WITH $normCte,
+      $ivfpqCtes
+      SELECT qid, CAST(rank AS INT) AS rank, vec_id, approx_d2 FROM
+        (SELECT *, row_number() OVER (PARTITION BY qid
+           ORDER BY approx_d2 ASC, vec_id ASC) AS rank FROM approx)
+      WHERE rank <= 5""",
+    // the power schedule replays as chained CTEs (the graph_label_prop
+    // convention): per-row dot products are ordered list folds, every
+    // cross-row sum is per-row micro-rounded then summed as exact longs,
+    // and the normalization walks dims ascending — the engine's exact
+    // arithmetic, round for round
+    "sim_pca_power" -> {
+      val rounds = (1 to PcaIters).map { r =>
+        s"""
+      s$r AS (SELECT e.vec_id,
+                list_sum(list_transform(generate_series(1, 64),
+                  i -> (e.embedding[i]::DOUBLE - m.m[i]) * pv.v[i])) AS s
+              FROM embeddings e, mul m, v${r - 1} pv),
+      w$r AS (SELECT x.d,
+                CAST(sum(CAST(round((x.x - mm.mu_u / 1e6) * sr.s * 1e6)
+                  AS BIGINT)) AS BIGINT) AS wu
+              FROM xd x
+              JOIN s$r sr ON x.vec_id = sr.vec_id
+              JOIN muu mm ON x.d = mm.d
+              GROUP BY x.d),
+      nr$r AS (SELECT u, sqrt(list_sum(list_transform(u, y -> y * y)))
+                 AS nrm
+               FROM (SELECT list(wu / 1e6 ORDER BY d) AS u FROM w$r)),
+      v$r AS (SELECT list_transform(u, y -> y / nrm) AS v FROM nr$r)"""
+      }.mkString(",")
+      s"""
+      WITH cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+      xd AS (SELECT vec_id, d, embedding[d]::DOUBLE AS x
+             FROM embeddings, UNNEST(generate_series(1, 64)) AS g(d)),
+      sums AS (SELECT d, CAST(sum(CAST(round(x * 1e6) AS BIGINT))
+                 AS BIGINT) AS su
+               FROM xd GROUP BY d),
+      muu AS (SELECT d, CAST(round(su / cnt.n) AS BIGINT) AS mu_u
+              FROM sums, cnt),
+      mul AS (SELECT list(mu_u / 1e6 ORDER BY d) AS m FROM muu),
+      tr AS (SELECT CAST(sum(CAST(round((x.x - mm.mu_u / 1e6)
+               * (x.x - mm.mu_u / 1e6) * 1e6) AS BIGINT)) AS BIGINT) AS tm
+             FROM xd x JOIN muu mm ON x.d = mm.d),
+      v0 AS (SELECT list_transform(generate_series(1, 64), i -> 1.0) AS v),
+      $rounds
+      SELECT CAST(mm.d - 1 AS INT) AS dim,
+        round(mm.mu_u / 1e6, 6) AS mu,
+        round(vf.v[mm.d], 6) AS loading,
+        round(nf.nrm / cnt.n, 6) AS lambda,
+        round((nf.nrm / cnt.n) / (tr.tm / 1e6 / cnt.n), 6)
+          AS explained_share
+      FROM muu mm, v$PcaIters vf, nr$PcaIters nf, tr, cnt"""
+    },
+    "sim_ivfpq_recall" -> s"""
+      WITH $normCte,
+      $ivfpqCtes,
+      ap AS (SELECT qid, vec_id FROM
+               (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY approx_d2 ASC, vec_id ASC) AS rank FROM approx)
+             WHERE rank <= 5),
+      bf_scored AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id, $cosAB AS cos
+                    FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+      bf AS (SELECT qid, vec_id FROM
+               (SELECT qid, vec_id, row_number() OVER
+                  (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM bf_scored)
+             WHERE rank <= 5)
+      SELECT bf.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+        round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6) AS recall
+      FROM bf LEFT JOIN ap a
+        ON bf.qid = a.qid AND bf.vec_id = a.vec_id
+      GROUP BY 1""",
+  )
+
+  /** The full IVF-PQ pipeline as DuckDB CTEs (seeded coarse codebook,
+    * top-4 probes, 8×8 PQ codes, ADC scoring) ending in
+    * `approx(qid, vec_id, approx_d2)` — shared by the ANN oracle and the
+    * recall readout so the two replays cannot drift.
+    */
+  private lazy val ivfpqCtes: String = """
       c AS (SELECT vec_id AS cid, embedding, nrm FROM n WHERE vec_id < 16),
       ad AS (SELECT v.vec_id, c.cid,
                round(list_sum(list_transform(generate_series(1, len(v.embedding)),
@@ -1417,10 +1619,5 @@ object Similarity {
                  JOIN codes c2 ON c2.vec_id = cd.vec_id
                  JOIN sub q ON q.vec_id = cd.qid AND q.s = c2.s
                            AND q.scid = c2.scid
-                 GROUP BY 1, 2)
-      SELECT qid, CAST(rank AS INT) AS rank, vec_id, approx_d2 FROM
-        (SELECT *, row_number() OVER (PARTITION BY qid
-           ORDER BY approx_d2 ASC, vec_id ASC) AS rank FROM approx)
-      WHERE rank <= 5""",
-  )
+                 GROUP BY 1, 2)"""
 }

@@ -47,7 +47,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "dedup_lsh_recall",       // consumes dedup_ngram_jaccard by contract
     "dedup_embedding_cosine", // pairs with sim_lsh_ann
     "sim_topk_bruteforce",    // recall baseline for the ANN family
-    "sim_recall_at_k")        // consumes sim_topk_bruteforce by contract
+    "sim_recall_at_k",        // consumes sim_topk_bruteforce by contract
+    "sim_ivfpq_recall")       // likewise: ground-truth side is the baseline
 
   /** PQ-FLAT's asymmetric-distance scan is algorithmically a
     * (bounded query panel) × (compressed codes) evaluation — the
