@@ -11,10 +11,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * three operators downstream. EmptyCorpusProbe (test-scoped main) is
   * the dev tool this contract was derived with.
   *
-  * Exactly three operators are ALLOWED to reject an empty corpus, each
-  * with a message naming the cause: the two PQ variants (a codebook
-  * cannot be trained on zero seed vectors) and the drift monitor (a
-  * reference profile of zero events cannot normalize bin shares).
+  * A small NAMED set of operators is ALLOWED to reject an empty corpus,
+  * each with a message naming the cause: the PQ variants and their
+  * recall readout (a codebook cannot be trained on zero seed vectors),
+  * the drift monitor (a reference profile of zero events cannot
+  * normalize bin shares), and the power-iteration PCA (no iterate
+  * exists over zero rows).
   */
 class EdgeCaseSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -22,6 +24,8 @@ class EdgeCaseSpec extends AnyFunSuite {
   private val loudRejects = Map(
     "sim_pq_ann" -> "codebook",
     "sim_ivfpq_ann" -> "codebook",
+    "sim_ivfpq_recall" -> "codebook", // composes sim_ivfpq_ann's codebook
+    "sim_pca_power" -> "empty corpus",
     "st11_drift_monitor" -> "reference profile is empty",
   )
 
@@ -39,7 +43,7 @@ class EdgeCaseSpec extends AnyFunSuite {
   }
 
   test("every query on a zero-row corpus: typed empty result, or a " +
-      "named IllegalArgumentException for the three data-dependent ops") {
+      "named IllegalArgumentException for the allowlisted data-dependent ops") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (k, q) =>
         try {
