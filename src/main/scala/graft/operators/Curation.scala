@@ -470,6 +470,111 @@ object Curation {
     out
   }
 
+  /** BFS rounds / seed count — the oracle's unrolled CTE chain is
+    * GENERATED from these, so the schedule cannot drift between engines.
+    */
+  private[operators] val KhopIters = 4
+  private[operators] val KhopSeeds = 5
+
+  /** k-hop reachability (frontier BFS) over the near-dup pair graph from
+    * a deterministic seed set — "how far does a duplication web spread
+    * from its oldest members". Answers the blast-radius question the
+    * component label ([[dedupClusters]]) flattens: a doc 1 hop from a
+    * seed is a direct near-dup; a doc 4 hops out is connected only
+    * through a chain of partial overlaps, which a curation policy may
+    * treat very differently (drop vs audit). Seeds are the
+    * [[KhopSeeds]] smallest node ids in the pair graph — a total order
+    * both engines share, no RNG.
+    *
+    * Scale shape — textbook frontier BFS, not dist-relaxation: each
+    * round expands ONLY the nodes discovered last round (join frontier ⋈
+    * edges, one shuffle on src), dedups the neighbor set, and anti-joins
+    * the visited set to keep the frontier monotone shrinking. Work per
+    * round is O(edges incident to the frontier), not O(|E|); total work
+    * is O(edges within k hops of the seeds) — on a 100 TB corpus the
+    * 4-hop ball of 5 seeds is microscopic next to the pair graph, and
+    * nothing here touches the corpus itself (edges come from the
+    * memoized MinHash candidate index, no re-pairing). BFS level order
+    * IS min-hop order, so a node's first discovery level is its
+    * distance; per-round `localCheckpoint` truncates lineage like the
+    * PageRank loop.
+    */
+  def graphKhop(spark: SparkSession, dir: String,
+      iters: Int = KhopIters, nSeeds: Int = KhopSeeds): DataFrame = {
+    val pairs = Dedup.dedupMinhashLsh(spark, dir).select(col("da"), col("db"))
+    val scratch = scala.collection.mutable.Buffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); scratch += c; c
+    }
+    val edges = ckpt(pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst"))))
+    // seed = the nSeeds smallest node ids: TakeOrderedAndProject on the
+    // (tiny) distinct node set, a total order every engine reproduces
+    val seeds = ckpt(edges.select(col("src").as("node")).distinct()
+      .orderBy(col("node").asc).limit(nSeeds)
+      .select(col("node"), lit(0).as("hop")))
+    var dist = seeds
+    var frontier = seeds
+    for (i <- 1 to iters) {
+      val nbrs = frontier
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(i).as("hop"))
+        .distinct()
+      frontier = ckpt(nbrs.join(dist.select(col("node").as("vn")),
+          col("node") === col("vn"), "left_anti"))
+      dist = ckpt(dist.unionAll(frontier))
+    }
+    val out = dist
+      .select(col("node").as("doc_id"), col("hop").cast("int").as("hop"))
+      .orderBy(col("hop"), col("doc_id"))
+      .localCheckpoint() // eager: safe to drop the per-round frames
+    scratch.foreach(freeCheckpoint)
+    out
+  }
+
+  /** SOFT deduplication — duplicate-aware DOWN-WEIGHTING instead of
+    * dropping: every doc in a near-dup cluster of size c gets sampling
+    * weight 1∕c, so each cluster contributes one unit of probability
+    * mass to the training mix no matter how many near-copies were
+    * crawled. This is the policy a pipeline picks when duplication
+    * frequency IS signal (popular licenses, boilerplate worth one copy)
+    * and hard dedup ([[keepBestPerCluster]]) would erase the content
+    * entirely; the per-source effective-token report is the input the
+    * mixture planner ([[temperatureMix]]) consumes in place of raw
+    * counts.
+    *
+    * Scale shape: cluster identity comes from the MEMOIZED
+    * [[clusterLabels]] frame (no re-pairing of the corpus); sizes are
+    * one groupBy on cluster_id and the join back rides the same key's
+    * exchange; the per-doc token counts join on doc_id (one fact-sized
+    * shuffle) and the rollup keys on |sources| rows. Weights are
+    * integer MICRO-units (`10⁶ div c` — exact in both engines), so
+    * every emitted sum is an exact BIGINT: no float summation order
+    * anywhere.
+    */
+  def softDedup(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("c"))
+    val wts = labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), expr("1000000 div c").cast("long").as("wt"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(wts, "doc_id")
+      .select(col("source"), col("n_tok"), col("wt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("wt")).as("eff_docs_micro"),
+        sum(col("n_tok") * col("wt")).as("eff_tokens_micro"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("eff_docs_micro"), col("eff_tokens_micro"),
+        round(col("eff_tokens_micro").cast("double")
+          / (col("n_tokens").cast("double") * lit(1000000.0)), 6)
+          .as("keep_ratio"))
+      .orderBy(col("source"))
+  }
+
   /** The stratum membership predicate: first byte of md5(doc_id) under the
     * per-language rate — 128/256 for English, 64/256 otherwise.
     */
@@ -1005,6 +1110,8 @@ object Curation {
     "graph_pagerank" -> ((s, d) => graphPagerank(s, d)),
     "graph_triangles" -> ((s, d) => graphTriangles(s, d)),
     "graph_label_prop" -> ((s, d) => graphLabelProp(s, d)),
+    "graph_khop" -> ((s, d) => graphKhop(s, d)),
+    "cur_soft_dedup" -> ((s, d) => softDedup(s, d)),
     "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "cur_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "cur_corpus_curate" -> ((s, d) => corpusCurate(s, d)),
@@ -1315,6 +1422,54 @@ object Curation {
       SELECT l.node AS doc_id, l.label AS community, s.community_size
       FROM l$LabelPropIters l JOIN sizes s ON l.label = s.label
       ORDER BY community, doc_id"""
+    },
+    "cur_soft_dedup" -> s"""
+      WITH RECURSIVE ${Dedup.minhashPairsCte},
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION SELECT db, da FROM pairs),
+      walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      labels AS (SELECT node AS doc_id, CAST(min(label) AS BIGINT)
+                   AS cluster_id
+                 FROM walk GROUP BY node),
+      sz AS (SELECT cluster_id, count(*) AS c FROM labels GROUP BY 1),
+      d AS (SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+      j AS (SELECT d.source, d.n_tok,
+              CAST(1000000 // sz.c AS BIGINT) AS wt
+            FROM d JOIN labels USING (doc_id) JOIN sz USING (cluster_id))
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        CAST(sum(wt) AS BIGINT) AS eff_docs_micro,
+        CAST(sum(n_tok * wt) AS BIGINT) AS eff_tokens_micro,
+        round(CAST(sum(n_tok * wt) AS DOUBLE)
+              / (CAST(sum(n_tok) AS DOUBLE) * 1000000.0), 6) AS keep_ratio
+      FROM j GROUP BY source ORDER BY source""",
+    "graph_khop" -> {
+      // unrolled frontier BFS: level i = neighbors of level i-1 not yet
+      // visited; min-per-node over the union replays the visited-set
+      // anti-join (a node's first discovery level is its min hop)
+      val levels = (1 to KhopIters).map { i =>
+        s"""d$i AS (SELECT node, min(hop) AS hop FROM (
+               SELECT node, hop FROM d${i - 1}
+               UNION ALL
+               SELECT e.dst, p.hop + 1 FROM d${i - 1} p
+               JOIN edges e ON e.src = p.node)
+             GROUP BY node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH ${Dedup.minhashPairsCte},
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION ALL SELECT db, da FROM pairs),
+      d0 AS (SELECT node, 0 AS hop FROM (
+               SELECT DISTINCT src AS node FROM edges
+               ORDER BY node ASC LIMIT $KhopSeeds)),
+      $levels
+      SELECT node AS doc_id, CAST(hop AS INT) AS hop FROM d$KhopIters
+      ORDER BY hop, doc_id"""
     },
     "cur_split_leakfree" -> s"""
       WITH RECURSIVE ${Dedup.minhashPairsCte},

@@ -681,6 +681,68 @@ object EventAnalytics {
         col("med"), col("mad"), round(col("robust_z"), 4).as("robust_z"))
   }
 
+  /** Per-type linear TREND on the daily event volume — ordinary least
+    * squares fit y = a + b·x (x = days since the corpus' first day,
+    * y = daily count), the "is this event type growing or decaying, and
+    * how well does a line explain it" readout ([[tsHolt]] forecasts the
+    * level; this names the slope and its fit quality r²).
+    *
+    * Scale shape — OLS by SUFFICIENT STATISTICS, the one-pass
+    * distributed-regression pattern: the fact collapses map-side to the
+    * |types|×|days| daily frame, then ONE aggregation per type computes
+    * (n, Σx, Σy, Σx², Σxy, Σy²) — six longs of state per group, partial
+    * aggregates combine map-side, no window, no sort, no second pass
+    * over the fact. The same six sums solve slope, intercept, and r² on
+    * the driver-sized result; at 100 TB the added cost over the daily
+    * rollup is nil. The global day-zero is a 1-row aggregate broadcast
+    * back (a scalar, never a shuffle).
+    *
+    * Determinism: x and y are exact integers, so all six sums are exact
+    * BIGINTs; slope/intercept/r² are a FIXED chain of IEEE ops on
+    * bit-identical inputs (each BIGINT→DOUBLE cast is correctly rounded,
+    * each divide/multiply correctly rounded on identical operands) —
+    * both engines emit bit-identical doubles before the final
+    * round-to-6. Degenerate fits (one day: den = 0; constant y:
+    * deny = 0) yield NULL slope/r² rather than an Inf/NaN that hashes
+    * differently.
+    */
+  def tsLinreg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.t(spark, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min(col("day")).as("day0"))
+    val xy = daily.crossJoin(broadcast(d0))
+      .select(col("event_type"),
+        datediff(col("day"), col("day0")).cast("long").as("x"),
+        col("y"))
+    val s = xy.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    s.select(col("event_type"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("den"),
+        (col("n_days") * col("syy") - col("sy") * col("sy")).as("deny"),
+        col("sx"), col("sy"))
+      .select(col("event_type"), col("n_days"),
+        when(col("den") =!= 0,
+          round(col("num").cast("double") / col("den").cast("double"), 6))
+          .as("slope"),
+        when(col("den") =!= 0, round(
+          (col("sy").cast("double")
+            - (col("num").cast("double") / col("den").cast("double"))
+              * col("sx").cast("double"))
+            / col("n_days").cast("double"), 6))
+          .as("intercept"),
+        when(col("den") =!= 0 && col("deny") =!= 0, round(
+          (col("num").cast("double") * col("num").cast("double"))
+            / (col("den").cast("double") * col("deny").cast("double")), 6))
+          .as("r2"))
+      .orderBy(col("event_type"))
+  }
+
   /** Cohort VALUE analysis — the retention table's revenue sibling: users
     * bucketed by first-seen week, each later week's active users and
     * value attributed back to the acquisition cohort. The
@@ -820,6 +882,7 @@ object EventAnalytics {
     "ev_cohort_value" -> (evCohortValue _),
     "ev_path_topk" -> ((s: SparkSession, d: String) => evPathTopk(s, d)),
     "ts_ewma" -> (tsEwma _),
+    "ts_linreg" -> (tsLinreg _),
     "ev_stickiness" -> (evStickiness _),
     "ts_resample" -> (tsResample _),
     "ev_transitions" -> ((s: SparkSession, d: String) => evTransitions(s, d)),
@@ -995,6 +1058,35 @@ object EventAnalytics {
           + CASE WHEN v5 IS NOT NULL THEN 0.03125 ELSE 0.0 END
           + CASE WHEN v6 IS NOT NULL THEN 0.015625 ELSE 0.0 END)) AS ewma
       FROM l""",
+    "ts_linreg" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        FROM events GROUP BY 1, 2),
+      d0 AS (SELECT min(day) AS day0 FROM daily),
+      xy AS (SELECT event_type,
+               CAST(datediff('day', day0, day) AS BIGINT) AS x, y
+             FROM daily, d0),
+      s AS (SELECT event_type, count(*) AS n_days,
+              sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+              sum(x * y) AS sxy, sum(y * y) AS syy
+            FROM xy GROUP BY 1),
+      k AS (SELECT event_type, n_days,
+              n_days * sxy - sx * sy AS num,
+              n_days * sxx - sx * sx AS den,
+              n_days * syy - sy * sy AS deny, sx, sy
+            FROM s)
+      SELECT event_type, n_days,
+        CASE WHEN den <> 0 THEN
+          round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS slope,
+        CASE WHEN den <> 0 THEN
+          round((CAST(sy AS DOUBLE)
+                 - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                   * CAST(sx AS DOUBLE))
+                / CAST(n_days AS DOUBLE), 6) END AS intercept,
+        CASE WHEN den <> 0 AND deny <> 0 THEN
+          round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6) END AS r2
+      FROM k ORDER BY event_type""",
     "ev_stickiness" -> """
       WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
                   FROM events),

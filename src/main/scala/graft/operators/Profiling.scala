@@ -376,7 +376,60 @@ object Profiling {
       .orderBy(col("digit"))
   }
 
+  /** Pre-flight JOIN-CARDINALITY audit — the exact equi-join output size
+    * |A ⋈ B| = Σ_k f_A(k)·f_B(k) computed from per-key frequency
+    * profiles WITHOUT running the join, plus the largest single-key
+    * contribution. This is the number a planner needs BEFORE committing
+    * to a join strategy at 100 TB: the amplification factor says whether
+    * the join explodes (many-to-many blowup), and max_key_rows says
+    * whether the blowup is one hot key (→ salt it, [[dqSkewReport]] /
+    * `j6_salted_join`) or uniform (→ more partitions). Covers the three
+    * shapes that matter: PK–FK (customer⋈orders), FK fan-out
+    * (orders⋈lineitem), and the self-join on a behavioral key
+    * (events⋈events on user_id) whose Σf² is the classic silent killer.
+    *
+    * Scale shape: each side collapses to its (key, count) profile with
+    * map-side partial aggregation — the only shuffles carry reduced
+    * per-key counts, never fact rows — and ONE full-outer profile⋈profile
+    * join (|keys| rows a side) yields product-sum, matched-key count, AND
+    * both side totals in a single pass, so each fact is scanned exactly
+    * once per audited side. The join itself, which this audit may veto,
+    * is never executed.
+    */
+  def dqJoinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    def prof(df: DataFrame, k: String): DataFrame =
+      df.groupBy(col(k).as("k")).agg(count(lit(1)).as("f"))
+    def spec(name: String, l: DataFrame, lk: String,
+        r: DataFrame, rk: String): DataFrame = {
+      // FULL-outer profile join: unmatched keys survive, so the side
+      // totals (Σf / Σg = row counts) fall out of the SAME joined frame —
+      // one pass, each fact scanned exactly once, no profile re-read
+      val pl = prof(l, lk)
+      val pr = prof(r, rk).select(col("k"), col("f").as("g"))
+      pl.join(pr, Seq("k"), "full_outer")
+        .agg(
+          sum(coalesce(col("f"), lit(0L))).as("n_left"),
+          sum(coalesce(col("g"), lit(0L))).as("n_right"),
+          count(when(col("f").isNotNull && col("g").isNotNull, 1))
+            .as("n_keys_matched"),
+          coalesce(sum(col("f") * col("g")), lit(0L)).as("est_rows"),
+          max(col("f") * col("g")).as("max_key_rows"))
+        .select(lit(name).as("join_name"), col("n_left"), col("n_right"),
+          col("n_keys_matched"), col("est_rows"), col("max_key_rows"),
+          round(col("est_rows").cast("double")
+            / col("n_left").cast("double"), 6).as("amplification"))
+    }
+    val ev = t(spark, dir, "events")
+    spec("customer_orders", t(spark, dir, "customer"), "c_custkey",
+        t(spark, dir, "orders"), "o_custkey")
+      .unionAll(spec("orders_lineitem", t(spark, dir, "orders"),
+        "o_orderkey", t(spark, dir, "lineitem"), "l_orderkey"))
+      .unionAll(spec("events_self_user", ev, "user_id", ev, "user_id"))
+      .orderBy(col("join_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_join_cardinality" -> (dqJoinCardinality _),
     "dq_benford" -> (dqBenford _),
     "dq_uniqueness" -> (dqUniqueness _),
     "dq_referential" -> (dqReferential _),
@@ -390,6 +443,42 @@ object Profiling {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_join_cardinality" -> """
+      WITH co AS (
+        SELECT 'customer_orders' AS join_name,
+          (SELECT count(*) FROM customer) AS n_left,
+          (SELECT count(*) FROM orders) AS n_right,
+          count(*) AS n_keys_matched,
+          sum(f * g) AS est_rows, max(f * g) AS max_key_rows
+        FROM (SELECT c_custkey AS k, count(*) AS f FROM customer GROUP BY 1) a
+        JOIN (SELECT o_custkey AS k, count(*) AS g FROM orders GROUP BY 1) b
+          USING (k)),
+      ol AS (
+        SELECT 'orders_lineitem' AS join_name,
+          (SELECT count(*) FROM orders) AS n_left,
+          (SELECT count(*) FROM lineitem) AS n_right,
+          count(*) AS n_keys_matched,
+          sum(f * g) AS est_rows, max(f * g) AS max_key_rows
+        FROM (SELECT o_orderkey AS k, count(*) AS f FROM orders GROUP BY 1) a
+        JOIN (SELECT l_orderkey AS k, count(*) AS g FROM lineitem GROUP BY 1) b
+          USING (k)),
+      es AS (
+        SELECT 'events_self_user' AS join_name,
+          (SELECT count(*) FROM events) AS n_left,
+          (SELECT count(*) FROM events) AS n_right,
+          count(*) AS n_keys_matched,
+          sum(f * f) AS est_rows, max(f * f) AS max_key_rows
+        FROM (SELECT user_id, count(*) AS f FROM events GROUP BY 1))
+      SELECT join_name, CAST(n_left AS BIGINT) AS n_left,
+        CAST(n_right AS BIGINT) AS n_right,
+        CAST(n_keys_matched AS BIGINT) AS n_keys_matched,
+        CAST(est_rows AS BIGINT) AS est_rows,
+        CAST(max_key_rows AS BIGINT) AS max_key_rows,
+        round(CAST(est_rows AS DOUBLE) / CAST(n_left AS DOUBLE), 6)
+          AS amplification
+      FROM (SELECT * FROM co UNION ALL SELECT * FROM ol
+            UNION ALL SELECT * FROM es)
+      ORDER BY join_name""",
     "dq_benford" -> """
       WITH d AS (
         SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)

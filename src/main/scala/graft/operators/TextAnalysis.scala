@@ -650,6 +650,73 @@ ${if (eval) evalTail(rounds) else trainTail(rounds)}"""
       .limit(k)
   }
 
+  /** Number of top-drift terms [[textVocabDrift]] emits, shared with its
+    * oracle so the cutoff cannot drift between engines. */
+  val VocabDriftK: Int = 30
+
+  /** VOCABULARY drift between two corpus snapshots — the text-level
+    * sibling of [[Profiling.dqDrift]]'s numeric PSI: per-term
+    * Jensen–Shannon divergence contributions between the unigram
+    * distributions of two content-addressed halves of the corpus (first
+    * md5 hex digit of doc_id < 8 → snapshot A, else B — the same
+    * digest-split convention as [[Curation.sampleStratified]], so the
+    * halves are deterministic on any engine). The top-[[VocabDriftK]]
+    * contributing terms ARE the drift explanation — "which words is the
+    * new crawl suddenly full of" — the signal a training-data pipeline
+    * watches for domain shift between ingests.
+    *
+    * Scale shape: one exploded-token aggregation with map-side partials
+    * (the shuffle carries (term, n_a, n_b) — reduced counts, never
+    * token rows); totals are a 1-row broadcast; everything after runs on
+    * the vocab-sized frame. The `n_a+n_b ≥ 5` support floor bounds the
+    * long tail (at 100 TB the same floor, or a df cap like
+    * [[textInvertedIndex]]'s, keeps the vocab frame millions of rows,
+    * not billions).
+    *
+    * Determinism: probabilities are integer PPM (`(n·10⁶) div total` —
+    * exact in both engines); JS contributions are computed in
+    * MICRO-nats directly from the ppm integers (the 10⁶ scale factors
+    * through the p·ln(2p∕(p+q)) terms), a fixed IEEE op chain on
+    * bit-identical inputs; ranking happens on the ROUNDED contribution
+    * (identical in both engines) with term as tiebreak, so the top-k
+    * set cannot flip on a last-ulp log difference.
+    */
+  def textVocabDrift(spark: SparkSession, dir: String,
+      k: Int = VocabDriftK): DataFrame = {
+    val half = (conv(substring(md5(col("doc_id").cast("string")), 1, 1),
+      16, 10).cast("int") < 8).cast("int")
+    val cnt = t(spark, dir, "documents")
+      .select(half.as("in_a"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(sum(col("in_a")).as("n_a"),
+        sum(lit(1) - col("in_a")).as("n_b"))
+      .filter(col("n_a") + col("n_b") >= 5)
+    val tot = cnt.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    val ppm = cnt.crossJoin(broadcast(tot))
+      .select(col("term"), col("n_a"), col("n_b"),
+        expr("(n_a * 1000000) div tot_a").as("pa_ppm"),
+        expr("(n_b * 1000000) div tot_b").as("pb_ppm"))
+    val pa = col("pa_ppm").cast("double")
+    val pb = col("pb_ppm").cast("double")
+    val contrib =
+      (when(col("pa_ppm") > 0, pa * log(lit(2.0) * pa / (pa + pb)))
+        .otherwise(lit(0.0))
+        + when(col("pb_ppm") > 0, pb * log(lit(2.0) * pb / (pa + pb)))
+          .otherwise(lit(0.0))) * 0.5
+    val scored = ppm.select(col("term"), col("n_a"), col("n_b"),
+      col("pa_ppm"), col("pb_ppm"),
+      round(contrib, 6).as("js_contrib_micro"))
+    // top-k plans as TakeOrderedAndProject (never a global sort); the
+    // rank window then runs on the k-row result, not the vocab frame
+    val w = Window.orderBy(col("js_contrib_micro").desc, col("term").asc)
+    scored
+      .orderBy(col("js_contrib_micro").desc, col("term").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("term"), col("n_a"), col("n_b"), col("pa_ppm"),
+        col("pb_ppm"), col("js_contrib_micro"), col("rank"))
+  }
+
   /** Inverted-index build: term → document frequency + the first `cap`
     * postings (smallest doc_ids). Hot terms — stopwords — would make a
     * full `collect_list` posting row multi-GB at corpus scale, so the
@@ -1206,6 +1273,8 @@ $docRounds,
     "text_normalize" -> (textNormalize _),
     "text_chunk" -> ((s: SparkSession, d: String) => textChunk(s, d)),
     "text_tfidf" -> ((s: SparkSession, d: String) => textTfidf(s, d)),
+    "text_vocab_drift" -> ((s: SparkSession, d: String) =>
+      textVocabDrift(s, d)),
     "text_bm25" -> ((s: SparkSession, d: String) => textBm25(s, d)),
     "text_inverted_index" ->
       ((s: SparkSession, d: String) => textInvertedIndex(s, d)),
@@ -1518,6 +1587,39 @@ $docRounds,
         CAST(len(list_slice(w, s, s + ${ChunkSize - 1})) AS INT)
           AS chunk_tokens
       FROM st""",
+    "text_vocab_drift" -> s"""
+      WITH tok AS (
+        SELECT CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 8
+               THEN 1 ELSE 0 END AS in_a,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      cnt AS (SELECT term, sum(in_a) AS n_a, sum(1 - in_a) AS n_b
+              FROM tok GROUP BY 1 HAVING sum(in_a) + sum(1 - in_a) >= 5),
+      tot AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM cnt),
+      ppm AS (SELECT term, n_a, n_b,
+                (n_a * 1000000) // tot_a AS pa_ppm,
+                (n_b * 1000000) // tot_b AS pb_ppm
+              FROM cnt, tot),
+      sc AS (SELECT term, CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(pa_ppm AS BIGINT) AS pa_ppm,
+               CAST(pb_ppm AS BIGINT) AS pb_ppm,
+               round((CASE WHEN pa_ppm > 0 THEN CAST(pa_ppm AS DOUBLE)
+                        * ln(2.0 * CAST(pa_ppm AS DOUBLE)
+                             / (CAST(pa_ppm AS DOUBLE)
+                                + CAST(pb_ppm AS DOUBLE)))
+                        ELSE 0.0 END
+                    + CASE WHEN pb_ppm > 0 THEN CAST(pb_ppm AS DOUBLE)
+                        * ln(2.0 * CAST(pb_ppm AS DOUBLE)
+                             / (CAST(pa_ppm AS DOUBLE)
+                                + CAST(pb_ppm AS DOUBLE)))
+                        ELSE 0.0 END) * 0.5, 6) AS js_contrib_micro
+             FROM ppm)
+      SELECT *, CAST(row_number() OVER
+          (ORDER BY js_contrib_micro DESC, term ASC) AS INT) AS rank
+      FROM sc
+      ORDER BY js_contrib_micro DESC, term ASC LIMIT $VocabDriftK""",
     "text_tfidf" -> """
       WITH tf AS (
         SELECT doc_id, term, count(*) AS tf
