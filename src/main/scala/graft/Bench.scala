@@ -145,6 +145,11 @@ object Bench {
     // (the IVF-PQ recall readout stays unbenched — its ground-truth side
     // is the quarantined quadratic baseline, the dedup_lsh_recall rule)
     "cur_filter_sweep", "sim_pca_power",
+    // round-13g additions: frontier-BFS k-hop reachability, soft dedup
+    // down-weighting, OLS trend by sufficient statistics, pre-flight
+    // join-cardinality audit, vocabulary JS-divergence drift
+    "graph_khop", "cur_soft_dedup", "ts_linreg", "dq_join_cardinality",
+    "text_vocab_drift",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.
