@@ -1093,6 +1093,108 @@ object Curation {
           4).as("repeat_factor"))
   }
 
+  /** DSIR feature-space / selection constants. 64 hash buckets keep the
+    * bucket table a bounded codebook (the k-means / classifier
+    * convention); the target set is the quality >= 0.75 half of the
+    * corpus (the classifier's balanced-label threshold), and the top-100
+    * selection is the deterministic argmax variant of the resample.
+    */
+  private[operators] val DsirBuckets = 64
+  private[operators] val DsirTopN = 100
+  private[operators] val DsirTargetQuality = 0.75
+
+  /** DSIR-style data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every raw
+    * document by how much more likely its hashed-unigram features are
+    * under the TARGET distribution (here: the high-quality half of the
+    * corpus — in production, a trusted reference corpus) than under the
+    * RAW corpus distribution, then keep the top-N. The per-doc importance
+    * weight is the mean token log-ratio
+    * `ln p_target(b) − ln p_raw(b)` over the doc's hashed feature
+    * buckets, with add-1 smoothing so unseen buckets stay finite. The
+    * published method resamples with Gumbel noise; the engine ships the
+    * deterministic top-N variant (same ranking statistic) so the
+    * selection is a pure function of the corpus — the sampling twist is
+    * one `md5`-keyed perturbation away (the [[globalShuffle]] pattern)
+    * if a caller wants it.
+    *
+    * Engine-exactness: each bucket's two log terms are rounded to integer
+    * MICRO-nats independently (the text_lm_score convention — a fixed
+    * one-division-one-log IEEE chain per term), the per-doc sum is an
+    * integer fold over the token array, and the mean divides with `div`
+    * (Spark `div`, DuckDB `//`, both truncate toward zero), so summation
+    * order can never flip a rank.
+    *
+    * Scale shape: ONE pass over the corpus builds the (bucket, raw,
+    * target) count table — 64 rows, collected as a bounded codebook and
+    * re-broadcast as a literal map, exactly how the trained classifier
+    * ships its weights. Scoring is then pure map-side expression work
+    * (an `aggregate` fold over each doc's token array — no explode, no
+    * per-doc shuffle) and the selection is a TakeOrdered top-N, never a
+    * global sort. At 100 TB the bucket table is still 64 rows; the whole
+    * operator is two scans, one 64-row exchange, and a top-N.
+    */
+  def dsirSelect(spark: SparkSession, dir: String,
+      topN: Int = DsirTopN): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("wAll", tokens(col("text")))
+      .withColumn("w", filter(col("wAll"), x => length(x) > 0))
+      .filter(size(col("w")) > 0)
+      // the quality label rides the SAME scan as the features (the
+      // classifierFeatures convention — nothing joined)
+      .withColumn("quality", round(
+        lit(0.4) * least(size(col("wAll")) / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) -
+            stopwordCount(col("wAll")).cast("double") / size(col("wAll"))) +
+          lit(0.3) * (length(regexp_replace(col("text"), "[^a-z]", ""))
+            .cast("double") / length(col("text"))), 6))
+    val bucketExpr =
+      "CAST(pmod(CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT), " +
+        s"$DsirBuckets) AS INT)"
+    // one corpus pass -> <=64-row (bucket, raw-count, target-count) table:
+    // the bounded-codebook collect (classifier weights / k-means centroids
+    // convention), never O(docs) driver state
+    val stats = docs
+      .select((col("quality") >= DsirTargetQuality).as("tgt"),
+        explode(col("w")).as("tok"))
+      .withColumn("b", expr(bucketExpr))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"))
+      .collect()
+    val rtot = stats.map(_.getAs[Long]("rc")).sum
+    val ttot = stats.map(_.getAs[Long]("tc")).sum
+    // round-half-away-from-zero, matching Spark round() and DuckDB
+    // round() (math.round would round half toward +inf on negatives)
+    def microLn(c: Long, tot: Long): Long =
+      BigDecimal(math.log((c + 1).toDouble / (tot + DsirBuckets)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val lmap = stats.map { r =>
+      val b = r.getAs[Int]("b")
+      b -> (microLn(r.getAs[Long]("tc"), ttot) -
+        microLn(r.getAs[Long]("rc"), rtot))
+    }.toMap
+    val lmapLit = typedLit(lmap)
+    // map-side scoring: integer fold over the token array via the SAME
+    // bucket hash; every observed bucket is in lmap by construction (the
+    // coalesce is a belt for the empty-map empty-corpus case)
+    val scored = docs.select(col("doc_id"), col("w"))
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("ssum", aggregate(col("w"), lit(0L), (acc, tok) =>
+        acc + coalesce(element_at(lmapLit,
+          pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"),
+            lit(DsirBuckets.toLong)).cast("int")), lit(0L))))
+      .withColumn("score_micro", expr("ssum div n_tokens"))
+    scored
+      .select(col("doc_id"), col("n_tokens"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(topN)
+      // rank over the post-limit <=N-row frame (the curFilterSweep
+      // bounded-window convention), never the corpus
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_keep_best" -> ((s, d) => keepBestPerCluster(s, d)),
     "cur_split_leakfree" -> ((s, d) => splitLeakfree(s, d)),
@@ -1120,6 +1222,7 @@ object Curation {
     "cur_mixture_sample" -> ((s, d) => mixtureSample(s, d)),
     "cur_sample_topn" -> ((s, d) => sampleTopNPerSource(s, d)),
     "cur_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
+    "cur_dsir_select" -> ((s, d) => dsirSelect(s, d)),
   )
 
   /** The curation funnel as DuckDB CTEs ending in `curated(doc_id, lang,
@@ -1168,6 +1271,38 @@ object Curation {
          || ':' || CAST(epoch AS VARCHAR)), 2, 1)) - 1))"""
 
   val oracle: Map[String, String] = Map(
+    "cur_dsir_select" -> s"""
+      WITH tk AS MATERIALIZED (
+        SELECT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+        WHERE tok <> ''),
+      ${CorpusPipeline.qualityCte},
+      bk AS MATERIALIZED (
+        SELECT t.doc_id, q.quality >= $DsirTargetQuality AS tgt,
+          CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+               % $DsirBuckets AS INT) AS b
+        FROM tk t JOIN qual q ON t.doc_id = q.doc_id),
+      st AS (SELECT b, CAST(count(*) AS BIGINT) AS rc,
+               CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc
+             FROM bk GROUP BY 1),
+      tot AS (SELECT CAST(sum(rc) AS BIGINT) AS rtot,
+                     CAST(sum(tc) AS BIGINT) AS ttot FROM st),
+      lw AS (SELECT b,
+               CAST(round(ln((tc + 1) / CAST(ttot + $DsirBuckets AS DOUBLE))
+                          * 1e6) AS BIGINT)
+             - CAST(round(ln((rc + 1) / CAST(rtot + $DsirBuckets AS DOUBLE))
+                          * 1e6) AS BIGINT) AS lmicro
+             FROM st, tot),
+      sc AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+               CAST(sum(lmicro) AS BIGINT) AS ssum
+             FROM bk JOIN lw USING (b) GROUP BY 1),
+      top AS (SELECT doc_id, n_tokens, ssum // n_tokens AS score_micro
+              FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT $DsirTopN)
+      SELECT doc_id, n_tokens, score_micro,
+        CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+             AS INT) AS rank
+      FROM top""",
     "cur_temperature_mix" -> s"""
       WITH per_source AS (
         SELECT source, count(*) AS n_docs,
