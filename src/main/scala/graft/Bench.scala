@@ -150,6 +150,9 @@ object Bench {
     // join-cardinality audit, vocabulary JS-divergence drift
     "graph_khop", "cur_soft_dedup", "ts_linreg", "dq_join_cardinality",
     "text_vocab_drift",
+    // round-13h addition: DSIR importance selection (two corpus scans,
+    // one 64-row exchange, TakeOrdered top-N)
+    "cur_dsir_select",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.
