@@ -1195,6 +1195,240 @@ object Curation {
         Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
   }
 
+  /** DoReMi loop constants: 3 exponentiated-gradient rounds (the paper's
+    * update, full-batch), 1% uniform smoothing in PPM so no domain's
+    * weight can collapse to zero.
+    */
+  private[operators] val DoremiRounds = 3
+  private[operators] val DoremiEpsPpm = 10000L
+
+  /** DoReMi-style domain-mixture optimization (Xie et al., "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * NeurIPS 2023), engine-native: k rounds of the Group-DRO
+    * exponentiated-gradient update `α ∝ α·exp(η·excess_k)` over the
+    * per-domain (`source`) held-out loss, where the proxy model is the
+    * α-WEIGHTED interpolated bigram LM ([[TextAnalysis.textLmHeldout]]'s
+    * model with each training count carrying its domain's mixture weight
+    * instead of 1) and excess is taken against the round's cross-domain
+    * mean loss (the reference term of the paper's update; a separately
+    * trained reference model would make the full-batch loop a fixpoint
+    * at uniform). Domains whose held-out bigrams the current mixture
+    * explains badly get upweighted; re-training under the new mixture
+    * feeds the loss back, so the loop converges toward loss-balanced
+    * weights — the DRO objective. Output per domain: train size, held-out
+    * bigram count, nll under the uniform mixture, nll under the final
+    * mixture, and the final weight in PPM.
+    *
+    * Engine-exactness: mixture weights are integer PPM; weighted counts
+    * are exact long sums of those PPM values; each held-out bigram's
+    * interpolated log-prob is the [[TextAnalysis.textLmHeldout]] fixed
+    * IEEE chain rounded to integer micro-nats before the sum; the EG
+    * multiplier is quantized to integer micro-units right after the one
+    * `exp`, so the whole update (multiply, normalize, smooth) is integer
+    * division — the oracle replays all rounds as a generated CTE chain
+    * ([[graphKhop]]'s convention) and every rank and weight matches
+    * bit-for-bit.
+    *
+    * Scale shape: per round, the train token/bigram streams aggregate
+    * partial+final into VOCABULARY-sized weighted count tables
+    * (broadcast, the trained-artifact convention), the held-out stream
+    * joins them map-side and reduces to |domains| rows, and the driver
+    * holds only the |domains|-sized weight vector (bounded-codebook
+    * collect, k-means convention). Nothing O(corpus) ever reaches the
+    * driver; rounds are a fixed small constant.
+    */
+  def curDoremiMix(spark: SparkSession, dir: String,
+      rounds: Int = DoremiRounds): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
+    // content-addressed train/test split (the [[textVocabDrift]] md5
+    // convention) — doc_id PARITY is correlated with `source` in the
+    // fixture (ids are dealt round-robin across sources), which would
+    // leave every train domain with zero held-out bigrams
+    val half = conv(substring(md5(col("doc_id").cast("string")), 1, 1),
+      16, 10).cast("int") < 8
+    val train = docs.filter(half)
+    val test = docs.filter(!half)
+    def bigrams(df: DataFrame): DataFrame = df.select(col("source"),
+      explode(expr(
+        """CASE WHEN size(w) >= 2
+           THEN transform(sequence(0, size(w) - 2),
+                  i -> named_struct('w1', w[i], 'w2', w[i + 1]))
+           ELSE CAST(array() AS array<struct<w1: string, w2: string>>)
+           END""")).as("b"))
+      .select(col("source"), col("b.w1"), col("b.w2"))
+    val trainBg = bigrams(train)
+    val testBg = bigrams(test)
+
+    // |domains| rows — the mixture vector's index, not corpus data
+    val domains: Seq[String] = train.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+
+    // held-out per-domain nll (integer micro-nats) under the α-weighted
+    // bigram LM; count tables are vocabulary-sized -> broadcast
+    def evalDf(alpha: Map[String, Long]): DataFrame = {
+      val aLit = typedLit(alpha)
+      val uni = train
+        .select(explode(col("w")).as("tok"),
+          element_at(aLit, col("source")).as("ap"))
+        .groupBy(col("tok")).agg(sum(col("ap")).as("cu"))
+      val tot = uni.agg(sum(col("cu")).as("t_w"))
+      val cb = trainBg
+        .withColumn("ap", element_at(aLit, col("source")))
+        .groupBy(col("w1"), col("w2")).agg(sum(col("ap")).as("cb"))
+      testBg
+        .join(broadcast(cb), Seq("w1", "w2"), "left_outer")
+        .join(broadcast(uni.select(col("tok").as("w1"),
+          col("cu").as("c1"))), Seq("w1"), "left_outer")
+        .join(broadcast(uni.select(col("tok").as("w2"),
+          col("cu").as("c2"))), Seq("w2"), "left_outer")
+        .join(broadcast(tot))
+        .withColumn("p", greatest(
+          lit(TextAnalysis.LmLambda) *
+            (coalesce(col("cb"), lit(0L)).cast("double") /
+              coalesce(col("c1"), lit(1L))) +
+          lit(1 - TextAnalysis.LmLambda) *
+            (coalesce(col("c2"), lit(0L)).cast("double") / col("t_w")),
+          lit(TextAnalysis.LmFloor)))
+        .withColumn("ll_u", round(log(col("p")) * 1e6).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("ll_u")).as("llu"))
+        .withColumn("nll_micro",
+          (-round(col("llu").cast("double") / col("n"))).cast("long"))
+    }
+
+    var alpha: Map[String, Long] =
+      domains.map(_ -> 1000000L / math.max(domains.length, 1)).toMap
+    var nll0: Map[String, Long] = Map.empty
+    for (r <- 1 to rounds if domains.nonEmpty) {
+      // |domains|-row collect: the weight vector's gradient signal
+      val cur = evalDf(alpha).collect()
+        .map(rw => rw.getString(0) -> rw.getAs[Long]("nll_micro")).toMap
+        .filter { case (s, _) => alpha.contains(s) }
+      if (r == 1) nll0 = cur
+      val ex: Map[String, Long] =
+        if (cur.isEmpty) domains.map(_ -> 0L).toMap
+        else {
+          val m = cur.values.sum / cur.size
+          domains.map(d => d -> cur.get(d).map(_ - m).getOrElse(0L)).toMap
+        }
+      // EG multiplier quantized to integer micro-units straight after
+      // the exp — everything downstream is exact integer division
+      val raw = domains.map { d =>
+        val mult = BigDecimal(math.exp(ex(d).toDouble / 1e6) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        d -> alpha(d) * mult / 1000000L
+      }
+      val s = raw.map(_._2).sum
+      alpha = raw.map { case (d, v) =>
+        d -> ((v * 1000000L / s) * (1000000L - DoremiEpsPpm) / 1000000L
+          + DoremiEpsPpm / domains.length)
+      }.toMap
+    }
+    val nll0Lit = typedLit(nll0)
+    val aLit = typedLit(alpha)
+    val ntrain = train.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train_docs"))
+    ntrain
+      .join(evalDf(alpha).select(col("source"), col("n"),
+        col("nll_micro")), Seq("source"), "left_outer")
+      .select(col("source"), col("n_train_docs"),
+        coalesce(col("n"), lit(0L)).as("n_bigrams"),
+        element_at(nll0Lit, col("source")).as("nll0_micro"),
+        col("nll_micro"),
+        element_at(aLit, col("source")).as("alpha_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** The [[curDoremiMix]] oracle: the R-round EG loop unrolled as a
+    * generated CTE chain (one weighted-LM evaluation block per round
+    * plus the final readout — [[graphKhop]]'s generated-oracle
+    * convention), arithmetic mirrored operation-for-operation.
+    */
+  private[operators] def doremiOracleSql(rounds: Int): String = {
+    val lam = TextAnalysis.LmLambda
+    val oneMinusLam = 1 - TextAnalysis.LmLambda
+    val floor = TextAnalysis.LmFloor
+    // every per-round CTE is MATERIALIZED: each is referenced 2-4 times
+    // downstream, and DuckDB's default CTE inlining re-evaluates the
+    // whole upstream chain per reference — exponential across rounds
+    val evalBlocks = (1 to rounds + 1).map { r => s"""
+      uw$r AS MATERIALIZED (SELECT t.tok, CAST(sum(a.ap) AS BIGINT) AS cu
+               FROM trt t JOIN a$r a USING (source) GROUP BY 1),
+      tw$r AS (SELECT CAST(sum(cu) AS BIGINT) AS t_w FROM uw$r),
+      cw$r AS MATERIALIZED (SELECT b.w1, b.w2,
+                 CAST(sum(a.ap) AS BIGINT) AS cb
+               FROM trb b JOIN a$r a USING (source) GROUP BY 1, 2),
+      nl$r AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(-round(CAST(sum(CAST(round(ln(p) * 1e6) AS BIGINT))
+                      AS BIGINT) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                   AS nll
+               FROM (
+                 SELECT tbg.source, greatest(
+                     $lam * (coalesce(cw.cb, 0)::DOUBLE
+                       / coalesce(u1.cu, 1))
+                   + $oneMinusLam * (coalesce(u2.cu, 0)::DOUBLE / tw.t_w),
+                     $floor) AS p
+                 FROM teb tbg
+                 LEFT JOIN cw$r cw ON tbg.w1 = cw.w1 AND tbg.w2 = cw.w2
+                 LEFT JOIN uw$r u1 ON tbg.w1 = u1.tok
+                 LEFT JOIN uw$r u2 ON tbg.w2 = u2.tok
+                 CROSS JOIN tw$r tw) sc
+               JOIN doms USING (source) GROUP BY source)"""
+    }
+    val updateBlocks = (1 to rounds).map { r => s"""
+      m$r AS (SELECT CASE WHEN count(*) > 0
+                THEN CAST(sum(nll) AS BIGINT) // CAST(count(*) AS BIGINT)
+                END AS m FROM nl$r),
+      rw$r AS MATERIALIZED (SELECT d.source,
+                 (a.ap * CAST(round(exp(coalesce(nl.nll - m.m, 0)
+                    / 1000000.0) * 1e6) AS BIGINT)) // 1000000 AS rawv
+               FROM doms d JOIN a$r a USING (source)
+               LEFT JOIN nl$r nl USING (source)
+               CROSS JOIN m$r m),
+      a${r + 1} AS MATERIALIZED (SELECT source,
+                 ((rawv * 1000000)
+                    // (SELECT CAST(sum(rawv) AS BIGINT) FROM rw$r))
+                   * ${1000000 - DoremiEpsPpm} // 1000000
+                   + $DoremiEpsPpm // (SELECT k FROM k) AS ap
+               FROM rw$r)"""
+    }
+    val f = rounds + 1
+    s"""
+      WITH tok AS MATERIALIZED (
+        SELECT doc_id, source, string_split(text, ' ') AS w,
+          (strpos('0123456789abcdef',
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 8 AS in_tr
+        FROM documents),
+      train AS MATERIALIZED (SELECT * FROM tok WHERE in_tr),
+      test AS (SELECT * FROM tok WHERE NOT in_tr),
+      doms AS MATERIALIZED (SELECT DISTINCT source FROM train),
+      k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM doms),
+      trt AS MATERIALIZED (SELECT source, unnest(w) AS tok FROM train),
+      trb AS MATERIALIZED (
+        SELECT source, w[i] AS w1, w[i + 1] AS w2
+        FROM train, UNNEST(generate_series(1, len(w) - 1)) AS g(i)),
+      teb AS MATERIALIZED (
+        SELECT source, w[i] AS w1, w[i + 1] AS w2
+        FROM test, UNNEST(generate_series(1, len(w) - 1)) AS g(i)),
+      a1 AS (SELECT source, (SELECT 1000000 // k FROM k) AS ap FROM doms),
+      ${(evalBlocks.take(rounds)
+          .zip(updateBlocks).map { case (e, u) => e + "," + u } :+
+          evalBlocks(rounds)).mkString(",")},
+      nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_train_docs
+             FROM train GROUP BY 1)
+      SELECT nd.source, nd.n_train_docs,
+        coalesce(f.n, 0) AS n_bigrams,
+        n1.nll AS nll0_micro,
+        f.nll AS nll_micro,
+        a.ap AS alpha_ppm
+      FROM nd
+      LEFT JOIN nl1 n1 USING (source)
+      LEFT JOIN nl$f f USING (source)
+      JOIN a$f a USING (source)
+      ORDER BY source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_keep_best" -> ((s, d) => keepBestPerCluster(s, d)),
     "cur_split_leakfree" -> ((s, d) => splitLeakfree(s, d)),
@@ -1223,6 +1457,7 @@ object Curation {
     "cur_sample_topn" -> ((s, d) => sampleTopNPerSource(s, d)),
     "cur_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
     "cur_dsir_select" -> ((s, d) => dsirSelect(s, d)),
+    "cur_doremi_mix" -> ((s, d) => curDoremiMix(s, d)),
   )
 
   /** The curation funnel as DuckDB CTEs ending in `curated(doc_id, lang,
@@ -1271,6 +1506,7 @@ object Curation {
          || ':' || CAST(epoch AS VARCHAR)), 2, 1)) - 1))"""
 
   val oracle: Map[String, String] = Map(
+    "cur_doremi_mix" -> doremiOracleSql(DoremiRounds),
     "cur_dsir_select" -> s"""
       WITH tk AS MATERIALIZED (
         SELECT doc_id, tok FROM (

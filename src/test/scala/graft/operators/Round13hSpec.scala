@@ -100,4 +100,101 @@ class Round13hSpec extends AnyFunSuite {
     assert(topTgt > botTgt,
       s"top-N must be more target-heavy than bottom-N ($topTgt vs $botTgt)")
   }
+
+  test("cur_doremi_mix: weights equal a driver replay of the EG loop " +
+      "and upweight the high-loss domains") {
+    val docs = t(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def rnd(v: Double): Long =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val split = docs.map { case (id, src, text) =>
+      (id, src, text.split(" ", -1),
+        BigInt(md5hex(id.toString).take(1), 16) < 8)
+    }
+    val train = split.filter(_._4)
+    val test = split.filterNot(_._4)
+    val domains = train.map(_._2).distinct.sorted
+    assert(domains.length > 1, "fixture must have multiple train domains")
+
+    // weighted-LM heldout eval, mirroring the engine op independently
+    def eval(alpha: Map[String, Long]): Map[String, (Long, Long)] = {
+      val cu = new scala.collection.mutable.HashMap[String, Long]()
+      val cb = new scala.collection.mutable.HashMap[(String, String), Long]()
+      var tot = 0L
+      train.foreach { case (_, src, w, _) =>
+        val ap = alpha(src)
+        w.foreach { tk => cu(tk) = cu.getOrElse(tk, 0L) + ap; tot += ap }
+        w.sliding(2).filter(_.length == 2).foreach { p =>
+          cb((p(0), p(1))) = cb.getOrElse((p(0), p(1)), 0L) + ap
+        }
+      }
+      val acc = new scala.collection.mutable.HashMap[String, (Long, Long)]()
+      test.foreach { case (_, src, w, _) =>
+        w.sliding(2).filter(_.length == 2).foreach { pr =>
+          val p = math.max(
+            0.7 * (cb.getOrElse((pr(0), pr(1)), 0L).toDouble /
+              cu.getOrElse(pr(0), 1L)) +
+            0.30000000000000004 *
+              (cu.getOrElse(pr(1), 0L).toDouble / tot),
+            1e-9)
+          val llu = rnd(math.log(p) * 1e6)
+          val (n, s) = acc.getOrElse(src, (0L, 0L))
+          acc(src) = (n + 1, s + llu)
+        }
+      }
+      acc.map { case (s, (n, llu)) =>
+        s -> (n, -rnd(llu.toDouble / n))
+      }.toMap
+    }
+
+    var alpha = domains.map(_ -> 1000000L / domains.length).toMap
+    var nll0: Map[String, Long] = Map.empty
+    for (r <- 1 to Curation.DoremiRounds) {
+      val cur = eval(alpha).filter(kv => alpha.contains(kv._1))
+        .map { case (s, (_, nll)) => s -> nll }
+      if (r == 1) nll0 = cur
+      val ex =
+        if (cur.isEmpty) domains.map(_ -> 0L).toMap
+        else {
+          val m = cur.values.sum / cur.size
+          domains.map(d => d -> cur.get(d).map(_ - m).getOrElse(0L)).toMap
+        }
+      val raw = domains.map { d =>
+        d -> alpha(d) * rnd(math.exp(ex(d).toDouble / 1e6) * 1e6) / 1000000L
+      }
+      val s = raw.map(_._2).sum
+      alpha = raw.map { case (d, v) =>
+        d -> ((v * 1000000L / s) *
+          (1000000L - Curation.DoremiEpsPpm) / 1000000L
+          + Curation.DoremiEpsPpm / domains.length)
+      }.toMap
+    }
+    val fin = eval(alpha)
+    val nTrain = train.groupBy(_._2).map { case (s, ds) => s -> ds.length }
+    val expected = domains.map { d =>
+      (d, nTrain(d).toLong, fin.get(d).map(_._1).getOrElse(0L),
+        nll0.get(d), fin.get(d).map(_._2), alpha(d))
+    }
+
+    val got = Curation.curDoremiMix(spark, dir).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5)))
+    assert(got.toSeq == expected.toSeq,
+      "distributed DoReMi loop must equal the driver replay")
+
+    // non-vacuous: the EG update must move weights and move them toward
+    // the lossy domains
+    assert(alpha.values.toSet.size > 1, "weights never moved off uniform")
+    val withN0 = domains.filter(nll0.contains)
+    val hi = withN0.maxBy(nll0)
+    val lo = withN0.minBy(nll0)
+    assert(alpha(hi) > alpha(lo),
+      s"max-loss domain $hi must out-weigh min-loss domain $lo")
+    val sumA = domains.map(alpha).sum
+    assert(math.abs(sumA - 1000000L) <= domains.length * 2,
+      s"weights must stay a normalized mixture (sum $sumA)")
+  }
 }
