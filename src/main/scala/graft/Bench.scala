@@ -150,9 +150,11 @@ object Bench {
     // join-cardinality audit, vocabulary JS-divergence drift
     "graph_khop", "cur_soft_dedup", "ts_linreg", "dq_join_cardinality",
     "text_vocab_drift",
-    // round-13h addition: DSIR importance selection (two corpus scans,
-    // one 64-row exchange, TakeOrdered top-N)
-    "cur_dsir_select",
+    // round-13h additions: DSIR importance selection (two corpus scans,
+    // one 64-row exchange, TakeOrdered top-N) and DoReMi mixture
+    // optimization (per round: vocabulary-sized broadcast count tables,
+    // |domains|-row collect)
+    "cur_dsir_select", "cur_doremi_mix",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.
