@@ -730,7 +730,53 @@ object Dedup {
       .select(col("da"), col("db"), col("sim_est"), col("edit_sim"))
   }
 
+  /** Cross-SOURCE overlap matrix — the corpus-composition audit that
+    * says which domains duplicate each other (mirror crawls, syndicated
+    * feeds, re-hosted dumps) BEFORE any pairwise doc dedup runs: for
+    * every source pair, the shared distinct-3-shingle count with Jaccard
+    * and containment in exact PPM. A pipeline reads this to decide
+    * which source pairs are worth a full cross-source dedup pass and
+    * which are disjoint by construction.
+    *
+    * Scale shape: the corpus reduces to the distinct (source, shingle)
+    * PRESENCE profile first (partial+final aggregate — the shuffle
+    * carries reduced profile rows, never documents); the self-join on
+    * shingle fans out at most |sources|² rows per shingle — a CONSTANT
+    * (domain count), not a corpus quantity, so no df cap is needed
+    * (contrast [[dedupContainment]], whose per-DOC join must cap
+    * stop-shingles); the result is |sources|²-bounded. Ratios are
+    * integer cross-multiplications (`·10⁶ div`), engine-exact.
+    */
+  def dedupSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val p = t(spark, dir, "documents")
+      .select(col("source"), tokens(col("text")).as("w"))
+      .select(col("source"),
+        explode(call_function("graft_shingles3", col("w"))).as("s"))
+      .distinct()
+    val counts = p.groupBy(col("source")).agg(count(lit(1)).as("c"))
+    val pairs = p.as("a")
+      .join(p.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(counts.select(col("source").as("src_a"),
+        col("c").as("shingles_a"))), Seq("src_a"))
+      .join(broadcast(counts.select(col("source").as("src_b"),
+        col("c").as("shingles_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        col("shingles_a"), col("shingles_b"), col("n_shared"),
+        expr("(n_shared * 1000000) div (shingles_a + shingles_b - n_shared)")
+          .as("jaccard_ppm"),
+        expr("(n_shared * 1000000) div least(shingles_a, shingles_b)")
+          .as("containment_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_overlap" ->
+      ((s: SparkSession, d: String) => dedupSourceOverlap(s, d)),
     "dedup_exact" -> (dedupExact _),
     "dedup_fuzzy_verify" -> ((s: SparkSession, d: String) => dedupFuzzyVerify(s, d)),
     "dedup_ngram_jaccard" ->
@@ -783,6 +829,31 @@ object Dedup {
       pairs AS (SELECT da, db, sim_est FROM est WHERE sim_est >= 0.5)"""
 
   val oracle: Map[String, String] = Map(
+    "dedup_source_overlap" -> """
+      WITH tok AS (SELECT source, string_split(text, ' ') AS w
+                   FROM documents),
+      shn AS (SELECT source,
+                CASE WHEN len(w) >= 3
+                  THEN list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [] END AS sh
+              FROM tok),
+      p AS (SELECT DISTINCT source, unnest(sh) AS s FROM shn),
+      c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+            FROM p GROUP BY 1),
+      ov AS (SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+             FROM p a JOIN p b ON a.s = b.s AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT ov.src_a, ov.src_b, ca.c AS shingles_a, cb.c AS shingles_b,
+        ov.n_shared,
+        (ov.n_shared * 1000000)
+          // (ca.c + cb.c - ov.n_shared) AS jaccard_ppm,
+        (ov.n_shared * 1000000) // least(ca.c, cb.c) AS containment_ppm
+      FROM ov
+      JOIN c ca ON ov.src_a = ca.source
+      JOIN c cb ON ov.src_b = cb.source
+      ORDER BY 1, 2""",
     "dedup_url" -> """
       WITH raw AS (
         SELECT doc_id,

@@ -1096,7 +1096,55 @@ object Similarity {
         col("neg_label"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** How many outliers [[simOutliers]] reports. */
+  private[operators] val OutlierTopK = 30
+
+  /** Embedding OUTLIER detection — the pre-training audit that catches
+    * corrupted/mis-encoded vectors before they poison a contrastive or
+    * retrieval run: each vector's cosine to its assigned IVF centroid is
+    * z-scored WITHIN its list (a far-from-everything vector in a tight
+    * list is anomalous; the same distance in a diffuse list is not), and
+    * the corpus-wide top-k by z is the triage list. Reuses the
+    * session-memoized ingest-time IVF index ([[ivfIndex]]) — no extra
+    * corpus pass to build state.
+    *
+    * Engine-exactness: the member cosine is quantized to integer
+    * micro-units once, per-list moments are exact long sums (n, Σc, Σc²)
+    * of those integers, and the z itself is a fixed IEEE chain
+    * (mean, variance, one sqrt, one divide) on exact-integer-valued
+    * doubles, rounded at emit with vec_id tiebreak — ranks cannot flip
+    * on summation order. Scale: moments are a |codebook|-row broadcast;
+    * scoring is map-side; top-k plans as TakeOrderedAndProject.
+    */
+  def simOutliers(spark: SparkSession, dir: String,
+      k: Int = OutlierTopK): DataFrame = {
+    val (_, assigned, _) = ivfIndex(spark, dir)
+    val cc = assigned.select(col("vec_id"), col("cid"),
+      round(col("ccos") * 1e6).cast("long").as("cc_u"))
+    val stats = cc.groupBy(col("cid")).agg(count(lit(1)).as("n"),
+      sum(col("cc_u")).as("s1"), sum(col("cc_u") * col("cc_u")).as("s2"))
+    val scored = cc.join(broadcast(stats), "cid")
+      .filter(col("n") >= 2)
+      .withColumn("mean_u", col("s1").cast("double") / col("n"))
+      .withColumn("varr", (col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+        col("n"))
+      .filter(col("varr") > 0)
+      .withColumn("z", round(
+        (col("mean_u") - col("cc_u").cast("double")) / sqrt(col("varr")),
+        6))
+    scored
+      .select(col("vec_id"), col("cid"),
+        round(col("cc_u") / 1e6, 6).as("cos_centroid"), col("z"))
+      .orderBy(col("z").desc, col("vec_id").asc)
+      .limit(k)
+      // bounded post-limit window (the family convention)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("z").desc, col("vec_id").asc)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_outliers" -> ((s: SparkSession, d: String) => simOutliers(s, d)),
     "sim_negatives" -> ((s: SparkSession, d: String) => simNegatives(s, d)),
     "sim_negatives_hard" ->
       ((s: SparkSession, d: String) => simNegativesHard(s, d)),
@@ -1152,6 +1200,41 @@ object Similarity {
       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm)"""
 
   val oracle: Map[String, String] = Map(
+    "sim_outliers" -> s"""
+      WITH $normCte,
+      c AS (SELECT vec_id AS cid, embedding, nrm FROM n WHERE vec_id < 16),
+      ad AS (SELECT v.vec_id, c.cid,
+               list_sum(list_transform(generate_series(1,
+                 len(v.embedding)),
+                 i -> v.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                 / (v.nrm * c.nrm) AS du,
+               round(list_sum(list_transform(generate_series(1,
+                 len(v.embedding)),
+                 i -> v.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                 / (v.nrm * c.nrm), 6) AS d
+             FROM n v CROSS JOIN c),
+      assign AS (SELECT vec_id, cid,
+                   CAST(round(du * 1e6) AS BIGINT) AS cc_u
+                 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d DESC, cid ASC) AS rn FROM ad)
+                 WHERE rn = 1),
+      st AS (SELECT cid, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cc_u) AS BIGINT) AS s1,
+               CAST(sum(cc_u * cc_u) AS BIGINT) AS s2
+             FROM assign GROUP BY 1),
+      sc AS (SELECT a.vec_id, a.cid, a.cc_u,
+               s1::DOUBLE / n AS mean_u,
+               (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / n AS varr
+             FROM assign a JOIN st USING (cid) WHERE n >= 2),
+      top AS (SELECT vec_id, cid,
+                round(cc_u / 1e6, 6) AS cos_centroid,
+                round((mean_u - cc_u::DOUBLE) / sqrt(varr), 6) AS z
+              FROM sc WHERE varr > 0
+              ORDER BY z DESC, vec_id ASC LIMIT $OutlierTopK)
+      SELECT vec_id, cid, cos_centroid, z,
+        CAST(row_number() OVER (ORDER BY z DESC, vec_id ASC) AS INT)
+          AS rank
+      FROM top""",
     "sim_negatives" -> s"""
       WITH $normCte,
       nn AS (SELECT count(*) AS n_total FROM embeddings),

@@ -1245,7 +1245,66 @@ $docRounds,
       .limit(RakeTopK)
   }
 
+  /** The Gopher rule names in emit order (funnel rows). */
+  private[operators] val GopherRules = Seq("r_alpha", "r_all", "r_meanlen",
+    "r_stop", "r_symbol", "r_wordcount")
+
+  /** Gopher-style RULE funnel (Rae et al. 2021, Appendix A — the
+    * published web-scale quality ruleset, also the Dolma/RedPajama
+    * baseline): per-document hard thresholds — word count in [50, 1e5],
+    * mean word length in [3, 10], symbol-to-word ratio (# or ...) < 0.1,
+    * >80% of words containing an alphabetic character, and ≥2 stop
+    * words — aggregated to the per-rule failure funnel a cleaning run
+    * reads to size each cut before committing to it (complementing
+    * [[textQuality]]'s soft score and [[graft.operators.Curation
+    * .curFilterSweep]]'s threshold ablation). On this synthetic corpus
+    * the symbol and alphabetic rules are structurally all-pass (the
+    * generator emits lowercase words only) — the funnel READS that
+    * directly, which is exactly the report's job; the word-count,
+    * mean-length and stop-word rules split the fixture non-trivially.
+    *
+    * Engine-exactness: every rule is integer arithmetic on exact token
+    * statistics (mean word length as `(Σlen·10⁶) div n` compared against
+    * micro thresholds, ratios as cross-multiplications), so no rule can
+    * flip on a float boundary. Scale: one scan, map-side per-doc flags,
+    * a single 1-row aggregate, and a 6-row unpivot — embarrassingly
+    * parallel at any corpus size.
+    */
+  def textGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .withColumn("w", filter(tokens(col("text")), x => length(x) > 0))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") > 0)
+      .withColumn("sumlen",
+        aggregate(col("w"), lit(0L), (a, x) => a + length(x)))
+      .withColumn("mwl_micro", expr("(sumlen * 1000000) div n"))
+      .withColumn("n_sym", size(filter(col("w"),
+        x => x.contains("#") || x.contains("..."))))
+      .withColumn("n_alpha", size(filter(col("w"), x => x.rlike("[a-zA-Z]"))))
+      .withColumn("n_stop", stopwordCount(col("w")))
+      .withColumn("r_wordcount", col("n") >= 50 && col("n") <= 100000)
+      .withColumn("r_meanlen",
+        col("mwl_micro") >= 3000000L && col("mwl_micro") <= 10000000L)
+      .withColumn("r_symbol", col("n_sym") * 10 < col("n"))
+      .withColumn("r_alpha", col("n_alpha") * 5 > col("n") * 4)
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("r_all", col("r_wordcount") && col("r_meanlen") &&
+        col("r_symbol") && col("r_alpha") && col("r_stop"))
+    val agg = d.agg(count(lit(1)).as("n_docs"),
+      GopherRules.map(r =>
+        sum(when(col(r), lit(0L)).otherwise(lit(1L))).as("f_" + r)): _*)
+    agg.filter(col("n_docs") > 0)
+      .selectExpr("n_docs", s"stack(${GopherRules.length}, " +
+        GopherRules.map(r => s"'$r', f_$r").mkString(", ") +
+        ") as (rule, n_fail)")
+      .select(col("rule"), col("n_docs"), col("n_fail"),
+        expr("(n_fail * 1000000) div n_docs").as("fail_ppm"))
+      .orderBy(col("rule"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_rules" ->
+      ((s: SparkSession, d: String) => textGopherRules(s, d)),
     "text_keywords" -> ((s: SparkSession, d: String) => textKeywords(s, d)),
     "text_bpe_train" -> ((s: SparkSession, d: String) => textBpeTrain(s, d)),
     "text_classifier_train" ->
@@ -1282,6 +1341,51 @@ $docRounds,
   )
 
   val oracle: Map[String, String] = Map(
+    "text_gopher_rules" -> """
+      WITH d AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+      f AS (
+        SELECT len(w) AS n,
+          (list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+             * 1000000) // len(w) AS mwl_micro,
+          len(list_filter(w, x -> contains(x, '#')
+            OR contains(x, '...'))) AS n_sym,
+          len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+            AS n_alpha,
+          len(list_filter(w, x -> x = 'a' OR x = 'the')) AS n_stop
+        FROM d WHERE len(w) > 0),
+      r AS (
+        SELECT n >= 50 AND n <= 100000 AS r_wordcount,
+          mwl_micro >= 3000000 AND mwl_micro <= 10000000 AS r_meanlen,
+          n_sym * 10 < n AS r_symbol,
+          n_alpha * 5 > n * 4 AS r_alpha,
+          n_stop >= 2 AS r_stop
+        FROM f),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN r_wordcount THEN 0 ELSE 1 END) AS BIGINT)
+            AS f_wordcount,
+          CAST(sum(CASE WHEN r_meanlen THEN 0 ELSE 1 END) AS BIGINT)
+            AS f_meanlen,
+          CAST(sum(CASE WHEN r_symbol THEN 0 ELSE 1 END) AS BIGINT)
+            AS f_symbol,
+          CAST(sum(CASE WHEN r_alpha THEN 0 ELSE 1 END) AS BIGINT)
+            AS f_alpha,
+          CAST(sum(CASE WHEN r_stop THEN 0 ELSE 1 END) AS BIGINT)
+            AS f_stop,
+          CAST(sum(CASE WHEN r_wordcount AND r_meanlen AND r_symbol
+            AND r_alpha AND r_stop THEN 0 ELSE 1 END) AS BIGINT) AS f_all
+        FROM r),
+      u AS (
+        SELECT 'r_alpha' AS rule, n_docs, f_alpha AS n_fail FROM a
+        UNION ALL SELECT 'r_all', n_docs, f_all FROM a
+        UNION ALL SELECT 'r_meanlen', n_docs, f_meanlen FROM a
+        UNION ALL SELECT 'r_stop', n_docs, f_stop FROM a
+        UNION ALL SELECT 'r_symbol', n_docs, f_symbol FROM a
+        UNION ALL SELECT 'r_wordcount', n_docs, f_wordcount FROM a)
+      SELECT rule, n_docs, n_fail, (n_fail * 1000000) // n_docs AS fail_ppm
+      FROM u WHERE n_docs > 0 ORDER BY rule""",
     "text_keywords" -> s"""
       WITH tok AS (
         SELECT doc_id, g.i AS pos, l[g.i] AS w
