@@ -155,6 +155,10 @@ object Bench {
     // optimization (per round: vocabulary-sized broadcast count tables,
     // |domains|-row collect)
     "cur_dsir_select", "cur_doremi_mix",
+    // round-13i additions: Gopher rule funnel (one scan, 6-row unpivot),
+    // IVF outlier z-scores (cached index, moments broadcast), and the
+    // cross-source shingle-overlap matrix (|sources|²-bounded)
+    "text_gopher_rules", "sim_outliers", "dedup_source_overlap",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

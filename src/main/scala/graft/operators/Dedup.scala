@@ -749,11 +749,15 @@ object Dedup {
     */
   def dedupSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
+    // the profile feeds FOUR consumers (both join sides + both count
+    // lookups): checkpoint it once so the shingle explode+distinct runs
+    // once, not four times (the dedupPrefixJoin convention)
     val p = t(spark, dir, "documents")
       .select(col("source"), tokens(col("text")).as("w"))
       .select(col("source"),
         explode(call_function("graft_shingles3", col("w"))).as("s"))
       .distinct()
+      .localCheckpoint()
     val counts = p.groupBy(col("source")).agg(count(lit(1)).as("c"))
     val pairs = p.as("a")
       .join(p.as("b"),
