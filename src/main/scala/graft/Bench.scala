@@ -159,6 +159,8 @@ object Bench {
     // IVF outlier z-scores (cached index, moments broadcast), and the
     // cross-source shingle-overlap matrix (|sources|²-bounded)
     "text_gopher_rules", "sim_outliers", "dedup_source_overlap",
+    // cluster-size histogram (memoized labels) and distinct-n diversity
+    "dedup_cluster_stats", "text_distinct_n",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -1093,6 +1093,28 @@ object Curation {
           4).as("repeat_factor"))
   }
 
+  /** Cluster-size HISTOGRAM over the near-dup components — the headline
+    * "how duplicated is this corpus" readout every dedup writeup quotes
+    * (share of docs in size-k clusters, k = 1 meaning unique): reads the
+    * memoized cluster labels ([[dedupClusters]]' substrate — no
+    * re-pairing), reduces to one row per COMPONENT first (O(components),
+    * mostly singletons), then to one row per size. The per-size doc mass
+    * in exact PPM says how much a keep-one policy would delete before
+    * anyone runs it.
+    */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val perCluster = dedupClusters(spark, dir)
+      .select(col("cluster_id"), col("cluster_size")).distinct()
+    val tot = perCluster.agg(sum(col("cluster_size")).as("n_total"))
+    perCluster.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .join(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        expr("(n_docs * 1000000) div n_total").as("docs_ppm"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** DSIR feature-space / selection constants. 64 hash buckets keep the
     * bucket table a bounded codebook (the k-means / classifier
     * convention); the target set is the quality >= 0.75 half of the
@@ -1458,6 +1480,7 @@ object Curation {
     "cur_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
     "cur_dsir_select" -> ((s, d) => dsirSelect(s, d)),
     "cur_doremi_mix" -> ((s, d) => curDoremiMix(s, d)),
+    "dedup_cluster_stats" -> ((s, d) => dedupClusterStats(s, d)),
   )
 
   /** The curation funnel as DuckDB CTEs ending in `curated(doc_id, lang,
@@ -1506,6 +1529,24 @@ object Curation {
          || ':' || CAST(epoch AS VARCHAR)), 2, 1)) - 1))"""
 
   val oracle: Map[String, String] = Map(
+    "dedup_cluster_stats" -> s"""
+      WITH RECURSIVE ${Dedup.minhashPairsCte},
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION SELECT db, da FROM pairs),
+      walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+      lab AS (SELECT node AS doc_id, min(label) AS cid
+              FROM walk GROUP BY node),
+      cs AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+             FROM lab GROUP BY 1),
+      tot AS (SELECT CAST(sum(cluster_size) AS BIGINT) AS n_total FROM cs)
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+        (CAST(sum(cluster_size) AS BIGINT) * 1000000)
+          // (SELECT n_total FROM tot) AS docs_ppm
+      FROM cs GROUP BY 1 ORDER BY 1""",
     "cur_doremi_mix" -> doremiOracleSql(DoremiRounds),
     "cur_dsir_select" -> s"""
       WITH tk AS MATERIALIZED (

@@ -1302,7 +1302,48 @@ $docRounds,
       .orderBy(col("rule"))
   }
 
+  /** Distinct-n DIVERSITY report per source (distinct-1/distinct-2 of
+    * Li et al. 2016, the standard lexical-diversity readout in corpus
+    * quality reports): share of unigram/bigram occurrences that are
+    * distinct types, in exact PPM. A source whose distinct-2 collapses
+    * is templated/boilerplate text that repetition and entropy (per-doc
+    * signals) can miss when the repetition is ACROSS documents.
+    *
+    * Scale shape: two exploded streams, each reduced by partial+final
+    * distinct aggregation on reduced (source, gram) rows — the bigram
+    * type key is `w1 || ' ' || w2`, injective because tokens cannot
+    * contain the split character. Output is |sources| rows; at 100 TB
+    * swap `approx_count_distinct` in (the [[graft.operators.Profiling]]
+    * dqUniqueness convention — exact here because the oracle is exact).
+    */
+  def textDistinctN(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("source"), tokens(col("text")).as("w"))
+    val u = docs.select(col("source"), explode(col("w")).as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tk")).as("n_types"))
+    val b = docs.select(col("source"), explode(expr(
+        """CASE WHEN size(w) >= 2
+           THEN transform(sequence(0, size(w) - 2),
+                  i -> concat_ws(' ', w[i], w[i + 1]))
+           ELSE CAST(array() AS array<string>)
+           END""")).as("bg"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("n_bi_types"))
+    u.join(b, Seq("source"), "left_outer")
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("(n_types * 1000000) div n_tokens").as("distinct1_ppm"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_bi_types"), lit(0L)).as("n_bi_types"),
+        expr("(n_bi_types * 1000000) div n_bigrams").as("distinct2_ppm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_distinct_n" ->
+      ((s: SparkSession, d: String) => textDistinctN(s, d)),
     "text_gopher_rules" ->
       ((s: SparkSession, d: String) => textGopherRules(s, d)),
     "text_keywords" -> ((s: SparkSession, d: String) => textKeywords(s, d)),
@@ -1341,6 +1382,24 @@ $docRounds,
   )
 
   val oracle: Map[String, String] = Map(
+    "text_distinct_n" -> """
+      WITH tok AS (SELECT source, string_split(text, ' ') AS w
+                   FROM documents),
+      uni AS (SELECT source, unnest(w) AS tk FROM tok),
+      bg AS (SELECT source, w[i] || ' ' || w[i + 1] AS b
+             FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS g(i)),
+      u AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(count(DISTINCT tk) AS BIGINT) AS n_types
+            FROM uni GROUP BY 1),
+      b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(count(DISTINCT b) AS BIGINT) AS n_bi_types
+            FROM bg GROUP BY 1)
+      SELECT u.source, u.n_tokens, u.n_types,
+        (u.n_types * 1000000) // u.n_tokens AS distinct1_ppm,
+        coalesce(b.n_bigrams, 0) AS n_bigrams,
+        coalesce(b.n_bi_types, 0) AS n_bi_types,
+        (b.n_bi_types * 1000000) // b.n_bigrams AS distinct2_ppm
+      FROM u LEFT JOIN b USING (source) ORDER BY source""",
     "text_gopher_rules" -> """
       WITH d AS (
         SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w

@@ -128,4 +128,53 @@ class Round13iSpec extends AnyFunSuite {
     assert(got.forall(r => r._5 <= math.min(r._3, r._4)),
       "shared count cannot exceed either profile")
   }
+
+  test("dedup_cluster_stats: histogram equals a replay over the cluster " +
+      "labels and the planted near-dups surface as size>=2 mass") {
+    val clusters = Curation.dedupClusters(spark, dir)
+      .select("cluster_id", "cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val total = clusters.map(_._2).sum
+    val expected = clusters.groupBy(_._2).toSeq.map { case (size, cs) =>
+      val nDocs = cs.map(_._2).sum
+      (size, cs.length.toLong, nDocs, nDocs * 1000000L / total)
+    }.sortBy(_._1)
+    val got = Curation.dedupClusterStats(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected,
+      "distributed histogram must equal the label replay")
+    assert(got.exists(r => r._1 >= 2 && r._2 > 0),
+      "planted near-dup clusters missing from the histogram")
+    val singles = got.find(_._1 == 1L).map(_._4).getOrElse(0L)
+    assert(singles > 500000L, "singletons should dominate the corpus")
+    assert(got.map(_._3).sum == total && total > 0)
+  }
+
+  test("text_distinct_n: per-source diversity equals a driver replay " +
+      "and detects repeated bigrams") {
+    val docs = t(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val expected = docs.groupBy(_._1).toSeq.map { case (src, ds) =>
+      val toks = ds.flatMap(_._2)
+      val bgs = ds.flatMap(_._2.sliding(2).filter(_.length == 2)
+        .map(p => s"${p(0)} ${p(1)}"))
+      val (nt, ty) = (toks.length.toLong, toks.distinct.length.toLong)
+      val (nb, bty) = (bgs.length.toLong, bgs.distinct.length.toLong)
+      (src, nt, ty, ty * 1000000L / nt, nb, bty,
+        if (nb > 0) Some(bty * 1000000L / nb) else None)
+    }.sortBy(_._1)
+    val got = TextAnalysis.textDistinctN(spark, dir).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    assert(got.toSeq == expected,
+      "distributed diversity report must equal the driver replay")
+    // non-vacuous: the shared-vocabulary fixture must show BOTH repeated
+    // unigrams (distinct1 < 1) and substantial bigram diversity
+    assert(got.forall(r => r._4 < 1000000L),
+      "every source should repeat unigrams on this fixture")
+    assert(got.exists(r => r._7.exists(_ < 1000000L)),
+      "some source should repeat bigrams — diversity readout vacuous")
+  }
 }
