@@ -1115,6 +1115,52 @@ object Curation {
       .orderBy(col("cluster_size"))
   }
 
+  /** How many docs [[sampleEsTopN]] draws. */
+  private[operators] val EsSampleN = 100
+
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement
+    * (Efraimidis & Spirakis 2006): every doc gets the key
+    * `u^(1/w)` — here its monotone log form `ln(u)/w` — and the top-N
+    * keys ARE an exact weighted sample without replacement. This is the
+    * fixed-SIZE counterpart to [[sampleWeighted]]'s Bernoulli draw
+    * (expected-rate, variable size): a distributed one-pass primitive
+    * where the classical sequential algorithm needs a shared reservoir.
+    * Weight = the corpus quality score; u is CONTENT-ADDRESSED
+    * (`(v + 0.5) / 2³²` from the doc_id md5 prefix — strictly inside
+    * (0,1), an exact dyadic rational), so the draw is a pure function of
+    * the corpus: identical on 1 or 1000 executors, re-runs, and engines.
+    *
+    * Engine-exactness: weight and key are integer micro-units; the key's
+    * one `ln` and one divide are a fixed IEEE chain on exactly
+    * representable inputs, rounded once. Scale: one scan, map-side key
+    * computation, TakeOrdered top-N — no shuffle of un-reduced rows.
+    */
+  def sampleEsTopN(spark: SparkSession, dir: String,
+      n: Int = EsSampleN): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .withColumn("wAll", tokens(col("text")))
+      // quality inline on the same scan (the dsirSelect convention)
+      .withColumn("quality", round(
+        lit(0.4) * least(size(col("wAll")) / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) -
+            stopwordCount(col("wAll")).cast("double") / size(col("wAll"))) +
+          lit(0.3) * (length(regexp_replace(col("text"), "[^a-z]", ""))
+            .cast("double") / length(col("text"))), 6))
+      .withColumn("qmicro", round(col("quality") * 1e6).cast("long"))
+      .filter(col("qmicro") > 0)
+    val v = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long")
+    d.withColumn("key_micro", round(
+        log((v.cast("double") + 0.5) / 4294967296.0) /
+          (col("qmicro").cast("double") / 1000000.0) * 1e6).cast("long"))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"),
+        col("key_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id").asc)
+      .limit(n)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("key_micro").desc, col("doc_id").asc)))
+  }
+
   /** DSIR feature-space / selection constants. 64 hash buckets keep the
     * bucket table a bounded codebook (the k-means / classifier
     * convention); the target set is the quality >= 0.75 half of the
@@ -1481,6 +1527,7 @@ object Curation {
     "cur_dsir_select" -> ((s, d) => dsirSelect(s, d)),
     "cur_doremi_mix" -> ((s, d) => curDoremiMix(s, d)),
     "dedup_cluster_stats" -> ((s, d) => dedupClusterStats(s, d)),
+    "cur_sample_es" -> ((s, d) => sampleEsTopN(s, d)),
   )
 
   /** The curation funnel as DuckDB CTEs ending in `curated(doc_id, lang,
@@ -1529,6 +1576,23 @@ object Curation {
          || ':' || CAST(epoch AS VARCHAR)), 2, 1)) - 1))"""
 
   val oracle: Map[String, String] = Map(
+    "cur_sample_es" -> s"""
+      WITH ${CorpusPipeline.qualityCte},
+      s AS (SELECT d.doc_id, d.lang, d.source, q.quality,
+              CAST(round(q.quality * 1e6) AS BIGINT) AS qmicro,
+              CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) AS v
+            FROM documents d JOIN qual q USING (doc_id)),
+      k AS (SELECT doc_id, lang, source, quality,
+              CAST(round(ln((v + 0.5) / 4294967296.0)
+                / (qmicro / 1000000.0) * 1e6) AS BIGINT) AS key_micro
+            FROM s WHERE qmicro > 0),
+      top AS (SELECT * FROM k
+              ORDER BY key_micro DESC, doc_id ASC LIMIT $EsSampleN)
+      SELECT doc_id, lang, source, quality, key_micro,
+        CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id ASC)
+          AS INT) AS rank
+      FROM top""",
     "dedup_cluster_stats" -> s"""
       WITH RECURSIVE ${Dedup.minhashPairsCte},
       edges AS (SELECT da AS src, db AS dst FROM pairs

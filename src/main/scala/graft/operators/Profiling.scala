@@ -428,7 +428,61 @@ object Profiling {
       .orderBy(col("join_name"))
   }
 
+  /** The lineitem measure columns [[dqCorrelation]] profiles. */
+  private val CorrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pairwise Pearson CORRELATION matrix over the fact table's measure
+    * columns — the profiling audit that catches derived/duplicated
+    * measures (|r| ≈ 1 means one column is a function of another and
+    * a model trained on both double-counts it) and broken extracts
+    * (an expected correlation collapsing to 0). ONE corpus pass
+    * computes every pairwise sufficient statistic (n, Σx, Σx², Σxy as
+    * map-side partial aggregates); each value is quantized to integer
+    * CENTS at the scan so the sums are exact (cents products fit a
+    * long per row; the cross-row sums ride DECIMAL(38) — at sf1 Σx²
+    * reaches ~6·10²⁰, past any BIGINT). The r itself is a fixed IEEE
+    * chain on those exact integers (cast-to-double once, two products,
+    * one sqrt, one divide), so both engines emit bit-identical values;
+    * degenerate columns (zero variance) emit NULL, never NaN. Output is
+    * the C(4,2)=6-row matrix — O(cols²), never O(rows).
+    */
+  def dqCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(CorrCols.map(c =>
+      round(col(c) * 100).cast("long").as(c)): _*)
+    val pairs = for {
+      i <- CorrCols.indices; j <- (i + 1) until CorrCols.length
+    } yield (CorrCols(i), CorrCols(j))
+    val aggs =
+      CorrCols.flatMap(c => Seq(
+        sum(col(c).cast("decimal(38,0)")).as(s"sx_$c"),
+        sum((col(c) * col(c)).cast("decimal(38,0)")).as(s"sq_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"sxy_${a}_$b")
+      }
+    val one = li.agg(count(lit(1)).as("n"), aggs: _*)
+    val stacked = one.filter(col("n") > 0).selectExpr("n",
+      s"stack(${pairs.length}, " + pairs.map { case (a, b) =>
+        s"'$a', '$b', sx_$a, sq_$a, sx_$b, sq_$b, sxy_${a}_$b"
+      }.mkString(", ") + ") as (col_x, col_y, sx, sxx, sy, syy, sxy)")
+    stacked
+      .withColumn("num", col("n").cast("double") *
+        col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double"))
+      .withColumn("dx", col("n").cast("double") *
+        col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+      .withColumn("dy", col("n").cast("double") *
+        col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double"))
+      .select(col("col_x"), col("col_y"), col("n"),
+        when(col("dx") > 0 && col("dy") > 0,
+          round(col("num") / sqrt(col("dx") * col("dy")), 6)).as("corr"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_correlation" -> (dqCorrelation _),
     "dq_join_cardinality" -> (dqJoinCardinality _),
     "dq_benford" -> (dqBenford _),
     "dq_uniqueness" -> (dqUniqueness _),
@@ -443,6 +497,38 @@ object Profiling {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_correlation" -> {
+      val pairs = for {
+        i <- CorrCols.indices; j <- (i + 1) until CorrCols.length
+      } yield (CorrCols(i), CorrCols(j))
+      val rows = pairs.map { case (a, b) => s"""
+        SELECT '$a' AS col_x, '$b' AS col_y, n,
+          sx_$a AS sx, sq_$a AS sxx, sx_$b AS sy, sq_$b AS syy,
+          sxy_${a}_$b AS sxy FROM agg"""
+      }.mkString(" UNION ALL")
+      s"""
+      WITH c AS (SELECT
+        ${CorrCols.map(c =>
+          s"CAST(round($c * 100) AS BIGINT) AS $c").mkString(", ")}
+        FROM lineitem),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        ${CorrCols.map(c =>
+          s"sum(CAST($c AS HUGEINT)) AS sx_$c, " +
+          s"sum(CAST($c * $c AS HUGEINT)) AS sq_$c").mkString(", ")},
+        ${pairs.map { case (a, b) =>
+          s"sum(CAST($a * $b AS HUGEINT)) AS sxy_${a}_$b"
+        }.mkString(", ")}
+        FROM c),
+      st AS ($rows)
+      SELECT col_x, col_y, n,
+        CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+              AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+          THEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                 * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+        END AS corr
+      FROM st WHERE n > 0 ORDER BY col_x, col_y"""
+    },
     "dq_join_cardinality" -> """
       WITH co AS (
         SELECT 'customer_orders' AS join_name,

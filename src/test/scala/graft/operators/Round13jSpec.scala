@@ -1,0 +1,122 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
+
+import graft.SparkTestSession
+import graft.Tables.t
+
+/** Round-13j contracts: Efraimidis–Spirakis weighted sampling and the
+  * Pearson correlation audit. Driver replays own the semantics; a
+  * planted perfectly-derived column pins the correlation detector's
+  * point.
+  */
+class Round13jSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def rnd(v: Double): Long =
+    BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("cur_sample_es: draw equals a driver replay and the weights " +
+      "actually steer the selection") {
+    val docs = t(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    def quality(text: String): Double = {
+      val wAll = text.split(" ", -1)
+      val stop = wAll.count(x => x == "a" || x == "the")
+      val letters = text.replaceAll("[^a-z]", "").length
+      val q = 0.4 * math.min(wAll.length / 100.0, 1.0) +
+        0.3 * (1.0 - stop.toDouble / wAll.length) +
+        0.3 * letters.toDouble / text.length
+      BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val keyed = docs.map { case (id, lang, src, text) =>
+      val q = quality(text)
+      val qm = rnd(q * 1e6)
+      val v = BigInt(md5hex(id.toString).take(8), 16).toLong
+      val u = (v.toDouble + 0.5) / 4294967296.0
+      (id, lang, src, q, qm, rnd(math.log(u) / (qm / 1000000.0) * 1e6),
+        rnd(math.log(u) * 1e6)) // unweighted key for the steering check
+    }.filter(_._5 > 0)
+    val expected = keyed
+      .sortBy { case (id, _, _, _, _, k, _) => (-k, id) }
+      .take(Curation.EsSampleN)
+      .zipWithIndex
+      .map { case ((id, lang, src, q, _, k, _), i) =>
+        (id, lang, src, q, k, i + 1) }
+    val got = Curation.sampleEsTopN(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3),
+        r.getLong(4), r.getInt(5)))
+    assert(got.toSeq == expected.toSeq,
+      "distributed E-S draw must equal the driver replay")
+    // weights matter: the weighted top-N must differ from the top-N the
+    // same u-sequence gives under UNIFORM weights
+    val uniform = keyed.sortBy { case (id, _, _, _, _, _, k) => (-k, id) }
+      .take(Curation.EsSampleN).map(_._1).toSet
+    assert(got.map(_._1).toSet != uniform,
+      "weighted draw identical to uniform draw — weights inert")
+    assert(got.length == Curation.EsSampleN, "draw must be exact-size")
+  }
+
+  test("dq_correlation: matrix equals a driver replay and a planted " +
+      "derived column reads as |r| = 1") {
+    // driver replay on the real fixture
+    val rows = t(spark, dir, "lineitem")
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .collect().map(r => Array(r.getDouble(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3)).map(x => rnd(x * 100)))
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val n = rows.length.toLong
+    def corr(i: Int, j: Int): Option[Double] = {
+      val sx = rows.map(_(i)).map(BigInt(_)).sum
+      val sy = rows.map(_(j)).map(BigInt(_)).sum
+      val sxx = rows.map(r => BigInt(r(i)) * BigInt(r(i))).sum
+      val syy = rows.map(r => BigInt(r(j)) * BigInt(r(j))).sum
+      val sxy = rows.map(r => BigInt(r(i)) * BigInt(r(j))).sum
+      val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val dx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      val dy = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+      if (dx > 0 && dy > 0)
+        Some(BigDecimal(num / math.sqrt(dx * dy))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }
+    val expected = (for {
+      i <- cols.indices; j <- (i + 1) until cols.length
+    } yield (cols(i), cols(j), n, corr(i, j))).sortBy(p => (p._1, p._2))
+    val got = Profiling.dqCorrelation(spark, dir).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq == expected,
+      "distributed correlation matrix must equal the driver replay")
+    assert(got.forall(_._4.forall(v => math.abs(v) <= 1.0)))
+
+    // planted fixture: extendedprice EXACTLY 3x quantity -> r = 1 on
+    // that pair; tax constant -> zero variance -> NULL, never NaN
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_corr").toString
+    t(spark, dir, "lineitem")
+      .select(col("l_quantity"),
+        (col("l_quantity") * 3).as("l_extendedprice"),
+        col("l_discount"),
+        org.apache.spark.sql.functions.lit(0.05).as("l_tax"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/lineitem.parquet")
+    val planted = Profiling.dqCorrelation(spark, tmp).collect().map(r =>
+      ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(planted(("l_quantity", "l_extendedprice")).contains(1.0),
+      "a derived measure must read as r = 1")
+    assert(planted(("l_quantity", "l_tax")).isEmpty,
+      "a constant column must read as NULL, not NaN")
+  }
+}
