@@ -161,9 +161,10 @@ object Bench {
     "text_gopher_rules", "sim_outliers", "dedup_source_overlap",
     // cluster-size histogram (memoized labels) and distinct-n diversity
     "dedup_cluster_stats", "text_distinct_n",
-    // round-13j: E-S weighted sampling (one scan + top-N) and the
-    // one-pass Pearson matrix (15 map-side sufficient statistics)
-    "cur_sample_es", "dq_correlation",
+    // round-13j: E-S weighted sampling (one scan + top-N), the one-pass
+    // Pearson matrix (15 map-side sufficient statistics), and tokenizer
+    // fertility by language (map-side encode, |langs|-row agg)
+    "cur_sample_es", "dq_correlation", "text_fertility",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -1085,7 +1085,20 @@ ${if (eval) evalTail(rounds) else trainTail(rounds)}"""
     * document identically, byte for byte.
     */
   def textBpeEncode(spark: SparkSession, dir: String,
-      nMerges: Int = BpeMerges): DataFrame = {
+      nMerges: Int = BpeMerges): DataFrame =
+    bpeEncodedDocs(spark, dir, nMerges)
+      .drop("lang")
+      .withColumn("compression",
+        when(col("n_bpe_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_chars").cast("double") /
+            col("n_bpe_tokens"), 4)))
+
+  /** Per-doc encode counts WITH the doc's language kept — the shared
+    * substrate of [[textBpeEncode]] (per-doc view) and [[textFertility]]
+    * (per-language rollup).
+    */
+  private def bpeEncodedDocs(spark: SparkSession, dir: String,
+      nMerges: Int): DataFrame = {
     val (s1, s2) = ("\u0001", "\u0002")
     val merges = bpeMerges(spark, dir, nMerges)
     def chain(c: org.apache.spark.sql.Column) =
@@ -1096,7 +1109,7 @@ ${if (eval) evalTail(rounds) else trainTail(rounds)}"""
     t(spark, dir, "documents")
       .withColumn("enc", transform(tokens(col("text")),
         tk => chain(regexp_replace(tk, "(.)", s1 + "$1" + s2))))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"),
         size(col("enc")).as("n_ws_tokens"),
         aggregate(col("enc"), lit(0L), (acc, e) =>
           acc + (length(e) - length(replace(e, sepLit, lit("")))))
@@ -1105,11 +1118,32 @@ ${if (eval) evalTail(rounds) else trainTail(rounds)}"""
           acc + (length(replace(e, sepLit, lit(""))) -
             (length(e) - length(replace(e, sepLit, lit(""))))))
           .as("n_chars"))
-      .withColumn("compression",
-        when(col("n_bpe_tokens") === 0, lit(0.0))
-          .otherwise(round(col("n_chars").cast("double") /
-            col("n_bpe_tokens"), 4)))
   }
+
+  /** Tokenizer FERTILITY by language — subword tokens per whitespace
+    * word and chars per token, per `lang`: the multilingual-equity
+    * readout (a language the tokenizer fragments into 3x the tokens
+    * pays 3x the compute and fits a third of the content per context
+    * window; multilingual-LLM writeups report exactly this table before
+    * committing to a tokenizer). Rolls up the per-doc encode counts by
+    * language; ratios are exact integer micro-units (`Σ·10⁶ div Σ`,
+    * engine-exact at any partitioning). One scan after the
+    * vocabulary-scale merge training, map-side encode, |langs|-row
+    * aggregate.
+    */
+  def textFertility(spark: SparkSession, dir: String,
+      nMerges: Int = BpeMerges): DataFrame =
+    bpeEncodedDocs(spark, dir, nMerges)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        expr("(n_bpe_tokens * 1000000) div n_words").as("fertility_micro"),
+        expr("(n_chars * 1000000) div n_bpe_tokens").as("cpt_micro"))
+      .orderBy(col("lang"))
 
   /** Shared CTE chain learning the merge list — one link per round
     * replaying the identical argmax + wrapped-symbol replace.
@@ -1344,6 +1378,8 @@ $docRounds,
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_distinct_n" ->
       ((s: SparkSession, d: String) => textDistinctN(s, d)),
+    "text_fertility" ->
+      ((s: SparkSession, d: String) => textFertility(s, d)),
     "text_gopher_rules" ->
       ((s: SparkSession, d: String) => textGopherRules(s, d)),
     "text_keywords" -> ((s: SparkSession, d: String) => textKeywords(s, d)),
@@ -1382,6 +1418,18 @@ $docRounds,
   )
 
   val oracle: Map[String, String] = Map(
+    "text_fertility" -> s"""
+      ${bpeEncodeCtes(BpeMerges)}
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(e.n_ws_tokens) AS BIGINT) AS n_words,
+        CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+        CAST(sum(e.n_chars) AS BIGINT) AS n_chars,
+        (CAST(sum(e.n_bpe_tokens) AS BIGINT) * 1000000)
+          // CAST(sum(e.n_ws_tokens) AS BIGINT) AS fertility_micro,
+        (CAST(sum(e.n_chars) AS BIGINT) * 1000000)
+          // CAST(sum(e.n_bpe_tokens) AS BIGINT) AS cpt_micro
+      FROM enc e JOIN documents d USING (doc_id)
+      GROUP BY 1 ORDER BY 1""",
     "text_distinct_n" -> """
       WITH tok AS (SELECT source, string_split(text, ' ') AS w
                    FROM documents),

@@ -119,4 +119,31 @@ class Round13jSpec extends AnyFunSuite {
     assert(planted(("l_quantity", "l_tax")).isEmpty,
       "a constant column must read as NULL, not NaN")
   }
+
+  test("text_fertility: per-language rollup equals regrouping the " +
+      "oracle-checked per-doc encode by lang") {
+    val lang = t(spark, dir, "documents").select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = TextAnalysis.textBpeEncode(spark, dir).collect()
+      .map(r => (lang(r.getLong(0)), r.getInt(1).toLong,
+        r.getLong(2), r.getLong(3)))
+    val expected = perDoc.groupBy(_._1).toSeq.map { case (lg, ds) =>
+      val (w, b, c) =
+        (ds.map(_._2).sum, ds.map(_._3).sum, ds.map(_._4).sum)
+      (lg, ds.length.toLong, w, b, c,
+        if (w > 0) Some(b * 1000000L / w) else None,
+        if (b > 0) Some(c * 1000000L / b) else None)
+    }.sortBy(_._1)
+    val got = TextAnalysis.textFertility(spark, dir).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    assert(got.toSeq == expected.toSeq,
+      "fertility rollup must equal the per-doc encode regrouped by lang")
+    assert(got.length >= 2, "fixture should span several languages")
+    // a word is at least one subword: fertility >= 1.0 wherever defined
+    assert(got.forall(_._6.forall(_ >= 1000000L)),
+      "fertility below one token per word is impossible")
+  }
 }
