@@ -165,6 +165,8 @@ object Bench {
     // Pearson matrix (15 map-side sufficient statistics), and tokenizer
     // fertility by language (map-side encode, |langs|-row agg)
     "cur_sample_es", "dq_correlation", "text_fertility",
+    // DCT perceptual hash through the real codec (map-side, zero shuffle)
+    "mm_phash",
   )
 
   /** Ingest-time row: evict + rebuild the Dedup signature/pair indexes.

@@ -311,6 +311,71 @@ object Multimodal {
       .toDF("doc_id", "dhash")
   }
 
+  /** Perceptual pHash (64-bit DCT hash) over the REAL decoded pixels —
+    * the frequency-domain sibling of [[mmDhash]] (dHash reads local
+    * gradients; pHash reads the image's global low-frequency structure,
+    * robust to blur/noise edits that flip gradient bits): decode the
+    * PNG executor-side, sample a 32×32 integer grid (px = gx·w/32 —
+    * pure integer math, no resampling filter to negotiate), grayscale
+    * as r+g+b, take the 8×8 low-frequency block of the 2-D DCT, and
+    * emit bit (v, u) = 1 iff 2·F(u,v) exceeds the summed middle pair of
+    * the sorted 64 coefficients (a divide-free exact-integer median
+    * compare — `(a+b)/2` would floor differently across engines on
+    * negative odd sums).
+    *
+    * Engine-exactness: each DCT basis value cos(π((2x+1)u)/64)·
+    * cos(π((2y+1)v)/64) is quantized to integer MICRO-units once (the
+    * only transcendental; the argument is π·integer/64 — one float
+    * rounding then an exact power-of-2 scale, association-proof), so
+    * every F(u,v) is an exact long dot product of pixel ints against a
+    * shared integer coefficient table — no float summation order
+    * anywhere. The table (64×1024 longs) is built once per partition.
+    * Map-side, zero shuffle; the oracle replays pixels from the
+    * generator formula, so a hash match proves real bytes crossed the
+    * codec.
+    */
+  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withDhashPayload(spark, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // integer DCT coefficient table: cij(u,v,x,y) in micro-units
+        val cij = Array.tabulate(64) { uv =>
+          val (v, u) = (uv / 8, uv % 8)
+          Array.tabulate(1024) { xy =>
+            val (y, x) = (xy / 32, xy % 32)
+            val cx = math.cos(math.Pi * ((2 * x + 1) * u) / 64.0)
+            val cy = math.cos(math.Pi * ((2 * y + 1) * v) / 64.0)
+            BigDecimal(cx * cy * 1e6)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          }
+        }
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val gray = new Array[Long](1024)
+          var xy = 0
+          while (xy < 1024) {
+            val (gy, gx) = (xy / 32, xy % 32)
+            val p = img.getRGB(gx * w / 32, gy * h / 32) & 0xffffff
+            gray(xy) = ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+            xy += 1
+          }
+          val f = Array.tabulate(64) { uv =>
+            val c = cij(uv)
+            var s = 0L; var i = 0
+            while (i < 1024) { s += gray(i) * c(i); i += 1 }
+            s
+          }
+          val sorted = f.sorted
+          val med2 = sorted(31) + sorted(32)
+          (id, f.map(v => if (2 * v > med2) '1' else '0').mkString)
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
   /** Hamming-banded near-dup IMAGE join — [[mmDhash]] composed with the
     * SimHash banding machinery (Dedup.bandedCandidates): 4×16-bit band
     * buckets make candidate generation an equi-join (hot buckets guarded
@@ -577,6 +642,7 @@ object Multimodal {
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_decode_real" -> (mmDecodeReal _),
     "mm_dhash" -> (mmDhash _),
+    "mm_phash" -> (mmPhash _),
     "mm_dhash_neardup" ->
       ((s: SparkSession, d: String) => mmDhashNeardup(s, d)),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -634,6 +700,51 @@ object Multimodal {
     "mm_dhash" -> s"""
       WITH $dhashCte
       SELECT doc_id, dhash FROM dh""",
+    // pHash: same generator pixel replay, 32x32 sample grid, exact
+    // integer-micro DCT (the coefficient is the only transcendental and
+    // is rounded once; all sums are exact BIGINT dot products)
+    "mm_phash" -> """
+      WITH g AS (SELECT doc_id, doc_id // 4 AS gid,
+            CAST(9 + (doc_id // 4) % 8 AS INT) AS w,
+            CAST(8 + ((doc_id // 4) // 8) % 8 AS INT) AS h
+          FROM documents),
+      pg AS (SELECT doc_id, gid, gy, gx,
+               ((gy * h) // 32) * w + ((gx * w) // 32) AS k
+             FROM g,
+               UNNEST(generate_series(0, 31)) AS a(gy),
+               UNNEST(generate_series(0, 31)) AS b(gx)),
+      pxv AS (SELECT doc_id, gy, gx, k, doc_id % 4 AS res,
+               CAST(list_sum(list_transform(generate_series(1, 6), j ->
+                 (strpos('0123456789abcdef',
+                    substr(md5(gid::VARCHAR || ':' || k::VARCHAR), j, 1))
+                   - 1)
+                 * (CASE j WHEN 1 THEN 1048576 WHEN 2 THEN 65536
+                    WHEN 3 THEN 4096 WHEN 4 THEN 256 WHEN 5 THEN 16
+                    ELSE 1 END))) AS BIGINT) AS base
+             FROM pg),
+      gr AS (SELECT doc_id, gy, gx,
+               ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255) AS gray
+             FROM (SELECT doc_id, gy, gx,
+                     CASE WHEN k % 16 = res THEN 16777215 - base
+                          ELSE base END AS v
+                   FROM pxv)),
+      dct AS (SELECT doc_id, v, u,
+                CAST(sum(gray * CAST(round(
+                  cos(pi() * ((2 * gx + 1) * u) / 64)
+                  * cos(pi() * ((2 * gy + 1) * v) / 64) * 1e6)
+                  AS BIGINT)) AS BIGINT) AS f
+              FROM gr,
+                UNNEST(generate_series(0, 7)) AS c(u),
+                UNNEST(generate_series(0, 7)) AS d(v)
+              GROUP BY 1, 2, 3),
+      med AS (SELECT doc_id, fs[32] + fs[33] AS med2
+              FROM (SELECT doc_id, list(f ORDER BY f) AS fs
+                    FROM dct GROUP BY 1)),
+      bits AS (SELECT dct.doc_id, v, u,
+                 CASE WHEN 2 * f > med2 THEN '1' ELSE '0' END AS bit
+               FROM dct JOIN med ON dct.doc_id = med.doc_id)
+      SELECT doc_id, string_agg(bit, '' ORDER BY v, u) AS phash
+      FROM bits GROUP BY 1""",
     "mm_dhash_neardup" -> s"""
       WITH $dhashCte,
       band AS (SELECT doc_id, b, substr(dhash, 1 + b * 16, 16) AS key, dhash

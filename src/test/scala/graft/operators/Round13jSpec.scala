@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions.col
 import graft.SparkTestSession
 import graft.Tables.t
 
-/** Round-13j contracts: Efraimidis–Spirakis weighted sampling and the
-  * Pearson correlation audit. Driver replays own the semantics; a
-  * planted perfectly-derived column pins the correlation detector's
-  * point.
+/** Round-13j contracts: Efraimidis–Spirakis weighted sampling, the
+  * Pearson correlation audit, tokenizer fertility, and the DCT
+  * perceptual hash. Driver replays own the semantics; planted structure
+  * (a derived measure column, near-dup image groups) pins each
+  * detector's point.
   */
 class Round13jSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -145,5 +146,49 @@ class Round13jSpec extends AnyFunSuite {
     // a word is at least one subword: fertility >= 1.0 wherever defined
     assert(got.forall(_._6.forall(_ >= 1000000L)),
       "fertility below one token per word is impossible")
+  }
+
+  test("mm_phash: hash equals an independent decode+DCT replay and " +
+      "planted image groups cohere in hamming space") {
+    val payloads = Multimodal.withDhashPayload(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val cij = Array.tabulate(64) { uv =>
+      val (v, u) = (uv / 8, uv % 8)
+      Array.tabulate(1024) { xy =>
+        val (y, x) = (xy / 32, xy % 32)
+        BigDecimal(math.cos(math.Pi * ((2 * x + 1) * u) / 64.0) *
+            math.cos(math.Pi * ((2 * y + 1) * v) / 64.0) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+    val expected = payloads.map { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val gray = Array.tabulate(1024) { xy =>
+        val p = img.getRGB((xy % 32) * img.getWidth / 32,
+          (xy / 32) * img.getHeight / 32) & 0xffffff
+        (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)).toLong
+      }
+      val f = cij.map(c => gray.indices.map(i => gray(i) * c(i)).sum)
+      val s = f.sorted
+      val med2 = s(31) + s(32)
+      id -> f.map(v => if (2 * v > med2) '1' else '0').mkString
+    }.toMap
+    val got = Multimodal.mmPhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected,
+      "distributed pHash must equal the independent decode replay")
+    // planted 4-member groups must sit closer in hamming space than
+    // unrelated images (md5-random pixels, expected distance 32)
+    def ham(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val ids = got.keys.toSeq.sorted
+    val (in, cross) = (for {
+      i <- ids; j <- ids if j > i
+    } yield (i / 4 == j / 4, ham(got(i), got(j)))).partition(_._1)
+    val inMean = in.map(_._2).sum.toDouble / in.length
+    val crossMean = cross.map(_._2).sum.toDouble / cross.length
+    assert(inMean < 20 && crossMean > 28,
+      s"hamming separation lost (in-group $inMean, cross $crossMean)")
   }
 }
