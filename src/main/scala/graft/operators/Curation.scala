@@ -1270,6 +1270,19 @@ object Curation {
   private[operators] val DoremiRounds = 3
   private[operators] val DoremiEpsPpm = 10000L
 
+  /** Cap on the per-domain positive excess loss (micro-nats) BEFORE the
+    * EG exponentiation: ln(1e6)·1e6, so the integer multiplier
+    * round(exp(ex/1e6)·1e6) stays ≤ ~1e12 and `alpha·mult` ≤ ~1e18 —
+    * inside Long for any alpha ≤ 1e6 ppm (ADVICE r13: with LmFloor=1e-9
+    * an un-clamped excess can reach ~20.7e6 micro-nats, pushing the
+    * product past Long.MaxValue where Scala silently wraps while the
+    * DuckDB oracle raises a BIGINT overflow — a pathological corpus
+    * would diverge the engines instead of failing loudly). The oracle
+    * applies the identical least() clamp, so both engines saturate the
+    * EG step at the same bound and stay bit-identical.
+    */
+  private[operators] val DoremiExClampMicro = 13815511L
+
   /** DoReMi-style domain-mixture optimization (Xie et al., "DoReMi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
     * NeurIPS 2023), engine-native: k rounds of the Group-DRO
@@ -1381,9 +1394,12 @@ object Curation {
           domains.map(d => d -> cur.get(d).map(_ - m).getOrElse(0L)).toMap
         }
       // EG multiplier quantized to integer micro-units straight after
-      // the exp — everything downstream is exact integer division
+      // the exp — everything downstream is exact integer division. The
+      // positive excess is clamped at DoremiExClampMicro first so
+      // alpha·mult cannot wrap Long (the oracle mirrors the clamp).
       val raw = domains.map { d =>
-        val mult = BigDecimal(math.exp(ex(d).toDouble / 1e6) * 1e6)
+        val exd = math.min(ex(d), DoremiExClampMicro)
+        val mult = BigDecimal(math.exp(exd.toDouble / 1e6) * 1e6)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
         d -> alpha(d) * mult / 1000000L
       }
@@ -1449,7 +1465,8 @@ object Curation {
                 THEN CAST(sum(nll) AS BIGINT) // CAST(count(*) AS BIGINT)
                 END AS m FROM nl$r),
       rw$r AS MATERIALIZED (SELECT d.source,
-                 (a.ap * CAST(round(exp(coalesce(nl.nll - m.m, 0)
+                 (a.ap * CAST(round(exp(least(coalesce(nl.nll - m.m, 0),
+                    $DoremiExClampMicro)
                     / 1000000.0) * 1e6) AS BIGINT)) // 1000000 AS rawv
                FROM doms d JOIN a$r a USING (source)
                LEFT JOIN nl$r nl USING (source)

@@ -311,17 +311,18 @@ object Multimodal {
       .toDF("doc_id", "dhash")
   }
 
-  /** Perceptual pHash (64-bit DCT hash) over the REAL decoded pixels —
+  /** Perceptual pHash (63-bit DCT hash) over the REAL decoded pixels —
     * the frequency-domain sibling of [[mmDhash]] (dHash reads local
     * gradients; pHash reads the image's global low-frequency structure,
     * robust to blur/noise edits that flip gradient bits): decode the
     * PNG executor-side, sample a 32×32 integer grid (px = gx·w/32 —
     * pure integer math, no resampling filter to negotiate), grayscale
-    * as r+g+b, take the 8×8 low-frequency block of the 2-D DCT, and
-    * emit bit (v, u) = 1 iff 2·F(u,v) exceeds the summed middle pair of
-    * the sorted 64 coefficients (a divide-free exact-integer median
-    * compare — `(a+b)/2` would floor differently across engines on
-    * negative odd sums).
+    * as r+g+b, take the 8×8 low-frequency block of the 2-D DCT, DROP
+    * the DC coefficient F(0,0) (standard pHash — DC is the scaled
+    * global brightness sum, so thresholding it emits a near-constant
+    * bit; ADVICE r13), and emit bit (v, u), uv = 1..63, = 1 iff F(u,v)
+    * exceeds the exact median of the 63 AC coefficients (odd count —
+    * the single middle element of the sort, an exact integer compare).
     *
     * Engine-exactness: each DCT basis value cos(π((2x+1)u)/64)·
     * cos(π((2y+1)v)/64) is quantized to integer MICRO-units once (the
@@ -368,9 +369,17 @@ object Multimodal {
             while (i < 1024) { s += gray(i) * c(i); i += 1 }
             s
           }
-          val sorted = f.sorted
-          val med2 = sorted(31) + sorted(32)
-          (id, f.map(v => if (2 * v > med2) '1' else '0').mkString)
+          // ADVICE r13: standard pHash excludes the DC coefficient —
+          // F(0,0) is the (scaled) global brightness sum and essentially
+          // always exceeds the median, so including it pinned bit 0 to a
+          // near-constant 1 (~63 bits of effective entropy in a 64-bit
+          // hash). The hash is now the 63 AC coefficients thresholded on
+          // their own exact median (63 values -> the single middle
+          // element, an exact integer compare). Oracle + replay mirror.
+          val ac = java.util.Arrays.copyOfRange(f, 1, 64)
+          val sorted = ac.sorted
+          val med = sorted(31)
+          (id, ac.map(v => if (v > med) '1' else '0').mkString)
         }
       }
       .toDF("doc_id", "phash")
@@ -737,12 +746,13 @@ object Multimodal {
                 UNNEST(generate_series(0, 7)) AS c(u),
                 UNNEST(generate_series(0, 7)) AS d(v)
               GROUP BY 1, 2, 3),
-      med AS (SELECT doc_id, fs[32] + fs[33] AS med2
+      med AS (SELECT doc_id, fs[32] AS med
               FROM (SELECT doc_id, list(f ORDER BY f) AS fs
-                    FROM dct GROUP BY 1)),
+                    FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY 1)),
       bits AS (SELECT dct.doc_id, v, u,
-                 CASE WHEN 2 * f > med2 THEN '1' ELSE '0' END AS bit
-               FROM dct JOIN med ON dct.doc_id = med.doc_id)
+                 CASE WHEN f > med THEN '1' ELSE '0' END AS bit
+               FROM dct JOIN med ON dct.doc_id = med.doc_id
+               WHERE NOT (u = 0 AND v = 0))
       SELECT doc_id, string_agg(bit, '' ORDER BY v, u) AS phash
       FROM bits GROUP BY 1""",
     "mm_dhash_neardup" -> s"""

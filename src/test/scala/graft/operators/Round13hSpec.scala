@@ -161,7 +161,8 @@ class Round13hSpec extends AnyFunSuite {
           domains.map(d => d -> cur.get(d).map(_ - m).getOrElse(0L)).toMap
         }
       val raw = domains.map { d =>
-        d -> alpha(d) * rnd(math.exp(ex(d).toDouble / 1e6) * 1e6) / 1000000L
+        val exd = math.min(ex(d), Curation.DoremiExClampMicro)
+        d -> alpha(d) * rnd(math.exp(exd.toDouble / 1e6) * 1e6) / 1000000L
       }
       val s = raw.map(_._2).sum
       alpha = raw.map { case (d, v) =>
