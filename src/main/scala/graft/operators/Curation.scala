@@ -259,7 +259,9 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
       .withColumn("u",
         round(pow(col("n_tokens").cast("double"), tau) * 1e6).cast("long"))
-    val all = Window.partitionBy()
+    // pinned single partition over the |sources|-row aggregate (same
+    // frame as the unpartitioned form, no WindowExec warning)
+    val all = Window.partitionBy(Bounded.pinned(col("source")))
     perSource
       .withColumn("t_tokens", sum(col("n_tokens")).over(all))
       .withColumn("t_u", sum(col("u")).over(all))
@@ -880,9 +882,12 @@ object Curation {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
     val spine = spark.range(10).select(col("id").cast("int").as("bin"))
-    val wCum = Window.orderBy(col("bin").desc)
+    // pinned single partition over the fixed 10-row spine (same frames
+    // as the unpartitioned forms, no WindowExec warning)
+    val wCum = Window.partitionBy(Bounded.pinned(col("bin")))
+      .orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
+    val wAll = Window.partitionBy(Bounded.pinned(col("bin")))
     spine.join(binned, Seq("bin"), "left_outer")
       .select(col("bin"), coalesce(col("nd"), lit(0L)).as("nd"),
         coalesce(col("nt"), lit(0L)).as("nt"))
@@ -1073,12 +1078,13 @@ object Curation {
     val bp = when(col("source").isin(EpochHighSrcs: _*), EpochHighBp)
       .when(col("source").isin(EpochMidSrcs: _*), EpochMidBp)
       .otherwise(EpochTailBp)
-    // Corpus total via an unpartitioned window over the |sources|-row
+    // Corpus total via a pinned-partition window over the |sources|-row
     // aggregate (the dq_skew_report pattern) — NOT a second 1-row agg
     // joined back, which would re-execute the scan lineage: one parquet
     // pass total, and the single-partition window holds |sources| rows.
     perSource
-      .withColumn("t_tokens", sum(col("n_tokens")).over(Window.partitionBy()))
+      .withColumn("t_tokens", sum(col("n_tokens"))
+        .over(Window.partitionBy(Bounded.pinned(col("source")))))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens").cast("double") / col("t_tokens"), 6)
           .as("actual_share"),
@@ -1150,15 +1156,15 @@ object Curation {
       .filter(col("qmicro") > 0)
     val v = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
       16, 10).cast("long")
-    d.withColumn("key_micro", round(
+    val sel = d.withColumn("key_micro", round(
         log((v.cast("double") + 0.5) / 4294967296.0) /
           (col("qmicro").cast("double") / 1000000.0) * 1e6).cast("long"))
       .select(col("doc_id"), col("lang"), col("source"), col("quality"),
         col("key_micro"))
       .orderBy(col("key_micro").desc, col("doc_id").asc)
       .limit(n)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("key_micro").desc, col("doc_id").asc)))
+    // rank stamp over the post-limit ≤n-row frame, WindowExec-free
+    Bounded.rankBounded(sel, Seq(-col("key_micro"), col("doc_id")), "rank")
   }
 
   /** DSIR feature-space / selection constants. 64 hash buckets keep the
@@ -1253,14 +1259,14 @@ object Curation {
           pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"),
             lit(DsirBuckets.toLong)).cast("int")), lit(0L))))
       .withColumn("score_micro", expr("ssum div n_tokens"))
-    scored
-      .select(col("doc_id"), col("n_tokens"), col("score_micro"))
-      .orderBy(col("score_micro").desc, col("doc_id").asc)
-      .limit(topN)
-      // rank over the post-limit <=N-row frame (the curFilterSweep
-      // bounded-window convention), never the corpus
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
+    // rank over the post-limit <=N-row frame (Bounded.rankBounded,
+    // WindowExec-free), never the corpus
+    Bounded.rankBounded(
+      scored
+        .select(col("doc_id"), col("n_tokens"), col("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(topN),
+      Seq(-col("score_micro"), col("doc_id")), "rank")
   }
 
   /** DoReMi loop constants: 3 exponentiated-gradient rounds (the paper's

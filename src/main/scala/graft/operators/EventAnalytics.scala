@@ -822,7 +822,12 @@ object EventAnalytics {
       .withColumn("recency_days",
         datediff(col("as_of").cast("date"), col("last_ts").cast("date")))
     def quintile(order: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
-      least(floor(percent_rank().over(Window.orderBy(order: _*)) * 5)
+      // pinned single partition over the per-user reduced frame: the
+      // funnel is inherent to exact global quantiles (evRfmApprox is the
+      // 100 TB path — approx_percentile cutoffs, no global sort)
+      least(floor(percent_rank().over(
+        Window.partitionBy(Bounded.pinned(col("user_id")))
+          .orderBy(order: _*)) * 5)
         .cast("int") + 1, lit(5))
     base
       .withColumn("r_score",

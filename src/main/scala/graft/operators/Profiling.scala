@@ -231,7 +231,9 @@ object Profiling {
         round(p, 6).as("p_ref"), round(q, 6).as("p_cur"),
         round((q - p) * log(q / p), 4).as("psi"))
       .withColumn("psi_total",
-        round(sum(col("psi")).over(Window.partitionBy()), 4))
+        // pinned single partition over the ≤|bins|-row frame
+        round(sum(col("psi"))
+          .over(Window.partitionBy(Bounded.pinned(col("bin")))), 4))
   }
 
   /** DQ7 — data FRESHNESS per event type: last-seen timestamp, staleness
@@ -366,7 +368,8 @@ object Profiling {
       .filter(col("cents") > 0)
       .select(substring(col("cents").cast("string"), 1, 1).cast("int")
         .as("digit"))
-    val w9 = Window.partitionBy()
+    // pinned single partition over the 9-row digit frame
+    val w9 = Window.partitionBy(Bounded.pinned(col("digit")))
     digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
       .withColumn("share",
         round(col("n").cast("double") / sum(col("n")).over(w9), 6))

@@ -235,10 +235,13 @@ object Relational {
     val local = bucketed.withColumn("__lp",
       row_number().over(Window.partitionBy(col("__bk")).orderBy(sortCols: _*)))
     val counts = bucketed.groupBy(col("__bk")).agg(count(lit(1)).as("__cnt"))
-    // prefix-sum window over ≤`buckets` aggregated rows — never base data
+    // prefix-sum window over ≤`buckets` aggregated rows — never base
+    // data; pinned single partition (same frame, warning-free)
     val offs = counts.withColumn("__off",
-      coalesce(sum(col("__cnt")).over(Window.orderBy(col("__bk"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      coalesce(sum(col("__cnt")).over(
+        Window.partitionBy(Bounded.pinned(col("__bk")))
+          .orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__bk"), col("__off"))
     local.join(broadcast(offs), "__bk")
       .withColumn(outCol, (col("__lp") + col("__off")).cast("int"))
@@ -267,8 +270,8 @@ object Relational {
     val counts = t(spark, dir, "customer")
       .groupBy(col("c_nationkey").as("nationkey"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("nationkey").asc)
-    counts.withColumn("rank_id", row_number().over(w))
+    // ≤|nations| post-agg rows: WindowExec-free rank stamp
+    Bounded.rankBounded(counts, Seq(-col("n"), col("nationkey")), "rank_id")
   }
 
   /** O3/S8 — ordered LIMIT (top-k). Spark plans TakeOrderedAndProject:
@@ -600,7 +603,10 @@ object Relational {
     val counts = t(spark, dir, "customer")
       .groupBy(col("c_nationkey").as("nationkey"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("nationkey").asc)
+    // ≤|nations| post-agg rows; pinned single partition (same funnel,
+    // same frame, no unpartitioned-window warning)
+    val w = Window.partitionBy(Bounded.pinned(col("nationkey")))
+      .orderBy(col("n").desc, col("nationkey").asc)
     counts
       .withColumn("quartile", ntile(4).over(w))
       .withColumn("pct_rank", round(percent_rank().over(w), 6))
@@ -966,8 +972,10 @@ object Relational {
     val merged = daily.groupBy(col("bin")).agg(sum(col("n")).as("n"))
     // both windows run over the ALREADY-REDUCED <= |bins|+1-row frame
     // (never the fact); n_values rides the same frame so the whole
-    // estimate side stays ONE scan of the stored artifact
-    val wBins = org.apache.spark.sql.expressions.Window.partitionBy()
+    // estimate side stays ONE scan of the stored artifact. Pinned
+    // single partition — same frame, no unpartitioned-window warning.
+    val wBins = org.apache.spark.sql.expressions.Window
+      .partitionBy(Bounded.pinned(col("bin")))
     val cum = merged
       .withColumn("cum", sum(col("n")).over(wBins.orderBy(col("bin"))
         .rowsBetween(
@@ -1095,7 +1103,9 @@ object Relational {
       // total as an exact decimal sum (order-independent), the share as a
       // single IEEE double division — identical bits on any engine
       .withColumn("total",
-        sum(col("bal")).over(Window.partitionBy()).cast("double"))
+        sum(col("bal")).over(
+          Window.partitionBy(Bounded.pinned(col("nationkey"))))
+          .cast("double"))
       .select(col("nationkey"), col("bal").cast("double").as("bal"),
         round(col("bal").cast("double") * 100 / col("total"), 6)
           .as("pct_of_total"))

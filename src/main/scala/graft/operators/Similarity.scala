@@ -1133,14 +1133,15 @@ object Similarity {
       .withColumn("z", round(
         (col("mean_u") - col("cc_u").cast("double")) / sqrt(col("varr")),
         6))
-    scored
-      .select(col("vec_id"), col("cid"),
-        round(col("cc_u") / 1e6, 6).as("cos_centroid"), col("z"))
-      .orderBy(col("z").desc, col("vec_id").asc)
-      .limit(k)
-      // bounded post-limit window (the family convention)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("z").desc, col("vec_id").asc)))
+    // rank stamp over the post-limit ≤k-row frame, WindowExec-free
+    // (Bounded.rankBounded — the family convention since r14)
+    Bounded.rankBounded(
+      scored
+        .select(col("vec_id"), col("cid"),
+          round(col("cc_u") / 1e6, 6).as("cos_centroid"), col("z"))
+        .orderBy(col("z").desc, col("vec_id").asc)
+        .limit(k),
+      Seq(-col("z"), col("vec_id")), "rank")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

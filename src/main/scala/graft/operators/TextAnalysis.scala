@@ -445,9 +445,9 @@ ${if (eval) evalTail(rounds) else trainTail(rounds)}"""
       sum(col("n")).as("n_tokens"),
       count(lit(1)).as("n_types"),
       sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
-    val top = counts.orderBy(col("n").desc, col("tok").asc).limit(topN)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("n").desc, col("tok").asc)))
+    val top = Bounded.rankBounded(
+      counts.orderBy(col("n").desc, col("tok").asc).limit(topN),
+      Seq(-col("n"), col("tok")), "rank")
     val pts = top.select(
       round(log(col("rank").cast("double")) * 1e6).cast("long").as("xu"),
       round(log(col("n").cast("double")) * 1e6).cast("long").as("yu"))
@@ -707,12 +707,13 @@ ${if (eval) evalTail(rounds) else trainTail(rounds)}"""
       col("pa_ppm"), col("pb_ppm"),
       round(contrib, 6).as("js_contrib_micro"))
     // top-k plans as TakeOrderedAndProject (never a global sort); the
-    // rank window then runs on the k-row result, not the vocab frame
-    val w = Window.orderBy(col("js_contrib_micro").desc, col("term").asc)
-    scored
-      .orderBy(col("js_contrib_micro").desc, col("term").asc)
-      .limit(k)
-      .withColumn("rank", row_number().over(w).cast("int"))
+    // rank stamp then runs on the k-row result (Bounded.rankBounded,
+    // WindowExec-free), not the vocab frame
+    Bounded.rankBounded(
+      scored
+        .orderBy(col("js_contrib_micro").desc, col("term").asc)
+        .limit(k),
+      Seq(-col("js_contrib_micro"), col("term")), "rank")
       .select(col("term"), col("n_a"), col("n_b"), col("pa_ppm"),
         col("pb_ppm"), col("js_contrib_micro"), col("rank"))
   }
