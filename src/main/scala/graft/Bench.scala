@@ -176,6 +176,9 @@ object Bench {
     "cur_sample_es", "dq_correlation", "text_fertility",
     // DCT perceptual hash through the real codec (map-side, zero shuffle)
     "mm_phash",
+    // round-14: the executable 100 TB approx swaps (HLL key-uniqueness,
+    // sketch-cutoff RFM, HLL distinct-n) — contract-checked vs exact
+    "dq_uniqueness_approx", "ev_rfm_approx", "text_distinct_n_approx",
   )
 
   /** Ingest-time rows: evict + rebuild each index FAMILY separately
