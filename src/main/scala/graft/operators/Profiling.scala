@@ -367,9 +367,16 @@ object Profiling {
   private[graft] def keyUniquenessAuditApprox(table: String, df: DataFrame,
       key: Seq[String]): DataFrame = {
     val keyExpr = uniqKeyExpr(key)
-    df.agg(count(lit(1)).as("n_rows"),
-        countDistinct(keyExpr).as("n_keys"),
-        approx_count_distinct(keyExpr, rsd = 0.02).as("n_keys_approx"))
+    // the a8 shape: the sketch aggregates in its OWN frame — mixing
+    // countDistinct and approx_count_distinct in one agg triggers the
+    // distinct-rewrite Expand and recomputes the sketch over doubled
+    // rows (measured 7x slower than the exact twin at sf1); separately
+    // the approx side is the single cheap pass the 100 TB story claims,
+    // and the exact side exists only to evaluate the contract
+    val approx = df.agg(count(lit(1)).as("n_rows"),
+      approx_count_distinct(keyExpr, rsd = 0.02).as("n_keys_approx"))
+    val exact = df.agg(countDistinct(keyExpr).as("n_keys"))
+    approx.crossJoin(exact)
       .select(lit(table).as("table_name"),
         lit(key.mkString(",")).as("key_cols"),
         col("n_rows"), col("n_keys"),

@@ -1390,21 +1390,27 @@ $docRounds,
   def textDistinctNApprox(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("source"), tokens(col("text")).as("w"))
-    val u = docs.select(col("source"), explode(col("w")).as("tk"))
-      .groupBy(col("source"))
+    // the a8 shape: sketch and exact in SEPARATE aggregates — mixing
+    // them in one agg triggers the distinct-rewrite Expand and pays the
+    // sketch over doubled rows (the dq_uniqueness_approx lesson); the
+    // approx frames alone are the production path
+    val uniStream = docs.select(col("source"), explode(col("w")).as("tk"))
+    val u = uniStream.groupBy(col("source"))
       .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("tk")).as("n_types"),
         approx_count_distinct(col("tk"), rsd = 0.02).as("ap1"))
-    val b = docs.select(col("source"), explode(expr(
+      .join(uniStream.groupBy(col("source"))
+        .agg(countDistinct(col("tk")).as("n_types")), Seq("source"))
+    val bgStream = docs.select(col("source"), explode(expr(
         """CASE WHEN size(w) >= 2
            THEN transform(sequence(0, size(w) - 2),
                   i -> concat_ws(' ', w[i], w[i + 1]))
            ELSE CAST(array() AS array<string>)
            END""")).as("bg"))
-      .groupBy(col("source"))
+    val b = bgStream.groupBy(col("source"))
       .agg(count(lit(1)).as("n_bigrams"),
-        countDistinct(col("bg")).as("n_bi_types"),
         approx_count_distinct(col("bg"), rsd = 0.02).as("ap2"))
+      .join(bgStream.groupBy(col("source"))
+        .agg(countDistinct(col("bg")).as("n_bi_types")), Seq("source"))
     u.join(b, Seq("source"), "left_outer")
       .select(col("source"), col("n_tokens"), col("n_types"),
         (abs(col("ap1") - col("n_types")).cast("double") /
