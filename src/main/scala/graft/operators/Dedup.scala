@@ -295,11 +295,35 @@ object Dedup {
     * equi-joins; the shingle-SET array frame is checkpointed once and
     * feeds the posting explode and both verify sides, where exact
     * Jaccard is one map-side `array_intersect` per surviving pair
-    * (linear in survivors — never a posting re-join). A pathological
-    * corpus whose RARE tokens are still hot would pair this with the
-    * anchor-star bucket guard the banded joins use.
+    * (linear in survivors — never a posting re-join).
+    *
+    * HOT-POSTING GUARD (r14, measured at the sf10 leg): on a corpus
+    * whose shingle VOCABULARY saturates (this fixture: ~25k distinct
+    * 3-grams over a 31-word vocab), even the rarest prefix tokens'
+    * posting lists grow linearly with corpus size, so Σ pdf² grows
+    * QUADRATICALLY — measured 36 M candidates at sf1 → 4.0 G at sf10
+    * (111× for 10× data; the unguarded join OOMed and filled 78 GB of
+    * spill). Prefix postings larger than [[PrefixPostingCap]] therefore
+    * degrade to the anchor-star pattern the banded joins use: every doc
+    * in a hot posting pairs with the posting's minimum doc_id only,
+    * straight to exact verification. Postings ≤ cap keep the LOSSLESS
+    * PPJoin guarantee — results are identical to the unguarded join
+    * whenever no posting exceeds the cap (max observed: 8 at sf0.1, 79
+    * at sf1, both under 256 — the exactness claim is intact on every
+    * oracle-checked scale), and 99% of the sf10 volume sat in postings
+    * > 256. Above the cap the guarantee weakens exactly as for LSH
+    * banding: a true pair whose shared prefix tokens are ALL hot is
+    * surfaced only through its postings' anchors. The oracle replays
+    * the identical capped semantics (shared constant), so both engines
+    * see the same candidate set at any scale.
     */
   private[operators] val PrefixJoinTau = 0.8
+
+  /** Anchor-star cap on PREFIX posting length (see [[dedupPrefixJoin]]'s
+    * guard note) — interpolated into the oracle so the two sides cannot
+    * drift; PrefixJoinBoundarySpec pins cap parity with a tiny cap.
+    */
+  private[graft] val PrefixPostingCap = 256
 
   /** Float-boundary slack for the LOSSLESS filters: every prune bound is
     * relaxed by this epsilon so an IEEE product that lands a hair ABOVE
@@ -311,7 +335,8 @@ object Dedup {
   private val Eps = 1e-9
 
   def dedupPrefixJoin(spark: SparkSession, dir: String,
-      tau: Double = PrefixJoinTau): DataFrame = {
+      tau: Double = PrefixJoinTau,
+      cap: Int = PrefixPostingCap): DataFrame = {
     // shingle SETS as arrays: one checkpoint feeds the posting explode
     // AND both verify sides (array_intersect — no posting re-join)
     val docs = docShingles(spark, dir)
@@ -326,13 +351,21 @@ object Dedup {
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= col("c") - ceil(lit(tau) * col("c") - Eps) + 1)
       .select(col("doc_id"), col("s"), col("rn"), col("c"))
+    // hot-posting guard (see the scaladoc): posting sizes over the
+    // PREFIX relation; ≤ cap stays exhaustive PPJoin, > cap degrades to
+    // anchor-star pairs that go straight to exact verification
+    val pdf = pref.groupBy(col("s"))
+      .agg(count(lit(1)).as("pdf"), min(col("doc_id")).as("anchor"))
+    val sized = pref.join(pdf, "s")
+    val cold = sized.filter(col("pdf") <= cap)
+      .select(col("doc_id"), col("s"), col("rn"), col("c"))
     // candidate pairs grouped ONCE: prefix-overlap count + the LAST
     // matched prefix position per side power the PPJoin positional
     // filter — ubound = po + min(remaining suffix) must reach the
     // equivalent-overlap bound τ(ca+cb)∕(1+τ), which kills the
     // templated-corpus candidates (measured: 6.5 M → 2.2 M at sf1)
     // before any document data is touched.
-    val cand = pref.as("a").join(pref.as("b"),
+    val cand = cold.as("a").join(cold.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           col("b.c") >= lit(tau) * col("a.c") - Eps &&
           col("a.c") >= lit(tau) * col("b.c") - Eps)
@@ -341,16 +374,24 @@ object Dedup {
         max(col("a.rn")).as("ra"), max(col("b.rn")).as("rb"),
         max(col("a.c")).as("ca"), max(col("b.c")).as("cb"))
     val surv = cand.filter(
-      col("po") + least(col("ca") - col("ra"), col("cb") - col("rb")) >=
-        ceil(lit(tau) * (col("ca") + col("cb")) / (1 + tau) - Eps))
+        col("po") + least(col("ca") - col("ra"), col("cb") - col("rb")) >=
+          ceil(lit(tau) * (col("ca") + col("cb")) / (1 + tau) - Eps))
+      .select(col("da"), col("db"))
+    val star = sized.filter(col("pdf") > cap &&
+        col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("da"), col("doc_id").as("db"))
+    // a pair can surface from both paths (cold tokens AND a hot one):
+    // dedupe on the tiny (da, db) projection before fetching payloads
+    val allc = surv.unionByName(star).distinct()
     // exact verify on survivors only: fetch both shingle SETS by key and
     // intersect map-side — linear in survivors, never a posting blow-up
-    surv
+    allc
       .join(docs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
       .join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
+        col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("da"), col("db"), col("jaccard"))
   }
@@ -942,14 +983,49 @@ object Dedup {
     // the quadratic truth IS the oracle: the prefix filter is lossless by
     // theorem, so a hash-green run proves the equi-join plan missed no
     // pair (a lossy filter would diverge from this exact replay)
+    // full capped-PPJoin replay (prefix rank, hot-posting anchor-star
+    // guard, positional filter, exact verify) — the cap is the SHARED
+    // constant, so both engines see the identical candidate set at any
+    // scale; on every oracle-checked fixture no posting exceeds the cap
+    // and the output equals the exhaustive exact join
     "dedup_prefix_join" -> s"""
       WITH $shinglesCte,
       cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
-      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
+      dfx AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+      pref AS (SELECT sh.doc_id, sh.s, cnt.c,
+                 row_number() OVER (PARTITION BY sh.doc_id
+                   ORDER BY dfx.df, sh.s) AS rn
+               FROM sh JOIN dfx USING (s) JOIN cnt USING (doc_id)
+               QUALIFY rn <= cnt.c
+                 - ceil($PrefixJoinTau * cnt.c - 1e-9) + 1),
+      pdf AS (SELECT s, count(*) AS pdf, min(doc_id) AS anchor
+              FROM pref GROUP BY 1),
+      cold AS (SELECT p.doc_id, p.s, p.c, p.rn
+               FROM pref p JOIN pdf USING (s)
+               WHERE pdf.pdf <= $PrefixPostingCap),
+      cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS po,
+                 max(a.rn) AS ra, max(b.rn) AS rb,
+                 max(a.c) AS ca, max(b.c) AS cb
+               FROM cold a JOIN cold b
+                 ON a.s = b.s AND a.doc_id < b.doc_id
+                AND b.c >= $PrefixJoinTau * a.c - 1e-9
+                AND a.c >= $PrefixJoinTau * b.c - 1e-9
+               GROUP BY 1, 2),
+      surv AS (SELECT da, db FROM cand
+               WHERE po + least(ca - ra, cb - rb)
+                 >= ceil($PrefixJoinTau * (ca + cb)
+                         / (1 + $PrefixJoinTau) - 1e-9)),
+      star AS (SELECT d.anchor AS da, p.doc_id AS db
+               FROM pref p JOIN pdf d USING (s)
+               WHERE d.pdf > $PrefixPostingCap AND p.doc_id <> d.anchor),
+      allc AS (SELECT da, db FROM surv UNION SELECT da, db FROM star),
+      ver AS (SELECT c.da, c.db, count(*) AS i
+              FROM allc c
+              JOIN sh a ON a.doc_id = c.da
+              JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+              GROUP BY 1, 2)
       SELECT da, db, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
-      FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+      FROM ver JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
       WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= $PrefixJoinTau""",
     "dedup_ngram_jaccard" -> s"""
       WITH $shinglesCte,

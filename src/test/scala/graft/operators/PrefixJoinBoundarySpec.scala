@@ -48,4 +48,30 @@ class PrefixJoinBoundarySpec extends AnyFunSuite {
       "the boundary-exact pair was pruned — an epsilon guard is missing " +
         "(ceil/length/positional bound rounded the wrong way)")
   }
+
+  test("hot-posting guard: postings over the cap degrade to anchor-star " +
+      "pairs; under the cap the join stays exhaustive (r14 — the sf10 " +
+      "quadratic-volume lesson)") {
+    import spark.implicits._
+    // four EXACT duplicates: every prefix posting has length 4
+    val text = (1 to 12).map(i => s"hw$i").mkString(" ")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("pfx-hotcap").toString
+    (1L to 4L).map(i => (i, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    def pairs(cap: Int): Set[(Long, Long)] =
+      Dedup.dedupPrefixJoin(spark, tmp, cap = cap).collect()
+        .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+
+    // cap ≥ posting length: exhaustive PPJoin — all 6 pairs at j=1.0
+    assert(pairs(4) ==
+      (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toSet,
+      "under-cap postings must keep the lossless guarantee")
+    // cap below posting length: every posting is hot — the cluster
+    // stays connected through its anchor (min doc_id) only, the dedup
+    // outcome the banded joins' guard established
+    assert(pairs(2) == Set((1L, 2L), (1L, 3L), (1L, 4L)),
+      "over-cap postings must degrade to anchor-star pairs")
+  }
 }
