@@ -142,8 +142,12 @@ object Relational {
     )
     val withDiff = agg.withColumn("goal_diff", col("goal_for") - col("goal_against"))
     // O1 multi-key desc sort + O2 dense 1..N id, tiebreak club asc
-    // (SURVEY §2 determinism contract (c)).
-    val rankW = Window.partitionBy(keys.map(col): _*).orderBy(
+    // (SURVEY §2 determinism contract (c)). Keyless callers rank the
+    // post-agg |clubs|-row frame — pinned single partition, no
+    // unpartitioned-window warning (r14).
+    val rankW = Window.partitionBy(
+      (if (keys.isEmpty) Seq(Bounded.pinned(col("club")))
+       else keys.map(col)): _*).orderBy(
       col("points").desc, col("goal_for").desc, col("goal_against").desc,
       col("win").desc, col("draw").desc, col("loss").desc, col("club").asc)
     withDiff
