@@ -502,7 +502,11 @@ object Bench {
         // Hard wall-clock budget: the stdout headline line MUST print
         // before any driver-side timeout; evidence is worth 90 s, never
         // the round's bench artifact. Skipped rows simply have no entry.
-        val budgetNanos = 90L * 1000 * 1000 * 1000
+        // Scale legs (sf10) override via SPARK_GRAFT_SHUFFLE_BUDGET_S —
+        // there the shuffle bytes ARE the artifact (r13 judge #5).
+        val budgetNanos =
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUDGET_S", "90").toLong *
+            1000 * 1000 * 1000
         val passStart = System.nanoTime()
         // lazily: the budget predicate must be re-checked as each row runs
         val out = allRows.iterator.takeWhile(_ =>
