@@ -311,11 +311,24 @@ object Dedup {
     * whenever no posting exceeds the cap (max observed: 8 at sf0.1, 79
     * at sf1, both under 256 — the exactness claim is intact on every
     * oracle-checked scale), and 99% of the sf10 volume sat in postings
-    * > 256. Above the cap the guarantee weakens exactly as for LSH
-    * banding: a true pair whose shared prefix tokens are ALL hot is
-    * surfaced only through its postings' anchors. The oracle replays
-    * the identical capped semantics (shared constant), so both engines
-    * see the same candidate set at any scale.
+    * > 256. Above the cap, only a pair whose shared prefix tokens are
+    * ALL hot loses the guarantee (it is surfaced solely through its
+    * postings' anchors — the LSH-banding analogy). A MIXED hot/cold
+    * pair stays exactly covered, which requires one correction
+    * (ADVICE r14): hot entries leave the cold relation, so the grouped
+    * candidate's po/ra/rb UNDERCOUNT the true prefix overlap — a hot
+    * shared token that sorts (df, s)-before the last cold match in both
+    * docs is counted by neither po nor the suffix term, and the naive
+    * bound would wrongly prune a true pair with no star-path recovery.
+    * The positional filter is therefore relaxed by min(ha, hb) — each
+    * side's count of hot prefix entries, an upper bound on how many
+    * shared tokens can be uncounted that way — keeping it a TRUE upper
+    * bound (false positives cost only an exact-verify check; false
+    * negatives would be silent recall loss). The oracle replays the
+    * identical capped-and-relaxed semantics (shared constant), so both
+    * engines see the same candidate set at any scale;
+    * PrefixJoinBoundarySpec pins the mixed-pair recovery with a
+    * fixture whose true pair the unrelaxed bound prunes.
     */
   private[operators] val PrefixJoinTau = 0.8
 
@@ -373,8 +386,20 @@ object Dedup {
       .agg(count(lit(1)).as("po"),
         max(col("a.rn")).as("ra"), max(col("b.rn")).as("rb"),
         max(col("a.c")).as("ca"), max(col("b.c")).as("cb"))
-    val surv = cand.filter(
-        col("po") + least(col("ca") - col("ra"), col("cb") - col("rb")) >=
+    // per-doc HOT prefix-entry counts: the positional bound's correction
+    // term for mixed hot/cold pairs (see the guard scaladoc). O(docs with
+    // a hot token) rows — tiny next to cand, AQE broadcasts it.
+    val hotCnt = sized.filter(col("pdf") > cap)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
+    val surv = cand
+      .join(hotCnt.select(col("doc_id").as("da"), col("h").as("ha")),
+        Seq("da"), "left_outer")
+      .join(hotCnt.select(col("doc_id").as("db"), col("h").as("hb")),
+        Seq("db"), "left_outer")
+      .filter(
+        col("po") +
+          least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L))) +
+          least(col("ca") - col("ra"), col("cb") - col("rb")) >=
           ceil(lit(tau) * (col("ca") + col("cb")) / (1 + tau) - Eps))
       .select(col("da"), col("db"))
     val star = sized.filter(col("pdf") > cap &&
@@ -1011,8 +1036,14 @@ object Dedup {
                 AND b.c >= $PrefixJoinTau * a.c - 1e-9
                 AND a.c >= $PrefixJoinTau * b.c - 1e-9
                GROUP BY 1, 2),
+      hot AS (SELECT p.doc_id, count(*) AS h
+              FROM pref p JOIN pdf USING (s)
+              WHERE pdf.pdf > $PrefixPostingCap GROUP BY 1),
       surv AS (SELECT da, db FROM cand
-               WHERE po + least(ca - ra, cb - rb)
+               LEFT JOIN hot hda ON cand.da = hda.doc_id
+               LEFT JOIN hot hdb ON cand.db = hdb.doc_id
+               WHERE po + least(coalesce(hda.h, 0), coalesce(hdb.h, 0))
+                     + least(ca - ra, cb - rb)
                  >= ceil($PrefixJoinTau * (ca + cb)
                          / (1 + $PrefixJoinTau) - 1e-9)),
       star AS (SELECT d.anchor AS da, p.doc_id AS db

@@ -74,4 +74,51 @@ class PrefixJoinBoundarySpec extends AnyFunSuite {
     assert(pairs(2) == Set((1L, 2L), (1L, 3L), (1L, 4L)),
       "over-cap postings must degrade to anchor-star pairs")
   }
+
+  test("mixed hot/cold pair survives the positional filter via the " +
+      "min(ha, hb) relaxation (ADVICE r14 — the unrelaxed bound prunes " +
+      "a true pair with no star-path recovery)") {
+    import spark.implicits._
+    // Geometry (τ = 0.5, cap = 2): docs A and B share the word run
+    // m1..m8; C = exactly "m1 m2 m3", so the shingle t1 = 'm1 m2 m3'
+    // sits in THREE prefixes (A, B, C → pdf 3 > cap, HOT) while the
+    // other shared shingles S2..S6 appear in E/F/G too (full df 5) but
+    // only OUTSIDE their prefixes (pdf 2, cold). Within A and B the
+    // (df, s) order is: 2 unique bridge shingles (df 1), t1 (df 3),
+    // then S2, S3 (df 5) closing the 5-token prefix. The A–B candidate
+    // group therefore sees po = 2 (S2, S3), ra = rb = 5, suffix = 3:
+    // the unrelaxed bound gives 5 < ceil(0.5·16/1.5) = 6 and prunes the
+    // pair — yet its true overlap is 6 (t1 at rn 3 < ra is counted by
+    // neither po nor the suffix term), jaccard = 6/10 = 0.6 ≥ τ, and
+    // the star path only pairs A and B with C (the posting's anchor),
+    // never with each other. With ha = hb = 1 the relaxed bound reaches
+    // 6 and the pair flows to exact verification.
+    val m = (1 to 8).map(i => s"m$i")
+    val docs = Seq(
+      1L -> m.take(3).mkString(" "),                       // C: just t1
+      2L -> (Seq("a1", "a2") ++ m).mkString(" "),          // A
+      3L -> (Seq("b1", "b2") ++ m).mkString(" "),          // B
+      4L -> ((1 to 8).map(i => s"e$i") ++ m.drop(1)).mkString(" "), // E
+      5L -> ((1 to 8).map(i => s"f$i") ++ m.drop(1)).mkString(" "), // F
+      6L -> ((1 to 8).map(i => s"g$i") ++ m.drop(1)).mkString(" ")) // G
+    val tmp = java.nio.file.Files
+      .createTempDirectory("pfx-mixed").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val truth = Dedup.dedupNgramJaccard(spark, tmp, tau = 0.5).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(truth == Set((2L, 3L, 0.6)),
+      s"fixture must plant exactly the mixed-pair truth, got $truth")
+
+    val fast = Dedup.dedupPrefixJoin(spark, tmp, tau = 0.5, cap = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(fast == truth,
+      "the mixed hot/cold true pair was lost — the positional filter " +
+        "must be relaxed by min(ha, hb) when hot entries leave the cold " +
+        "relation")
+  }
 }
