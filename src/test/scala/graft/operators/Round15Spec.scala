@@ -54,6 +54,26 @@ class Round15Spec extends AnyFunSuite {
       s"null key must rank last (the Window desc placement), got $got")
   }
 
+  test("dedup_prefix_recall: the capped join's above-cap recall is " +
+      "measured, sane, and cap-monotone at sf0.1") {
+    val rows = Dedup.dedupPrefixRecall(spark, "/root/testdata/sf0.1")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(2, 8))
+    // every emitted pair is exact-verified at tau, so found ⊆ exact:
+    // precision is 1 by construction and the join must confirm it
+    assert(rows.forall(r => r._3 == r._4),
+      s"n_found != n_hit — a non-true pair escaped verification: $rows")
+    // the truth side is cap-independent
+    assert(rows.map(_._2).distinct.length == 1)
+    assert(rows.forall(r => r._5 > 0.0 && r._5 <= 1.0))
+    // a larger cap keeps more postings exhaustive — recall cannot drop
+    assert(rows(1)._5 >= rows(0)._5,
+      s"recall must be cap-monotone: $rows")
+  }
+
   test("GraftFunctions.register is once-per-session idempotent and the " +
       "functions stay resolvable after repeated calls") {
     graft.plans.GraftFunctions.register(spark)
