@@ -207,7 +207,7 @@ object Bench {
   val prodRows: Seq[String] = Seq("dq_uniqueness_approx_prod",
     "ev_rfm_approx_prod", "text_distinct_n_approx_prod")
 
-  private val prodBodies
+  private[graft] val prodBodies
       : Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame] = Map(
     "dq_uniqueness_approx_prod" ->

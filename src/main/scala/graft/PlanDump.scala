@@ -14,7 +14,10 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"\n========== $name ==========")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      // bench-only production rows (sketch-valued, not oracle keys)
+      // resolve through Bench.prodBodies like the bench itself does
+      Bench.prodBodies.getOrElse(name, SparkEntry.queries(name))(
+        spark, sfDir).explain("formatted")
     }
     spark.stop()
   }
