@@ -537,6 +537,66 @@ object Dedup {
     }.reduce(_ unionByName _).orderBy(col("cap"))
   }
 
+  /** Banding configurations for [[dedupLshParamSweep]]: (bands, rows per
+    * band) factorizations of the k=8 signature, shared with the oracle.
+    * 4×2 is the production index's banding.
+    */
+  private[operators] val LshSweepConfigs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+
+  /** Measured BANDING TRADEOFF CURVE for the MinHash-LSH index — the
+    * number a rollout needs when choosing its banding: for each (b, r)
+    * factorization of the k=8 signature (b bands of r rows), run the
+    * banded candidate join (same [[bandedCandidates]] machinery and
+    * hot-bucket cap as production), verify candidates at the index's
+    * admission threshold (est ≥ [[RecallTau]] from the full 8-row
+    * signature — banding affects only candidate GENERATION, as in
+    * theory), and report against exhaustive exact truth:
+    * candidate volume (the cost axis), recall and precision (the
+    * quality axes). More bands / fewer rows per band ⇒ more candidates,
+    * higher recall, lower precision — the S-curve every LSH textbook
+    * draws, here measured on the actual index machinery instead of
+    * assumed from the (1−(1−s^r)^b) idealization (which ignores the
+    * hot-bucket cap and estimator quantization).
+    *
+    * EVAL ONLY: the truth side is the quadratic [[dedupNgramJaccard]]
+    * baseline, so the same input-size cap guards it (the
+    * dedup_lsh_recall rule — unbenched, plan-gate allowlisted).
+    */
+  def dedupLshParamSweep(spark: SparkSession, dir: String,
+      maxRows: Long = EvalBaselineMaxRows,
+      configs: Seq[(Int, Int)] = LshSweepConfigs): DataFrame = {
+    val exact = dedupNgramJaccard(spark, dir, maxRows, tau = RecallTau)
+      .select(col("da"), col("db"), lit(1).as("e"))
+    configs.map { case (nb, r) =>
+      val bands = sketches(spark, dir)
+        .select(col("doc_id"), col("sig"),
+          explode(expr(s"sequence(0, ${nb - 1})")).as("band"))
+        .withColumn("key",
+          expr(s"array_join(slice(sig, band * $r + 1, $r), '')"))
+      val cand = bandedCandidates(bands, "sig")
+        .withColumn("sim_est", expr("CAST(size(filter(" +
+          "zip_with(sa, sb, (x, y) -> x = y), v -> v)) AS DOUBLE) / 8"))
+        .select(col("da"), col("db"), col("sim_est"))
+        .distinct()
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val pairs = cand.filter(col("sim_est") >= RecallTau)
+        .select(col("da"), col("db"), lit(1).as("f"))
+      exact.join(pairs, Seq("da", "db"), "full_outer")
+        .agg(count(col("e")).as("n_exact"), count(col("f")).as("n_pairs"),
+          sum(when(col("e").isNotNull && col("f").isNotNull, 1L)
+            .otherwise(0L)).as("n_hit"))
+        .crossJoin(broadcast(nCand))
+        .select(lit(nb).as("n_bands"), lit(r).as("rows_per_band"),
+          col("n_exact"), col("n_cand"), col("n_pairs"), col("n_hit"),
+          when(col("n_exact") > 0,
+            round(col("n_hit").cast("double") / col("n_exact"), 6))
+            .as("recall"),
+          when(col("n_pairs") > 0,
+            round(col("n_hit").cast("double") / col("n_pairs"), 6))
+            .as("precision"))
+    }.reduce(_ unionByName _).orderBy(col("n_bands"))
+  }
+
   /** BOTH verified candidate-pair indexes in ONE persisted frame
     * (kind: 'm' | 's', da, db, metric): the two band-join DAGs share the
     * cached sketch frame and materialize in a single job, so their stages
@@ -949,6 +1009,8 @@ object Dedup {
       ((s: SparkSession, d: String) => dedupPrefixJoin(s, d)),
     "dedup_prefix_recall" ->
       ((s: SparkSession, d: String) => dedupPrefixRecall(s, d)),
+    "dedup_lsh_param_sweep" ->
+      ((s: SparkSession, d: String) => dedupLshParamSweep(s, d)),
   )
 
   private[operators] val shinglesCte = """
@@ -1027,6 +1089,51 @@ object Dedup {
               JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
               WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i)
                 >= $PrefixJoinTau)"""
+
+  /** One banding configuration of the LSH sweep as DuckDB CTEs (names
+    * suffixed `_sfx`), reading MATERIALIZED `sigm` (8-row minhash
+    * signatures) and `exact` (truth pairs at [[RecallTau]]), ending in
+    * `a_sfx(n_bands, rows_per_band, n_exact, n_cand, n_pairs, n_hit)` —
+    * the exact replay of [[dedupLshParamSweep]]'s banded candidate join
+    * including the [[BandBucketCap]] anchor-star guard.
+    */
+  private def lshSweepCte(nb: Int, r: Int, sfx: String): String = s"""
+      band_$sfx AS (SELECT doc_id, h // $r AS band,
+                string_agg(v, '' ORDER BY h) AS key
+              FROM sigm GROUP BY 1, 2),
+      stats_$sfx AS (SELECT band, key, count(*) AS bn,
+                min(doc_id) AS anchor
+              FROM band_$sfx GROUP BY 1, 2),
+      sized_$sfx AS (SELECT b.doc_id, b.band, b.key, s.bn, s.anchor
+              FROM band_$sfx b JOIN stats_$sfx s USING (band, key)),
+      cand_$sfx AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM sized_$sfx a JOIN sized_$sfx b
+                ON a.band = b.band AND a.key = b.key
+              WHERE a.bn <= $BandBucketCap AND a.doc_id < b.doc_id
+              UNION
+              SELECT DISTINCT s.anchor AS da, s.doc_id AS db
+              FROM sized_$sfx s
+              WHERE s.bn > $BandBucketCap AND s.doc_id <> s.anchor),
+      est_$sfx AS (SELECT da, db,
+                CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 8 AS sim_est
+              FROM cand_$sfx
+              JOIN sigm sa ON sa.doc_id = da
+              JOIN sigm sb ON sb.doc_id = db AND sa.h = sb.h
+              GROUP BY 1, 2),
+      j_$sfx AS (SELECT CASE WHEN e.da IS NOT NULL THEN 1 END AS e,
+                  CASE WHEN p.da IS NOT NULL THEN 1 END AS f
+              FROM exact e
+              FULL OUTER JOIN (SELECT da, db FROM est_$sfx
+                               WHERE sim_est >= $RecallTau) p
+                ON e.da = p.da AND e.db = p.db),
+      a_$sfx AS (SELECT $nb AS n_bands, $r AS rows_per_band,
+                CAST(count(e) AS BIGINT) AS n_exact,
+                (SELECT CAST(count(*) AS BIGINT) FROM est_$sfx) AS n_cand,
+                CAST(count(f) AS BIGINT) AS n_pairs,
+                CAST(sum(CASE WHEN e IS NOT NULL AND f IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+              FROM j_$sfx)"""
 
   /** The full minhash→bands→candidates→estimate pipeline as DuckDB CTEs,
     * ending in `pairs(da, db)` with sim_est ≥ 0.5 — shared by the
@@ -1169,6 +1276,34 @@ object Dedup {
       $prefixPreludeCte,
       ${prefixPairsCte(PrefixPostingCap, "j")}
       SELECT da, db, jaccard FROM res_j""",
+    // the banding sweep replays the banded join (with its anchor-star
+    // cap) at each (b, r) factorization of the k=8 signature, plus the
+    // quadratic truth at RecallTau, and aggregates the full-outer pair
+    // match per configuration
+    "dedup_lsh_param_sweep" -> s"""
+      WITH $shinglesCte,
+      shm AS MATERIALIZED (SELECT * FROM sh),
+      sigm AS MATERIALIZED (SELECT doc_id, h,
+               min(md5(CAST(h AS VARCHAR) || '|' || s)) AS v
+             FROM shm, UNNEST(generate_series(0, 7)) AS g(h)
+             GROUP BY 1, 2),
+      cnt AS (SELECT doc_id, count(*) AS c FROM shm GROUP BY 1),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                FROM shm a JOIN shm b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      exact AS MATERIALIZED (SELECT da, db FROM inter
+               JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+               WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= $RecallTau),
+      ${LshSweepConfigs.map { case (nb, r) =>
+        lshSweepCte(nb, r, s"b$nb") }.mkString(",\n")}
+      SELECT n_bands, rows_per_band, n_exact, n_cand, n_pairs, n_hit,
+        CASE WHEN n_exact > 0
+          THEN round(CAST(n_hit AS DOUBLE) / n_exact, 6) END AS recall,
+        CASE WHEN n_pairs > 0
+          THEN round(CAST(n_hit AS DOUBLE) / n_pairs, 6) END AS precision
+      FROM (${LshSweepConfigs.map { case (nb, _) =>
+        s"SELECT * FROM a_b$nb" }.mkString(" UNION ALL ")})
+      ORDER BY n_bands""",
     // the recall readout replays the SAME chain at each tiny cap plus
     // the exhaustive truth at the join's own tau, then aggregates the
     // full-outer pair match per cap (the dedup_lsh_recall shape)

@@ -26,6 +26,19 @@ class EntryContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"headline without query: $missing")
   }
 
+  test("production bench rows resolve to bodies, stay out of the oracle " +
+      "contract, and run at sf0.001") {
+    // sketch-valued rows are bench rows, not query keys (r15): every
+    // name in prodRows must have a body, must NOT shadow a real query
+    // key, and must execute
+    assert(Bench.prodRows.toSet == Bench.prodBodies.keySet)
+    val clash = Bench.prodRows.toSet.intersect(SparkEntry.queries.keySet)
+    assert(clash.isEmpty, s"prod row shadows a query key: $clash")
+    Bench.prodRows.foreach { name =>
+      assert(Bench.prodBodies(name)(spark, dir).count() > 0, name)
+    }
+  }
+
   test("SURVEY §8's stated key count matches the registered queries") {
     // the survey is the judge-facing source of truth; r12 shipped with a
     // stale count, so the line is now pinned to SparkEntry.queries.size

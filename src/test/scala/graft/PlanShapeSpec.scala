@@ -46,6 +46,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "dedup_ngram_jaccard",    // pairs with dedup_minhash_lsh
     "dedup_lsh_recall",       // consumes dedup_ngram_jaccard by contract
     "dedup_prefix_recall",    // likewise: truth side is the baseline
+    "dedup_lsh_param_sweep",  // likewise: truth side is the baseline
     "dedup_embedding_cosine", // pairs with sim_lsh_ann
     "sim_topk_bruteforce",    // recall baseline for the ANN family
     "sim_recall_at_k",        // consumes sim_topk_bruteforce by contract

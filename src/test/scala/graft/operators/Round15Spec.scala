@@ -137,6 +137,31 @@ class Round15Spec extends AnyFunSuite {
     assert(bad.isEmpty, s"estimate outside 5% of exact: $bad")
   }
 
+  test("dedup_lsh_param_sweep: the banding curve is monotone and its " +
+      "production point agrees with dedup_lsh_recall at sf0.1") {
+    val rows = Dedup.dedupLshParamSweep(spark, sf01).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+      .sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      Seq((1, 8), (2, 4), (4, 2), (8, 1)))
+    // truth side is banding-independent
+    assert(rows.map(_._3).distinct.length == 1)
+    // more bands => more candidates and no recall loss (the S-curve)
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq,
+      s"candidate volume must be non-decreasing in bands: $rows")
+    assert(rows.map(_._7).toSeq == rows.map(_._7).sorted.toSeq,
+      s"recall must be non-decreasing in bands: $rows")
+    assert(rows.forall(r => r._8 > 0.0 && r._8 <= 1.0))
+    // cross-key consistency: the (4, 2) point IS the production index's
+    // banding, so its recall must equal dedup_lsh_recall's readout
+    val prod = rows.find(r => r._1 == 4).get
+    val lshRecall = Dedup.dedupLshRecall(spark, sf01).collect().head
+      .getAs[Double]("recall")
+    assert(prod._7 == lshRecall,
+      s"sweep's 4x2 recall ${prod._7} != dedup_lsh_recall $lshRecall")
+  }
+
   test("mm pixel index: the persisted artifact reloads to bit-identical " +
       "dhash and phash (the cold-path identity contract, extended to " +
       "the pixel artifact per r14 judge #3)") {
