@@ -179,6 +179,8 @@ object Bench {
     // round-14: the executable 100 TB approx swaps (HLL key-uniqueness,
     // sketch-cutoff RFM, HLL distinct-n) — contract-checked vs exact
     "dq_uniqueness_approx", "ev_rfm_approx", "text_distinct_n_approx",
+    // round-15: k-anonymity privacy audit (reduced-key aggregations)
+    "dq_k_anonymity",
   )
 
   /** Ingest-time rows: evict + rebuild each index FAMILY separately

@@ -609,7 +609,61 @@ object Profiling {
         SELECT 'embeddings', 'vec_id', count(*),
           count(DISTINCT CAST(vec_id AS VARCHAR)) FROM embeddings)"""
 
+  /** k threshold for [[dqKAnonymity]], shared with the oracle. k = 5 is
+    * the conventional floor in the k-anonymity literature.
+    */
+  private[operators] val KAnonK = 5
+
+  /** K-ANONYMITY audit (Sweeney 2002) — the pre-release privacy risk
+    * report a training-data pipeline runs before shipping user-derived
+    * rows: for each QUASI-IDENTIFIER set (columns that are individually
+    * innocuous but jointly re-identifying), group the table by the QI
+    * tuple and report how many groups — and how many ROWS — sit below
+    * the k-anonymity floor (a row in a group of size < k is
+    * re-identifiable by anyone who knows its QI values). Three audited
+    * sets show the coarse→fine risk cliff: customer by
+    * (nationkey, mktsegment) is safely anonymous, adding the
+    * thousand-unit account-balance bucket pushes a measurable rows
+    * fraction under k, and documents by (lang, source) audits the text
+    * corpus's own release metadata.
+    *
+    * Scale shape: per audit, one partial+final aggregation on the QI key
+    * (reduced rows only — the shuffle carries (QI, count), never
+    * payload) followed by a scalar roll-up; output is |audits| rows. No
+    * windows, no joins. Exact integer outputs (ppm via `div`), oracle
+    * hash-exact.
+    */
+  def dqKAnonymity(spark: SparkSession, dir: String,
+      k: Int = KAnonK): DataFrame = {
+    def audit(label: String, df: DataFrame, qiNames: String,
+        qi: Seq[org.apache.spark.sql.Column]): DataFrame =
+      df.groupBy(qi: _*).agg(count(lit(1)).as("g"))
+        .agg(sum(col("g")).as("n_rows"), count(lit(1)).as("n_groups"),
+          min(col("g")).as("min_group_size"),
+          sum(when(col("g") < k, 1L).otherwise(0L))
+            .as("violating_groups"),
+          sum(when(col("g") < k, col("g")).otherwise(0L))
+            .as("violating_rows"))
+        .select(lit(label).as("audit"), lit(qiNames).as("quasi_identifiers"),
+          lit(k).as("k"), col("n_rows"), col("n_groups"),
+          col("min_group_size"), col("violating_groups"),
+          col("violating_rows"),
+          expr("(violating_rows * 1000000) div n_rows").as("risk_ppm"))
+    val cust = t(spark, dir, "customer")
+    audit("customer_coarse", cust, "c_nationkey,c_mktsegment",
+        Seq(col("c_nationkey"), col("c_mktsegment")))
+      .unionByName(audit("customer_fine", cust,
+        "c_nationkey,c_mktsegment,acctbal_bucket_1k",
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000))))
+      .unionByName(audit("documents", t(spark, dir, "documents"),
+        "lang,source", Seq(col("lang"), col("source"))))
+      .orderBy(col("audit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_k_anonymity" ->
+      ((s: SparkSession, d: String) => dqKAnonymity(s, d)),
     "dq_correlation" -> (dqCorrelation _),
     "dq_join_cardinality" -> (dqJoinCardinality _),
     "dq_benford" -> (dqBenford _),
@@ -626,6 +680,32 @@ object Profiling {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_k_anonymity" -> s"""
+      WITH ca AS (SELECT count(*) AS g FROM customer
+                  GROUP BY c_nationkey, c_mktsegment),
+      cb AS (SELECT count(*) AS g FROM customer
+             GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 1000)),
+      dd AS (SELECT count(*) AS g FROM documents GROUP BY lang, source),
+      r AS (
+        SELECT 'customer_coarse' AS audit,
+          'c_nationkey,c_mktsegment' AS quasi_identifiers, g FROM ca
+        UNION ALL
+        SELECT 'customer_fine',
+          'c_nationkey,c_mktsegment,acctbal_bucket_1k', g FROM cb
+        UNION ALL
+        SELECT 'documents', 'lang,source', g FROM dd)
+      SELECT audit, quasi_identifiers, $KAnonK AS k,
+        CAST(sum(g) AS BIGINT) AS n_rows,
+        CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(min(g) AS BIGINT) AS min_group_size,
+        CAST(sum(CASE WHEN g < $KAnonK THEN 1 ELSE 0 END) AS BIGINT)
+          AS violating_groups,
+        CAST(sum(CASE WHEN g < $KAnonK THEN g ELSE 0 END) AS BIGINT)
+          AS violating_rows,
+        (CAST(sum(CASE WHEN g < $KAnonK THEN g ELSE 0 END) AS BIGINT)
+          * 1000000) // CAST(sum(g) AS BIGINT) AS risk_ppm
+      FROM r GROUP BY audit, quasi_identifiers
+      ORDER BY audit""",
     "dq_correlation" -> {
       val pairs = for {
         i <- CorrCols.indices; j <- (i + 1) until CorrCols.length

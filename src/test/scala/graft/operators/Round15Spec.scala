@@ -5,6 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
+// (Round15Spec also hosts the r15 operator envelopes below — the prod
+// approx paths, the recall/sweep curves, the pixel-index identity, and
+// the k-anonymity risk-cliff shape.)
+
 /** Round-15 contracts: the rankBounded size guard (r14 judge #1 — the
   * single-array collapse must fail loudly on an unbounded frame, the
   * requireEvalScale principle), its nullable-key coalesce convention
@@ -160,6 +164,29 @@ class Round15Spec extends AnyFunSuite {
       .getAs[Double]("recall")
     assert(prod._7 == lshRecall,
       s"sweep's 4x2 recall ${prod._7} != dedup_lsh_recall $lshRecall")
+  }
+
+  test("dq_k_anonymity: the coarse->fine risk cliff has the k-anonymity " +
+      "shape at sf0.1") {
+    val rows = Profiling.dqKAnonymity(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(7), r.getLong(8))).toMap
+    assert(rows.keySet ==
+      Set("customer_coarse", "customer_fine", "documents"))
+    val (coarse, fine) = (rows("customer_coarse"), rows("customer_fine"))
+    // same table, same row count; refining the QI can only shrink groups
+    assert(coarse._1 == fine._1)
+    assert(fine._2 > coarse._2, "finer QI must yield more groups")
+    assert(fine._3 <= coarse._3, "finer QI cannot grow the min group")
+    assert(fine._5 >= coarse._5, "finer QI cannot reduce risk")
+    // at 15k customers over 125 coarse groups, coarse is safely
+    // anonymous while the 1k-acctbal bucket exposes a real but partial
+    // sliver - the cliff the audit exists to show
+    assert(coarse._5 == 0L, s"coarse audit should be k-anonymous: $coarse")
+    assert(fine._5 > 0L && fine._5 < 1000000L,
+      s"fine audit should expose a partial risk sliver: $fine")
+    // violating_rows >= violating_groups (each such group has >=1 row)
+    rows.values.foreach(v => assert(v._4 <= fine._1 && v._4 >= 0))
   }
 
   test("mm pixel index: the persisted artifact reloads to bit-identical " +
