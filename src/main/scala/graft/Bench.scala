@@ -181,6 +181,11 @@ object Bench {
     "dq_uniqueness_approx", "ev_rfm_approx", "text_distinct_n_approx",
     // round-15: k-anonymity privacy audit (reduced-key aggregations)
     "dq_k_anonymity",
+    // round-15b: the l-diversity + t-closeness audits completing the
+    // privacy triad (distinct-agg on QI keys; broadcast group x bucket
+    // EMD algebra) and gain-invariant acoustic-fingerprint audio dedup
+    // (map-side Haitsma-Kalker kernel, 24-byte-per-doc exchange)
+    "dq_l_diversity", "dq_t_closeness", "mm_audio_fingerprint",
   )
 
   /** Ingest-time rows: evict + rebuild each index FAMILY separately

@@ -661,9 +661,157 @@ object Profiling {
       .orderBy(col("audit"))
   }
 
+  /** l threshold for [[dqLDiversity]], shared with the oracle. l = 3 is
+    * the conventional floor in the l-diversity literature.
+    */
+  private[operators] val LDivL = 3
+
+  /** L-DIVERSITY audit (Machanavajjhala et al., TKDD 2007) — the
+    * companion to [[dqKAnonymity]]: k-anonymity bounds GROUP SIZE, but a
+    * large group whose SENSITIVE attribute is homogeneous still leaks
+    * (everyone who knows a row's quasi-identifiers learns its sensitive
+    * value — the "homogeneity attack" the paper opens with). For each
+    * (QI set, sensitive attribute) pair, group by the QI tuple, count
+    * DISTINCT sensitive values per group, and report how many groups —
+    * and how many rows — sit below the l-diversity floor. The three
+    * audits mirror the k-anonymity cliff on the same tables: customer by
+    * (nationkey, mktsegment) against the thousand-unit balance bucket is
+    * richly diverse; refining the QI with that same bucket and auditing
+    * the finer hundred-unit bucket exposes homogeneous cells; documents
+    * by (lang, source) audits length-bucket diversity of the corpus's
+    * release metadata.
+    *
+    * Scale shape: per audit, one distinct-aggregate on the QI key — the
+    * partial pass reduces to (QI, sensitive) pairs before the exchange
+    * (never payload), the final pass folds them to (QI, l) and a scalar
+    * roll-up emits one row per audit. No windows, no joins. Exact
+    * integer outputs (ppm via `div`), oracle hash-exact.
+    */
+  def dqLDiversity(spark: SparkSession, dir: String,
+      l: Int = LDivL): DataFrame = {
+    def audit(label: String, df: DataFrame, qiNames: String,
+        sensName: String, qi: Seq[Column], sens: Column): DataFrame =
+      df.groupBy(qi: _*).agg(count(lit(1)).as("g"),
+          countDistinct(sens).as("lv"))
+        .agg(sum(col("g")).as("n_rows"), count(lit(1)).as("n_groups"),
+          min(col("lv")).as("min_l"),
+          sum(when(col("lv") < l, 1L).otherwise(0L))
+            .as("violating_groups"),
+          sum(when(col("lv") < l, col("g")).otherwise(0L))
+            .as("violating_rows"))
+        .select(lit(label).as("audit"), lit(qiNames).as("quasi_identifiers"),
+          lit(sensName).as("sensitive"), lit(l).as("l"), col("n_rows"),
+          col("n_groups"), col("min_l"), col("violating_groups"),
+          col("violating_rows"),
+          expr("(violating_rows * 1000000) div n_rows").as("risk_ppm"))
+    val cust = t(spark, dir, "customer")
+    audit("customer_coarse", cust, "c_nationkey,c_mktsegment",
+        "acctbal_bucket_1k", Seq(col("c_nationkey"), col("c_mktsegment")),
+        floor(col("c_acctbal") / 1000))
+      .unionByName(audit("customer_fine", cust,
+        "c_nationkey,c_mktsegment,acctbal_bucket_1k", "acctbal_bucket_100",
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000)),
+        floor(col("c_acctbal") / 100)))
+      .unionByName(audit("documents", t(spark, dir, "documents"),
+        "lang,source", "n_chars_bucket_100", Seq(col("lang"), col("source")),
+        floor(col("n_chars") / 100)))
+      .orderBy(col("audit"))
+  }
+
+  /** t threshold (ppm) for [[dqTCloseness]], shared with the oracle.
+    * t = 0.2 is the working example threshold in the t-closeness paper.
+    */
+  private[operators] val TCloseTPpm = 200000L
+
+  /** T-CLOSENESS audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third leg of the privacy triad: l-diversity counts DISTINCT
+    * sensitive values, but a group whose sensitive DISTRIBUTION skews
+    * far from the table's still leaks (the "similarity attack": an
+    * adversary learns the group's salary range even when l values are
+    * present). Per (QI set, ordered sensitive attribute) pair, the
+    * Earth-Mover's Distance between each QI group's sensitive-bucket
+    * distribution and the GLOBAL one — for ordered buckets the paper's
+    * EMD is the mean |cumulative difference|:
+    * EMD = (1/(m−1)) Σᵢ |Σ_{j≤i}(p_j − q_j)|. Computed entirely in
+    * integer ppm (per-bucket shares floor-divided to ppm, cumulated,
+    * folded) so the oracle replays it hash-exactly; the floor-div
+    * rounding is mirrored on both sides. Audits report the EMD spread
+    * and the groups/rows above the t = 0.2 floor: customer coarse shows
+    * a measured sliver of skewed cells, customer fine shows the honest
+    * endpoint (sparse cells CANNOT track the global distribution —
+    * refining QI past the data's density makes t-closeness
+    * unattainable), documents audits the corpus's length distribution
+    * per release cell.
+    *
+    * Scale shape: four pruned aggregation scans per audit (global
+    * buckets ≤ |buckets| — scanned twice, once as the bucket frame and
+    * once folded to the 1-row (n, m) —, groups ≤ |QI|, cells ≤
+    * |QI|×|buckets|); the group×bucket domain is a BROADCAST cross join
+    * of the grouped frame with the ≤|buckets|-row global frame; the
+    * cumulative window partitions by group over exactly m bucket rows.
+    * Every exchange carries aggregation-space tuples, never payload.
+    */
+  def dqTCloseness(spark: SparkSession, dir: String,
+      tPpm: Long = TCloseTPpm): DataFrame = {
+    def audit(label: String, base0: DataFrame, qiNames: String,
+        sensName: String, qi: Seq[Column], sens: Column): DataFrame = {
+      val base = base0.select(qi.zipWithIndex.map { case (c, i) =>
+        c.as(s"q$i") } :+ sens.as("b"): _*)
+      val qs = qi.indices.map(i => col(s"q$i"))
+      val gl = base.groupBy(col("b")).agg(count(lit(1)).as("cg"))
+      val nm = gl.agg(sum(col("cg")).as("n"), count(lit(1)).as("m"))
+      val grp = base.groupBy(qs: _*).agg(count(lit(1)).as("g"))
+      val gb = base.groupBy(qs :+ col("b"): _*).agg(count(lit(1)).as("c"))
+      val dom = grp.crossJoin(broadcast(gl))
+        .join(gb, qi.indices.map(i => s"q$i") :+ "b", "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(nm))
+      val w = Window.partitionBy(qs: _*).orderBy(col("b"))
+      val emd = dom
+        .withColumn("d",
+          sum(expr("(c * 1000000) div g - (cg * 1000000) div n")).over(w))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") < col("m"))
+        .groupBy(qs: _*)
+        .agg(first(col("g")).as("g"), first(col("m")).as("m"),
+          sum(abs(col("d"))).as("sabs"))
+        .withColumn("emd_ppm", expr("sabs div (m - 1)"))
+      emd.agg(sum(col("g")).as("n_rows"), count(lit(1)).as("n_groups"),
+          min(col("emd_ppm")).as("min_emd_ppm"),
+          max(col("emd_ppm")).as("max_emd_ppm"),
+          sum(when(col("emd_ppm") > tPpm, 1L).otherwise(0L))
+            .as("violating_groups"),
+          sum(when(col("emd_ppm") > tPpm, col("g")).otherwise(0L))
+            .as("violating_rows"))
+        .select(lit(label).as("audit"), lit(qiNames).as("quasi_identifiers"),
+          lit(sensName).as("sensitive"), lit(tPpm).as("t_ppm"),
+          col("n_rows"), col("n_groups"), col("min_emd_ppm"),
+          col("max_emd_ppm"), col("violating_groups"), col("violating_rows"),
+          expr("(violating_rows * 1000000) div n_rows").as("risk_ppm"))
+    }
+    val cust = t(spark, dir, "customer")
+    audit("customer_coarse", cust, "c_nationkey,c_mktsegment",
+        "acctbal_bucket_1k", Seq(col("c_nationkey"), col("c_mktsegment")),
+        floor(col("c_acctbal") / 1000))
+      .unionByName(audit("customer_fine", cust,
+        "c_nationkey,c_mktsegment,acctbal_bucket_1k", "acctbal_bucket_100",
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000)),
+        floor(col("c_acctbal") / 100)))
+      .unionByName(audit("documents", t(spark, dir, "documents"),
+        "lang,source", "n_chars_bucket_100", Seq(col("lang"), col("source")),
+        floor(col("n_chars") / 100)))
+      .orderBy(col("audit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_k_anonymity" ->
       ((s: SparkSession, d: String) => dqKAnonymity(s, d)),
+    "dq_l_diversity" ->
+      ((s: SparkSession, d: String) => dqLDiversity(s, d)),
+    "dq_t_closeness" ->
+      ((s: SparkSession, d: String) => dqTCloseness(s, d)),
     "dq_correlation" -> (dqCorrelation _),
     "dq_join_cardinality" -> (dqJoinCardinality _),
     "dq_benford" -> (dqBenford _),
@@ -706,6 +854,92 @@ object Profiling {
           * 1000000) // CAST(sum(g) AS BIGINT) AS risk_ppm
       FROM r GROUP BY audit, quasi_identifiers
       ORDER BY audit""",
+    "dq_l_diversity" -> s"""
+      WITH ca AS (SELECT count(*) AS g,
+                    count(DISTINCT floor(c_acctbal / 1000)) AS lv
+                  FROM customer GROUP BY c_nationkey, c_mktsegment),
+      cb AS (SELECT count(*) AS g,
+               count(DISTINCT floor(c_acctbal / 100)) AS lv
+             FROM customer
+             GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 1000)),
+      dd AS (SELECT count(*) AS g,
+               count(DISTINCT floor(n_chars / 100)) AS lv
+             FROM documents GROUP BY lang, source),
+      r AS (
+        SELECT 'customer_coarse' AS audit,
+          'c_nationkey,c_mktsegment' AS quasi_identifiers,
+          'acctbal_bucket_1k' AS sensitive, g, lv FROM ca
+        UNION ALL
+        SELECT 'customer_fine',
+          'c_nationkey,c_mktsegment,acctbal_bucket_1k',
+          'acctbal_bucket_100', g, lv FROM cb
+        UNION ALL
+        SELECT 'documents', 'lang,source', 'n_chars_bucket_100', g, lv
+        FROM dd)
+      SELECT audit, quasi_identifiers, sensitive, $LDivL AS l,
+        CAST(sum(g) AS BIGINT) AS n_rows,
+        CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(min(lv) AS BIGINT) AS min_l,
+        CAST(sum(CASE WHEN lv < $LDivL THEN 1 ELSE 0 END) AS BIGINT)
+          AS violating_groups,
+        CAST(sum(CASE WHEN lv < $LDivL THEN g ELSE 0 END) AS BIGINT)
+          AS violating_rows,
+        (CAST(sum(CASE WHEN lv < $LDivL THEN g ELSE 0 END) AS BIGINT)
+          * 1000000) // CAST(sum(g) AS BIGINT) AS risk_ppm
+      FROM r GROUP BY audit, quasi_identifiers, sensitive
+      ORDER BY audit""",
+    "dq_t_closeness" -> {
+      // one CTE chain per audit, mirroring dqTCloseness's integer-ppm
+      // EMD exactly (floor-div shares, cumulative diff, mean |cum|)
+      def audit(label: String, table: String, qiNames: String,
+          sensName: String, qiExprs: Seq[String], sensExpr: String) = {
+        val qs = qiExprs.indices.map(i => s"q$i")
+        val qiProj = qiExprs.zipWithIndex
+          .map { case (e, i) => s"$e AS q$i" }.mkString(", ")
+        val qsL = qs.mkString(", ")
+        s"""
+      SELECT '$label' AS audit, '$qiNames' AS quasi_identifiers,
+        '$sensName' AS sensitive, CAST($TCloseTPpm AS BIGINT) AS t_ppm,
+        CAST(sum(g) AS BIGINT) AS n_rows,
+        CAST(count(*) AS BIGINT) AS n_groups,
+        min(emd_ppm) AS min_emd_ppm, max(emd_ppm) AS max_emd_ppm,
+        CAST(sum(CASE WHEN emd_ppm > $TCloseTPpm THEN 1 ELSE 0 END)
+          AS BIGINT) AS violating_groups,
+        CAST(sum(CASE WHEN emd_ppm > $TCloseTPpm THEN g ELSE 0 END)
+          AS BIGINT) AS violating_rows,
+        (CAST(sum(CASE WHEN emd_ppm > $TCloseTPpm THEN g ELSE 0 END)
+          AS BIGINT) * 1000000) // CAST(sum(g) AS BIGINT) AS risk_ppm
+      FROM (
+        WITH base AS (SELECT $qiProj, $sensExpr AS b FROM $table),
+        gl AS (SELECT b, count(*) AS cg FROM base GROUP BY b),
+        nm AS (SELECT sum(cg) AS n, count(*) AS m FROM gl),
+        grp AS (SELECT $qsL, count(*) AS g FROM base GROUP BY $qsL),
+        gb AS (SELECT $qsL, b, count(*) AS c FROM base GROUP BY $qsL, b),
+        dom AS (SELECT ${qs.map("grp." + _).mkString(", ")}, grp.g,
+                  gl.b, gl.cg, coalesce(gb.c, 0) AS c, nm.n, nm.m
+                FROM grp CROSS JOIN gl CROSS JOIN nm
+                LEFT JOIN gb USING ($qsL, b)),
+        cum AS (SELECT $qsL, g, m,
+                  sum((c * 1000000) // g - (cg * 1000000) // n)
+                    OVER (PARTITION BY $qsL ORDER BY b) AS d,
+                  row_number() OVER (PARTITION BY $qsL ORDER BY b) AS rn
+                FROM dom)
+        SELECT $qsL, any_value(g) AS g,
+          CAST(sum(abs(d)) // (any_value(m) - 1) AS BIGINT) AS emd_ppm
+        FROM cum WHERE rn < m GROUP BY $qsL)"""
+      }
+      Seq(
+        audit("customer_coarse", "customer", "c_nationkey,c_mktsegment",
+          "acctbal_bucket_1k", Seq("c_nationkey", "c_mktsegment"),
+          "floor(c_acctbal / 1000)"),
+        audit("customer_fine", "customer",
+          "c_nationkey,c_mktsegment,acctbal_bucket_1k", "acctbal_bucket_100",
+          Seq("c_nationkey", "c_mktsegment", "floor(c_acctbal / 1000)"),
+          "floor(c_acctbal / 100)"),
+        audit("documents", "documents", "lang,source", "n_chars_bucket_100",
+          Seq("lang", "source"), "floor(n_chars / 100)"),
+      ).mkString("", " UNION ALL ", " ORDER BY audit")
+    },
     "dq_correlation" -> {
       val pairs = for {
         i <- CorrCols.indices; j <- (i + 1) until CorrCols.length

