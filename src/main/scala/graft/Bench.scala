@@ -186,6 +186,8 @@ object Bench {
     // EMD algebra) and gain-invariant acoustic-fingerprint audio dedup
     // (map-side Haitsma-Kalker kernel, 24-byte-per-doc exchange)
     "dq_l_diversity", "dq_t_closeness", "mm_audio_fingerprint",
+    // the enforcement ladder: one row-linear agg + cell-frame algebra
+    "dq_k_anonymize",
   )
 
   /** Ingest-time rows: evict + rebuild each index FAMILY separately

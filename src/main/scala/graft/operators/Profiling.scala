@@ -805,7 +805,72 @@ object Profiling {
       .orderBy(col("audit"))
   }
 
+  /** K-ANONYMIZATION release ladder — the ENFORCEMENT counterpart of the
+    * triad's audits ([[dqKAnonymity]] measures the risk; this op removes
+    * it): generalization-with-suppression in the Samarati/Sweeney
+    * local-recoding style. Cohorts release at the FINEST granularity
+    * level whose residual population still clears k: a level-0 cell
+    * (nation, segment, 1k-bucket, 100-bucket) with ≥ k rows publishes as
+    * is; rows from under-k cells fall through to their level-1 cell
+    * (drop the 100-bucket), where only the RESIDUAL count (rows not
+    * already published finer) must clear k — the subtlety that keeps the
+    * guarantee sound, since a published cohort's size is what an
+    * adversary observes, not the original cell's; likewise level 2
+    * (nation, segment), and rows whose level-2 residual still misses k
+    * are SUPPRESSED outright. Every published cohort therefore has ≥ k
+    * identical released QI rows by construction (spec-asserted), total
+    * rows are conserved across levels + suppression, and the per-level
+    * distribution is the utility readout (how much granularity the data
+    * density can afford — finer levels light up as data grows).
+    *
+    * Scale shape: ONE row-linear aggregation (the level-0 cell count,
+    * shuffle key = the QI×bucket tuple); every subsequent step — the
+    * residual fall-through, the level filters, the summary — is algebra
+    * on the cell frame, bounded by the |QI|×|buckets| domain (~14k
+    * cells here) regardless of row count. No row ever joins back; no
+    * window; output is ≤ 4 rows.
+    */
+  def dqKAnonymize(spark: SparkSession, dir: String,
+      k: Int = KAnonK): DataFrame = {
+    val base = t(spark, dir, "customer").select(
+      col("c_nationkey").as("q1"), col("c_mktsegment").as("q2"),
+      floor(col("c_acctbal") / 1000).as("b1k"),
+      floor(col("c_acctbal") / 100).as("b100"))
+    // the ONE row-linear pass, materialized: every union branch below
+    // derives from this ≤|QI|×|buckets| cell frame, so without the
+    // checkpoint Spark would rescan + re-aggregate the table per branch
+    // (4 row-linear passes instead of 1 — the thing that matters at
+    // 100 TB; the cell frame itself is ~14k rows)
+    val l0 = base.groupBy(col("q1"), col("q2"), col("b1k"), col("b100"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val r1 = l0.where(col("c") < k)
+      .groupBy(col("q1"), col("q2"), col("b1k"))
+      .agg(sum(col("c")).as("c"))
+    val r2 = r1.where(col("c") < k)
+      .groupBy(col("q1"), col("q2")).agg(sum(col("c")).as("c"))
+    def lvl(df: DataFrame, level: Int, gran: String, released: Boolean) =
+      df.select(lit(level).as("level"), lit(gran).as("granularity"),
+        lit(released).as("released"), col("c"))
+    lvl(l0.where(col("c") >= k), 0,
+        "nation,segment,bal_1k,bal_100", released = true)
+      .unionByName(lvl(r1.where(col("c") >= k), 1,
+        "nation,segment,bal_1k", released = true))
+      .unionByName(lvl(r2.where(col("c") >= k), 2,
+        "nation,segment", released = true))
+      .unionByName(lvl(r2.where(col("c") < k), 3,
+        "suppressed", released = false))
+      .groupBy(col("level"), col("granularity"), col("released"))
+      .agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_cells"), min(col("c")).as("min_cohort"))
+      .select(col("level"), col("granularity"), col("released"),
+        lit(k).as("k"), col("n_rows"), col("n_cells"), col("min_cohort"))
+      .orderBy(col("level"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_k_anonymize" ->
+      ((s: SparkSession, d: String) => dqKAnonymize(s, d)),
     "dq_k_anonymity" ->
       ((s: SparkSession, d: String) => dqKAnonymity(s, d)),
     "dq_l_diversity" ->
@@ -828,6 +893,32 @@ object Profiling {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_k_anonymize" -> s"""
+      WITH base AS (SELECT c_nationkey AS q1, c_mktsegment AS q2,
+                      floor(c_acctbal / 1000) AS b1k,
+                      floor(c_acctbal / 100) AS b100
+                    FROM customer),
+      l0 AS (SELECT q1, q2, b1k, b100, count(*) AS c FROM base
+             GROUP BY 1, 2, 3, 4),
+      r1 AS (SELECT q1, q2, b1k, CAST(sum(c) AS BIGINT) AS c FROM l0
+             WHERE c < $KAnonK GROUP BY 1, 2, 3),
+      r2 AS (SELECT q1, q2, CAST(sum(c) AS BIGINT) AS c FROM r1
+             WHERE c < $KAnonK GROUP BY 1, 2),
+      u AS (
+        SELECT 0 AS level, 'nation,segment,bal_1k,bal_100' AS granularity,
+          true AS released, c FROM l0 WHERE c >= $KAnonK
+        UNION ALL SELECT 1, 'nation,segment,bal_1k', true, c FROM r1
+          WHERE c >= $KAnonK
+        UNION ALL SELECT 2, 'nation,segment', true, c FROM r2
+          WHERE c >= $KAnonK
+        UNION ALL SELECT 3, 'suppressed', false, c FROM r2
+          WHERE c < $KAnonK)
+      SELECT level, granularity, released, $KAnonK AS k,
+        CAST(sum(c) AS BIGINT) AS n_rows,
+        CAST(count(*) AS BIGINT) AS n_cells,
+        CAST(min(c) AS BIGINT) AS min_cohort
+      FROM u GROUP BY level, granularity, released
+      ORDER BY level""",
     "dq_k_anonymity" -> s"""
       WITH ca AS (SELECT count(*) AS g FROM customer
                   GROUP BY c_nationkey, c_mktsegment),

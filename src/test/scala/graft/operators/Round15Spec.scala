@@ -258,6 +258,31 @@ class Round15Spec extends AnyFunSuite {
       "fine: sparse cells must mostly violate t (the honest endpoint)")
   }
 
+  test("dq_k_anonymize: every published cohort clears k, rows are " +
+      "conserved, and the residual fall-through is sound at sf0.1") {
+    val rows = Profiling.dqKAnonymize(spark, sf01).collect()
+      .map(r => r.getInt(0) -> (r.getBoolean(2), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    val byLevel = rows.toMap
+    // sf0.1 is dense enough that all four levels light up
+    assert(byLevel.keySet == Set(0, 1, 2, 3))
+    for ((lvl, (released, nRows, nCells, minCohort)) <- rows) {
+      if (released) assert(minCohort >= Profiling.KAnonK,
+        s"level $lvl publishes a cohort under k — the guarantee is broken")
+      else {
+        assert(lvl == 3)
+        assert(minCohort < Profiling.KAnonK || nRows == 0,
+          "suppressed cells are exactly the under-k level-2 residuals")
+      }
+      assert(nRows >= nCells, s"level $lvl: cohorts have >= 1 row")
+    }
+    // conservation: release + suppression partition the table
+    val total = rows.map(_._2._2).sum
+    val expected = graft.Tables.t(spark, sf01, "customer").count()
+    assert(total == expected,
+      s"ladder must conserve rows: $total != $expected")
+  }
+
   test("mm_audio_fingerprint: copies at different gains land in the " +
       "same fingerprint group (gain-invariance) and keep_id is the min") {
     val dir = "/root/testdata/sf0.001"
