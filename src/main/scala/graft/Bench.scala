@@ -188,6 +188,8 @@ object Bench {
     "dq_l_diversity", "dq_t_closeness", "mm_audio_fingerprint",
     // the enforcement ladder: one row-linear agg + cell-frame algebra
     "dq_k_anonymize",
+    // tolerant fingerprint matching: banded self-join + popcount verify
+    "mm_audio_neardup",
   )
 
   /** Ingest-time rows: evict + rebuild each index FAMILY separately

@@ -734,42 +734,54 @@ object Multimodal {
     */
   private[operators] val AfpGroups = 97L
 
-  /** ACOUSTIC-FINGERPRINT audio dedup through the REAL byte boundary
-    * (Haitsma & Kalker, "A Highly Robust Audio Fingerprinting System",
-    * ISMIR 2002): render a PCM16 payload per doc — the waveform is
-    * shared across its `doc_id % 97` group but each copy is re-encoded
-    * at its own gain (×1/×2/×3, the loudness-normalization variation a
-    * real ingest sees) — parse the bytes back as little-endian int16,
-    * fold per-64-sample-window energies, and take the Haitsma–Kalker
-    * sign-of-energy-delta bits (bit w = E_w > E_{w+1}) as the
-    * fingerprint. Gain scales every window energy by gain², so the
-    * delta SIGNS — and therefore the fingerprint — are provably
-    * gain-invariant: copies at different loudness land in the same
-    * group, which the `n_gains ≥ 2` output column proves per group. The
-    * dedup verdict is the grouped summary a pipeline acts on: per
-    * duplicated fingerprint, the copy count, the distinct gains matched
-    * across, and the canonical keep id (min doc_id).
-    *
-    * Scale shape: the fingerprint is a map-side kernel at the justified
-    * codec seam (bytes→samples, same contract as [[mmAudioStats]]);
-    * the only exchange carries (fingerprint, gain, doc_id) — 24 bytes
-    * per doc, never samples — into one partial+final distinct-agg.
-    * This IS audio dedup at 100 TB: fingerprint map, reduced-key
-    * shuffle, keep-min.
+  /** DC offset planted into one per-doc window by [[audioFps]]'s boost
+    * mode; flips ≤ 2 fingerprint bits per copy. Shared with the oracle.
     */
-  def mmAudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] val AudioBoost = 200L
+
+  /** Banding for [[mmAudioNeardup]]: 5 bands × 7 bits cover the ≤ 31
+    * fingerprint bits, and 5 bands GUARANTEE a clean shared band for any
+    * true pair — the two copies' flips dirty at most 4 bands (each
+    * copy's ≤ 2 adjacent flips straddle at most 2 bands), so pigeonhole
+    * leaves ≥ 1 band where both fingerprints agree. Shared with the
+    * oracle.
+    */
+  private[operators] val AudioBands = 5
+  private[operators] val AudioBandBits = 7
+
+  /** Reported-pair Hamming ceiling for [[mmAudioNeardup]] — the planted
+    * perturbation bounds true pairs at 4 bits, and the banding recall
+    * guarantee (unlike the image near-dup's probabilistic tail) is
+    * DETERMINISTIC at this distance. Shared with the oracle.
+    */
+  private[operators] val AudioMaxDist = 4
+
+  /** Render-then-fingerprint kernel shared by [[mmAudioFingerprint]] and
+    * [[mmAudioNeardup]]: (doc_id, fp) through the real PCM16 byte
+    * boundary. With `boost` the render adds a +[[AudioBoost]] DC offset
+    * to ONE per-doc window (window `doc_id % (nw−1)`, inside the gain
+    * multiply so gain-invariance is preserved) — the planted small
+    * perturbation that turns exact fingerprint groups into NEAR-dup
+    * groups: the offset can flip at most the two energy-delta bits
+    * touching that window, so any two copies of a waveform differ by
+    * ≤ 4 fingerprint bits.
+    */
+  private def audioFps(spark: SparkSession, dir: String,
+      boost: Boolean): DataFrame = {
     import spark.implicits._
-    val fps = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    t(spark, dir, "documents").select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val g = id % AfpGroups
         val gain = 1 + (id % 3).toInt
         val nw = (16 + g % 16).toInt
+        val wp = if (boost) (id % (nw - 1)).toInt else -1
         val bb = java.nio.ByteBuffer.allocate(nw * 64 * 2)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         var i = 0
         while (i < nw * 64) {
-          bb.putShort((gain * (((g * 31 + i.toLong * 17) % 2048) - 1024))
-            .toShort)
+          val base = ((g * 31 + i.toLong * 17) % 2048) - 1024 +
+            (if (i / 64 == wp) AudioBoost else 0L)
+          bb.putShort((gain * base).toShort)
           i += 1
         }
         (id, bb.array())
@@ -799,7 +811,33 @@ object Multimodal {
         (id, fp)
       })
       .toDF("doc_id", "fp")
-    fps
+  }
+
+  /** ACOUSTIC-FINGERPRINT audio dedup through the REAL byte boundary
+    * (Haitsma & Kalker, "A Highly Robust Audio Fingerprinting System",
+    * ISMIR 2002): render a PCM16 payload per doc — the waveform is
+    * shared across its `doc_id % 97` group but each copy is re-encoded
+    * at its own gain (×1/×2/×3, the loudness-normalization variation a
+    * real ingest sees) — parse the bytes back as little-endian int16,
+    * fold per-64-sample-window energies, and take the Haitsma–Kalker
+    * sign-of-energy-delta bits (bit w = E_w > E_{w+1}) as the
+    * fingerprint. Gain scales every window energy by gain², so the
+    * delta SIGNS — and therefore the fingerprint — are provably
+    * gain-invariant: copies at different loudness land in the same
+    * group, which the `n_gains ≥ 2` output column proves per group. The
+    * dedup verdict is the grouped summary a pipeline acts on: per
+    * duplicated fingerprint, the copy count, the distinct gains matched
+    * across, and the canonical keep id (min doc_id).
+    *
+    * Scale shape: the fingerprint is a map-side kernel at the justified
+    * codec seam (bytes→samples, same contract as [[mmAudioStats]]);
+    * the only exchange carries (fingerprint, gain, doc_id) — 24 bytes
+    * per doc, never samples — into one partial+final distinct-agg.
+    * This IS audio dedup at 100 TB: fingerprint map, reduced-key
+    * shuffle, keep-min.
+    */
+  def mmAudioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    audioFps(spark, dir, boost = false)
       .withColumn("gain", lit(1L) + col("doc_id") % 3)
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_copies"),
@@ -807,10 +845,64 @@ object Multimodal {
         min(col("doc_id")).as("keep_id"))
       .where(col("n_copies") > 1)
       .orderBy(col("fp"))
+
+  /** TOLERANT acoustic-fingerprint matching — the near-dup companion to
+    * [[mmAudioFingerprint]]'s exact grouping, for copies that survived a
+    * lossy re-encode with SMALL fingerprint damage (the Haitsma–Kalker
+    * paper's actual deployment mode: match at a bit-error-rate
+    * threshold, not equality). Each copy here carries a planted
+    * one-window DC perturbation ([[audioFps]] boost mode) flipping ≤ 2
+    * of its energy-delta bits, so true pairs sit at Hamming ≤ 4 —
+    * invisible to exact grouping, found here. Candidates come from a
+    * 5×7-bit banded self-join (any true pair shares ≥ 1 clean band, see
+    * [[AudioBands]]) through the same hot-bucket anchor-star guard as
+    * every banded join in the engine ([[Dedup.bandedCandidates]],
+    * cap 64), then exact `bit_count(xor)` verification at ≤
+    * [[AudioMaxDist]]. Recall of the BANDING is deterministic
+    * (spec-pinned at sf0.001 with the cap disabled: every within-group
+    * true pair surfaces), but the cap can bite even at small corpora
+    * here: short fingerprints (15 bits at nw=16) leave their high bands
+    * all-zero, so the degenerate key-0 buckets collect every short-fp
+    * doc and cross the cap long before any real bucket does — those
+    * pairs degrade to anchor-star unless a low band also matches (the
+    * engine-wide bounded trade, mirrored by the oracle; the spec pins
+    * the capped output as a nonempty subset of the uncapped one). The
+    * oracle replays banding, cap and verify from the shared constants,
+    * so parity holds at any corpus size and bucket skew.
+    *
+    * Scale shape: map-side fingerprint kernel at the codec seam, then
+    * (band, key)-bucketed equi-join — 5 rows of (band, 7-bit key,
+    * doc_id, fp) per doc shuffle, within-bucket pairs quadratic only up
+    * to the cap (anchor-star past it: a 10M-copy jingle cannot go
+    * quadratic), verify is a map-side popcount on the pair stream, and
+    * the distinct dedupe runs on the (da, db, dist) projection — no
+    * payload in the dedupe shuffle.
+    */
+  def mmAudioNeardup(spark: SparkSession, dir: String,
+      maxDist: Int = AudioMaxDist,
+      cap: Int = Dedup.BandBucketCap): DataFrame = {
+    val mask = (1 << AudioBandBits) - 1
+    // materialize the fingerprints once (16 bytes/doc): the banded join
+    // consumes this frame on SIX paths (stats + both sides of the small
+    // and star joins) — without the checkpoint each path re-renders and
+    // re-decodes the corpus through the codec kernel
+    val bands = audioFps(spark, dir, boost = true)
+      .localCheckpoint()
+      .select(col("doc_id"), col("fp"),
+        explode(expr(s"sequence(0, ${AudioBands - 1})")).as("band"))
+      .withColumn("key",
+        expr(s"(fp >> (band * $AudioBandBits)) & $mask"))
+    Dedup.bandedCandidates(bands, "fp", cap)
+      .select(col("da"), col("db"),
+        expr("cast(bit_count(sa ^ sb) as int)").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_fingerprint" -> (mmAudioFingerprint _),
+    "mm_audio_neardup" ->
+      ((s: SparkSession, d: String) => mmAudioNeardup(s, d)),
     "mm_shot_boundary" -> (mmShotBoundary _),
     "mm_audio_stats" -> (mmAudioStats _),
     "mm_audio_segments" -> (mmAudioSegments _),
@@ -964,6 +1056,52 @@ object Multimodal {
         CAST(count(DISTINCT 1 + doc_id % 3) AS BIGINT) AS n_gains,
         min(doc_id) AS keep_id
       FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
+    "mm_audio_neardup" -> s"""
+      WITH d AS (SELECT doc_id, doc_id % $AfpGroups AS g FROM documents),
+      e AS (SELECT doc_id, i // 64 AS w,
+              sum(CAST((((g * 31 + i * 17) % 2048) - 1024
+                    + CASE WHEN i // 64 =
+                        doc_id % (16 + g % 16 - 1)
+                      THEN $AudioBoost ELSE 0 END) AS BIGINT)
+                  * ((((g * 31 + i * 17) % 2048) - 1024)
+                    + CASE WHEN i // 64 =
+                        doc_id % (16 + g % 16 - 1)
+                      THEN $AudioBoost ELSE 0 END)) AS e
+            FROM d,
+              UNNEST(generate_series(0, (16 + g % 16) * 64 - 1)) AS t(i)
+            GROUP BY doc_id, i // 64),
+      b AS (SELECT doc_id, w, e,
+              lead(e) OVER (PARTITION BY doc_id ORDER BY w) AS en
+            FROM e),
+      f AS (SELECT doc_id,
+              CAST(sum(CASE WHEN e > en THEN CAST(1 AS BIGINT) << w
+                       ELSE 0 END) AS BIGINT) AS fp
+            FROM b GROUP BY doc_id),
+      band AS (SELECT doc_id, fp, b2 AS band,
+                 (fp >> (b2 * $AudioBandBits)) & ${(1 << AudioBandBits) - 1}
+                   AS key
+               FROM f,
+                 UNNEST(generate_series(0, ${AudioBands - 1})) AS g2(b2)),
+      stats AS (SELECT band, key, count(*) AS bn, min(doc_id) AS anchor
+                FROM band GROUP BY 1, 2),
+      sized AS (SELECT band.doc_id, band.band, band.key, band.fp,
+                  stats.bn, stats.anchor
+                FROM band JOIN stats USING (band, key)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+               a.fp AS sa, b.fp AS sb
+        FROM sized a JOIN sized b ON a.band = b.band AND a.key = b.key
+        WHERE a.bn <= ${graft.operators.Dedup.BandBucketCap}
+          AND a.doc_id < b.doc_id
+        UNION
+        SELECT DISTINCT s.anchor AS da, s.doc_id AS db,
+               a2.fp AS sa, s.fp AS sb
+        FROM sized s JOIN sized a2
+          ON a2.band = s.band AND a2.key = s.key AND a2.doc_id = s.anchor
+        WHERE s.bn > ${graft.operators.Dedup.BandBucketCap}
+          AND s.doc_id <> s.anchor)
+      SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS dist
+      FROM cand WHERE bit_count(xor(sa, sb)) <= $AudioMaxDist""",
     "mm_audio_stats" -> """
       WITH s AS (SELECT doc_id, 256 + doc_id % 256 AS n FROM documents),
       v AS (SELECT doc_id, n,

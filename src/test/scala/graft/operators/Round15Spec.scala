@@ -303,6 +303,37 @@ class Round15Spec extends AnyFunSuite {
       "cannot have more duplicate groups than waveform groups")
   }
 
+  test("mm_audio_neardup: perturbed copies match at Hamming <= 4; the " +
+      "banding recall is deterministic uncapped and the capped output " +
+      "is a nonempty subset") {
+    val dir = "/root/testdata/sf0.001"
+    val uncapped = Multimodal
+      .mmAudioNeardup(spark, dir, cap = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(uncapped.forall(_._3 <= 4), "verify bound must hold")
+    assert(uncapped.exists(_._3 > 0),
+      "perturbation must produce NON-exact matches (else this op is " +
+        "just the exact grouping again)")
+    // deterministic banding recall: every within-group pair must be
+    // found when no bucket caps — the 5x7-bit banding guarantees a
+    // clean shared band at <= 4 flips. Ground truth from the waveform
+    // plan: same group => true pair.
+    val n = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val expected = n.groupBy(_ % 97L).values.toSeq
+      .flatMap(g => for (a <- g; b <- g if a < b) yield (a, b)).toSet
+    val uKeys = uncapped.map(p => (p._1, p._2)).toSet
+    assert(expected.subsetOf(uKeys),
+      s"uncapped banding missed ${(expected -- uKeys).size} true pairs")
+    // the production default (cap 64) degrades degenerate key-0 buckets
+    // (short fingerprints' all-zero high bands) to anchor-star: strictly
+    // fewer pairs, never new ones, and still nonempty
+    val capped = Multimodal.mmAudioNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.nonEmpty)
+    assert(capped.subsetOf(uKeys), "cap must never invent pairs")
+  }
+
   test("GraftFunctions.register is once-per-session idempotent and the " +
       "functions stay resolvable after repeated calls") {
     graft.plans.GraftFunctions.register(spark)
