@@ -190,6 +190,8 @@ object Bench {
     "dq_k_anonymize",
     // tolerant fingerprint matching: banded self-join + popcount verify
     "mm_audio_neardup",
+    // k-core peel over the memoized pair index (pair-graph nodes only)
+    "graph_kcore",
   )
 
   /** Ingest-time rows: evict + rebuild each index FAMILY separately

@@ -534,6 +534,78 @@ object Curation {
     out
   }
 
+  /** k-core defaults; the oracle's unrolled CTE chain is GENERATED from
+    * these (the PagerankIters pattern), so k and the peel-round count
+    * cannot drift between the Spark plan and the SQL.
+    */
+  private[operators] val KCoreK = 2
+  private[operators] val KCoreRounds = 4
+
+  /** K-CORE decomposition (iterative peeling, Seidman 1983; the
+    * MapReduce formulation follows Montresor et al.) over the near-dup
+    * pair graph — the subgraph-density signal the triangle census
+    * approximates locally: repeatedly remove nodes whose degree among
+    * SURVIVORS falls under k, and what remains is the k-core, the
+    * maximal subgraph where every member keeps ≥ k within-subgraph
+    * near-dup partners. For curation this separates structure from
+    * fringe: 2-core members sit inside genuine duplication webs
+    * (template families, mirror farms — candidates for cluster-level
+    * policy), while peel-round-1 nodes are leaf attachments (one
+    * accidental shingle match) a per-pair policy handles. The emitted
+    * `peel_round` (0 = in-core survivor, i ≥ 1 = removed at peel i) is
+    * the node's coreness layer, and the fixed [[KCoreRounds]] unroll is
+    * spec-checked to be a FIXPOINT on the tested corpora (the last peel
+    * removes nothing), so the survivor set IS the true 2-core there —
+    * on a corpus where R peels don't converge the output is the honest
+    * R-round lower envelope (documented, not hidden).
+    *
+    * Scale shape: peeling runs over PAIR-GRAPH NODES only, never the
+    * corpus. Edges come from the memoized candidate-pair index
+    * (no re-pairing) and are checkpointed once; each peel round is two
+    * broadcast-able equi-joins of the edge frame against the shrinking
+    * alive set plus one partial+final degree aggregation, with
+    * per-round lineage truncation (the PageRank convention). Output is
+    * one row per pair-graph node.
+    */
+  def graphKcore(spark: SparkSession, dir: String,
+      k: Int = KCoreK, rounds: Int = KCoreRounds): DataFrame = {
+    val pairs = Dedup.dedupMinhashLsh(spark, dir).select(col("da"), col("db"))
+    val scratch = scala.collection.mutable.Buffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); scratch += c; c
+    }
+    val edges = ckpt(pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst"))))
+    val deg0 = ckpt(edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree")))
+    var alive = deg0.select(col("node"))
+    var peeled = Seq.empty[DataFrame]
+    for (i <- 1 to rounds) {
+      val degI = edges
+        .join(alive.select(col("node").as("sn")), col("src") === col("sn"))
+        .join(alive.select(col("node").as("dn")), col("dst") === col("dn"))
+        .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val next = ckpt(degI.where(col("d") >= k)
+        .select(col("src").as("node")))
+      peeled = peeled :+ ckpt(alive
+        .join(next.select(col("node").as("kn")),
+          col("node") === col("kn"), "left_anti")
+        .select(col("node"), lit(i).as("peel_round")))
+      alive = next
+    }
+    val out = peeled
+      .reduce(_ unionByName _)
+      .unionByName(alive.select(col("node"), lit(0).as("peel_round")))
+      .join(deg0.select(col("node").as("gn"), col("degree")),
+        col("node") === col("gn"))
+      .select(col("node").as("doc_id"), col("degree"),
+        col("peel_round").cast("int").as("peel_round"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint() // eager: safe to drop the per-round frames
+    scratch.foreach(freeCheckpoint)
+    out
+  }
+
   /** SOFT deduplication — duplicate-aware DOWN-WEIGHTING instead of
     * dropping: every doc in a near-dup cluster of size c gets sampling
     * weight 1∕c, so each cluster contributes one unit of probability
@@ -1543,6 +1615,7 @@ object Curation {
     "graph_triangles" -> ((s, d) => graphTriangles(s, d)),
     "graph_label_prop" -> ((s, d) => graphLabelProp(s, d)),
     "graph_khop" -> ((s, d) => graphKhop(s, d)),
+    "graph_kcore" -> ((s, d) => graphKcore(s, d)),
     "cur_soft_dedup" -> ((s, d) => softDedup(s, d)),
     "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "cur_decontaminate" -> ((s, d) => decontaminate(s, d)),
@@ -1952,6 +2025,32 @@ object Curation {
         round(CAST(sum(n_tok * wt) AS DOUBLE)
               / (CAST(sum(n_tok) AS DOUBLE) * 1000000.0), 6) AS keep_ratio
       FROM j GROUP BY source ORDER BY source""",
+    "graph_kcore" -> {
+      // unrolled peel rounds generated from the shared constants: a_i is
+      // the alive set after peel i (degree among a_{i-1} survivors >= k;
+      // isolated nodes drop out of the degree frame and are peeled)
+      val rounds = (1 to KCoreRounds).map { i =>
+        s"""d$i AS (SELECT e.src AS node, count(*) AS d
+             FROM edges e JOIN a${i - 1} x ON e.src = x.node
+                          JOIN a${i - 1} y ON e.dst = y.node
+             GROUP BY 1),
+           a$i AS (SELECT node FROM d$i WHERE d >= $KCoreK)"""
+      }.mkString(",\n      ")
+      val peelCase = (1 to KCoreRounds).map { i =>
+        s"WHEN g.node NOT IN (SELECT node FROM a$i) THEN $i"
+      }.mkString(" ")
+      s"""
+      WITH ${Dedup.minhashPairsCte},
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION ALL SELECT db, da FROM pairs),
+      a0 AS (SELECT DISTINCT src AS node FROM edges),
+      deg0 AS (SELECT src AS node, count(*) AS degree FROM edges
+               GROUP BY 1),
+      $rounds
+      SELECT g.node AS doc_id, CAST(g.degree AS BIGINT) AS degree,
+        CAST(CASE $peelCase ELSE 0 END AS INT) AS peel_round
+      FROM deg0 g ORDER BY doc_id"""
+    },
     "graph_khop" -> {
       // unrolled frontier BFS: level i = neighbors of level i-1 not yet
       // visited; min-per-node over the union replays the visited-set

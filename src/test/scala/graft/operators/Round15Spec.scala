@@ -334,6 +334,33 @@ class Round15Spec extends AnyFunSuite {
     assert(capped.subsetOf(uKeys), "cap must never invent pairs")
   }
 
+  test("graph_kcore: the peel reaches a fixpoint on the tested corpus " +
+      "and every 2-core survivor keeps >= k within-core partners") {
+    val rows = Curation.graphKcore(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    // fixpoint: the last allotted peel round removed nothing, so the
+    // survivor set IS the true 2-core here (not just the R-round bound)
+    assert(rows.forall(_._3 < Curation.KCoreRounds),
+      "last peel round still removed nodes — raise KCoreRounds or " +
+        "document the lower-envelope output for this corpus")
+    val core = rows.filter(_._3 == 0).map(_._1).toSet
+    val peeled = rows.filter(_._3 > 0)
+    assert(core.nonEmpty && peeled.nonEmpty,
+      "both layers must be populated for the test to mean anything")
+    // recompute within-core degree from the pair index ground truth
+    val pairs = Dedup.dedupMinhashLsh(spark, sf01)
+      .select(col("da"), col("db")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val within = pairs.filter(p => core(p._1) && core(p._2))
+      .flatMap(p => Seq(p._1, p._2)).groupBy(identity).map(_._2.length)
+    assert(within.forall(_ >= Curation.KCoreK),
+      "a 2-core survivor lost its within-core degree guarantee")
+    // row conservation: one row per pair-graph node
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(rows.length == nodes.size)
+  }
+
   test("GraftFunctions.register is once-per-session idempotent and the " +
       "functions stay resolvable after repeated calls") {
     graft.plans.GraftFunctions.register(spark)
