@@ -718,6 +718,56 @@ object Curation {
       .select(col("doc_id"), col("n_shared"), col("overlap"))
   }
 
+  /** Leak-share floor (ppm of an eval item's shingles found in train)
+    * above which [[contaminationReport]] marks the item compromised.
+    * Shared with the oracle.
+    */
+  private[operators] val ContamLeakPpm = 500000L
+
+  /** EVAL-SIDE contamination report — the flip side of
+    * [[decontaminate]]: that operator asks "which TRAIN docs must go",
+    * this one asks the question every model report has to answer —
+    * "which BENCHMARK items are compromised, and how badly?" (the
+    * n-gram-overlap contamination analysis popularized by the GPT-3
+    * appendix and standard in model cards since). Per eval doc: its
+    * distinct word-3-gram shingle count, how many of those shingles
+    * appear ANYWHERE in the training split, the leak share in exact
+    * integer ppm, and the compromised verdict at the 50% floor. An item
+    * can leak via any number of train docs — the report is about the
+    * ITEM, so the leak set is deduplicated corpus-wide before the
+    * per-item count.
+    *
+    * Scale shape: the eval shingle set is tiny and broadcasts; the
+    * 100 TB train side streams through ONE broadcast hash join (the
+    * decontaminate discipline) and only the matched shingles — bounded
+    * by the eval set — reach the distinct. Both per-item aggregations
+    * run on the eval side only. No train-side shuffle anywhere.
+    */
+  def contaminationReport(spark: SparkSession, dir: String,
+      evalSource: String = "src0"): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val sh = t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("source"),
+        explode(call_function("graft_shingles3", col("w"))).as("s"))
+    val ev = sh.filter(col("source") === evalSource)
+      .select(col("doc_id"), col("s"))
+    val evalSet = ev.select(col("s")).distinct()
+    val leaked = sh.filter(col("source") =!= evalSource)
+      .join(broadcast(evalSet), "s")
+      .select(col("s")).distinct()
+    val totals = ev.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hits = ev.join(broadcast(leaked), "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_leaked"))
+      .withColumn("leak_ppm", expr("(n_leaked * 1000000) div n_sh"))
+      .select(col("doc_id"), col("n_sh"), col("n_leaked"), col("leak_ppm"),
+        (col("leak_ppm") >= ContamLeakPpm).as("compromised"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The full training-data prep pipeline — what the operator families
     * compose into at 100 TB: exclude the eval source, keep docs above the
     * quality floor, drop benchmark-contaminated docs, keep exactly one
@@ -1619,6 +1669,7 @@ object Curation {
     "cur_soft_dedup" -> ((s, d) => softDedup(s, d)),
     "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "cur_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "cur_contamination_report" -> ((s, d) => contaminationReport(s, d)),
     "cur_corpus_curate" -> ((s, d) => corpusCurate(s, d)),
     "cur_pack_sequences" -> ((s, d) => packCurated(s, d)),
     "cur_pack_assemble" -> ((s, d) => assemblePacks(s, d)),
@@ -2241,6 +2292,31 @@ object Curation {
       SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
              CAST(cum_tokens AS BIGINT) AS cum_tokens
       FROM run WHERE cum_tokens <= 600""",
+    "cur_contamination_report" -> s"""
+      WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                   FROM documents),
+      shn AS (SELECT doc_id, source,
+                CASE WHEN len(w) >= 3
+                  THEN list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [] END AS sh
+              FROM tok),
+      sh AS (SELECT DISTINCT doc_id, source, unnest(sh) AS s FROM shn),
+      ev AS (SELECT doc_id, s FROM sh WHERE source = 'src0'),
+      evs AS (SELECT DISTINCT s FROM ev),
+      lk AS (SELECT DISTINCT t.s FROM sh t JOIN evs e ON t.s = e.s
+             WHERE t.source <> 'src0'),
+      tot AS (SELECT doc_id, count(*) AS n_sh FROM ev GROUP BY 1),
+      hit AS (SELECT ev.doc_id, count(*) AS n_leaked
+              FROM ev JOIN lk ON ev.s = lk.s GROUP BY 1)
+      SELECT t.doc_id, CAST(t.n_sh AS BIGINT) AS n_sh,
+        CAST(coalesce(h.n_leaked, 0) AS BIGINT) AS n_leaked,
+        (CAST(coalesce(h.n_leaked, 0) AS BIGINT) * 1000000)
+          // CAST(t.n_sh AS BIGINT) AS leak_ppm,
+        (CAST(coalesce(h.n_leaked, 0) AS BIGINT) * 1000000)
+          // CAST(t.n_sh AS BIGINT) >= $ContamLeakPpm AS compromised
+      FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+      ORDER BY t.doc_id""",
     "cur_decontaminate" -> """
       WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w
                    FROM documents),
