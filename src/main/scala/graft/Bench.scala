@@ -192,6 +192,12 @@ object Bench {
     "mm_audio_neardup",
     // k-core peel over the memoized pair index (pair-graph nodes only)
     "graph_kcore",
+    // round-16: the eval-side contamination report (broadcast-join
+    // discipline shared with cur_decontaminate; eval-side aggs only)
+    // and the streaming curated-ingest batch twin (admit → scrub →
+    // decontaminate → dedup composed; map-side screen vs the broadcast
+    // eval artifact, one digest-keyed shuffle)
+    "cur_contamination_report", "st14_stream_curate",
   )
 
   /** Ingest-time rows: evict + rebuild each index FAMILY separately

@@ -55,7 +55,7 @@ object Curation {
     * cache manager, so DataFrame.unpersist alone leaves them pinned
     * until GC.
     */
-  private def freeCheckpoint(df: DataFrame): Unit = {
+  private[graft] def freeCheckpoint(df: DataFrame): Unit = {
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = true)
@@ -741,7 +741,11 @@ object Curation {
     * 100 TB train side streams through ONE broadcast hash join (the
     * decontaminate discipline) and only the matched shingles — bounded
     * by the eval set — reach the distinct. Both per-item aggregations
-    * run on the eval side only. No train-side shuffle anywhere.
+    * run on the eval side only. The contamination algebra itself never
+    * shuffles the train side; the only train-side exchange in the plan
+    * is the shared small-fixture work-spreading repartition of
+    * (id, text) documented at Dedup.scala's shingle frame — a no-op
+    * cost on a real multi-row-group layout.
     */
   def contaminationReport(spark: SparkSession, dir: String,
       evalSource: String = "src0"): DataFrame = {

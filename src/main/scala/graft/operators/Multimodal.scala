@@ -886,17 +886,20 @@ object Multimodal {
     // consumes this frame on SIX paths (stats + both sides of the small
     // and star joins) — without the checkpoint each path re-renders and
     // re-decodes the corpus through the codec kernel
-    val bands = audioFps(spark, dir, boost = true)
-      .localCheckpoint()
+    val fps = audioFps(spark, dir, boost = true).localCheckpoint()
+    val bands = fps
       .select(col("doc_id"), col("fp"),
         explode(expr(s"sequence(0, ${AudioBands - 1})")).as("band"))
       .withColumn("key",
         expr(s"(fp >> (band * $AudioBandBits)) & $mask"))
-    Dedup.bandedCandidates(bands, "fp", cap)
+    val out = Dedup.bandedCandidates(bands, "fp", cap)
       .select(col("da"), col("db"),
         expr("cast(bit_count(sa ^ sb) as int)").as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
+      .localCheckpoint() // eager: safe to free the fingerprint frame
+    Curation.freeCheckpoint(fps)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -776,7 +776,12 @@ object Profiling {
         .groupBy(qs: _*)
         .agg(first(col("g")).as("g"), first(col("m")).as("m"),
           sum(abs(col("d"))).as("sabs"))
-        .withColumn("emd_ppm", expr("sabs div (m - 1)"))
+        // m = 1 (single global bucket) leaves no rows past the rn < m
+        // filter, but guard the division anyway so a degenerate audit
+        // config reads 0 instead of tripping ANSI div-by-zero (mirrored
+        // in the oracle)
+        .withColumn("emd_ppm",
+          expr("if(m > 1, sabs div (m - 1), 0)"))
       emd.agg(sum(col("g")).as("n_rows"), count(lit(1)).as("n_groups"),
           min(col("emd_ppm")).as("min_emd_ppm"),
           max(col("emd_ppm")).as("max_emd_ppm"),
@@ -852,7 +857,7 @@ object Profiling {
     def lvl(df: DataFrame, level: Int, gran: String, released: Boolean) =
       df.select(lit(level).as("level"), lit(gran).as("granularity"),
         lit(released).as("released"), col("c"))
-    lvl(l0.where(col("c") >= k), 0,
+    val out = lvl(l0.where(col("c") >= k), 0,
         "nation,segment,bal_1k,bal_100", released = true)
       .unionByName(lvl(r1.where(col("c") >= k), 1,
         "nation,segment,bal_1k", released = true))
@@ -866,6 +871,9 @@ object Profiling {
       .select(col("level"), col("granularity"), col("released"),
         lit(k).as("k"), col("n_rows"), col("n_cells"), col("min_cohort"))
       .orderBy(col("level"))
+      .localCheckpoint() // eager (4 rows): safe to free the cell frame
+    Curation.freeCheckpoint(l0)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1016,7 +1024,9 @@ object Profiling {
                   row_number() OVER (PARTITION BY $qsL ORDER BY b) AS rn
                 FROM dom)
         SELECT $qsL, any_value(g) AS g,
-          CAST(sum(abs(d)) // (any_value(m) - 1) AS BIGINT) AS emd_ppm
+          CAST(CASE WHEN any_value(m) > 1
+            THEN sum(abs(d)) // (any_value(m) - 1) ELSE 0 END
+            AS BIGINT) AS emd_ppm
         FROM cum WHERE rn < m GROUP BY $qsL)"""
       }
       Seq(

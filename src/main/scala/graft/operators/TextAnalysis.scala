@@ -473,8 +473,8 @@ ${if (eval) evalTail(rounds) else trainTail(rounds)}"""
     * the operator; the injection just gives them something real to match.
     * Per-row regex Column expressions, zero shuffle, same shape at 100 TB.
     */
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   def textPiiScrub(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")

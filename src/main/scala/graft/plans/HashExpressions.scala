@@ -3,7 +3,7 @@ package graft.plans
 import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -156,6 +156,51 @@ case class Shingles3Distinct(child: Expression)
     copy(child = c)
 }
 
+/** Count of the left array<string>'s elements present in the CONSTANT
+  * string set given by the right (foldable array) argument — the
+  * map-side decontamination screen's probe kernel. The built-in
+  * `array_intersect(a, lit(set))` rebuilds the right-hand hashset for
+  * EVERY ROW (O(|set|) inserts each), which dominates once the eval
+  * artifact reaches 10⁴–10⁵ shingles; this expression evaluates the
+  * constant once per (deserialized) instance into a probe set, so the
+  * per-row cost is O(|a|) lookups regardless of the set size.
+  * CodegenFallback costs one virtual call per row while saving |set|
+  * hash inserts per row — the SimHash64 trade. Streaming-safe
+  * (deterministic scalar), which is what lets the streaming curate
+  * stage share this exact plan with its batch twin.
+  */
+case class SetMemberCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val probe: java.util.HashSet[UTF8String] = {
+    require(right.foldable,
+      "SetMemberCount's set argument must be a foldable array literal")
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[UTF8String](arr.numElements() * 2)
+    var i = 0
+    while (i < arr.numElements()) {
+      s.add(arr.getUTF8String(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    var i = 0
+    var n = 0
+    while (i < arr.numElements()) {
+      if (probe.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SetMemberCount = copy(left = l, right = r)
+}
+
 /** Positional polynomial fingerprint Σ char(i)·((i·131) mod 9973) as a
   * long — the native twin of the TextFunctions SQL form (transform over
   * split-to-chars + fold), which allocated a per-char array per document.
@@ -262,6 +307,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_shingles3", exprs => Shingles3Distinct(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_leak_count", exprs => SetMemberCount(exprs(0), exprs(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_lsh_match", exprs => LshMatch(exprs(0), exprs(1), exprs(2)),
       "built-in")
     reg.createOrReplaceTempFunction(
@@ -320,6 +368,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_shingles3"),
       new ExpressionInfo(classOf[Shingles3Distinct].getName, "graft_shingles3"),
       (exprs: Seq[Expression]) => Shingles3Distinct(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_leak_count"),
+      new ExpressionInfo(classOf[SetMemberCount].getName, "graft_leak_count"),
+      (exprs: Seq[Expression]) => SetMemberCount(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_lsh_match"),
       new ExpressionInfo(classOf[LshMatch].getName, "graft_lsh_match"),
       (exprs: Seq[Expression]) => LshMatch(exprs(0), exprs(1), exprs(2))))

