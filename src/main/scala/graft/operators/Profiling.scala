@@ -325,8 +325,16 @@ object Profiling {
   private[graft] def keyUniquenessAudit(table: String, df: DataFrame,
       key: Seq[String]): DataFrame = {
     val keyExpr = uniqKeyExpr(key)
-    df.agg(count(lit(1)).as("n_rows"),
-        countDistinct(keyExpr).as("n_keys"))
+    // two-level aggregate, NOT count + countDistinct in one agg: mixing
+    // them triggers the distinct-rewrite Expand, which runs every row
+    // through the hash aggregate TWICE (one projection per aggregate
+    // path — the r16 fix for this row's 1.31x baseline ratio). The
+    // per-key level combines map-side and its exchange carries the same
+    // (key, count) pairs the exact-distinct shuffle always needs;
+    // count(k) at the top level preserves countDistinct's NULL-key
+    // exclusion while sum(c) keeps n_rows over ALL rows.
+    df.groupBy(keyExpr.as("k")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_rows"), count(col("k")).as("n_keys"))
       .select(lit(table).as("table_name"),
         lit(key.mkString(",")).as("key_cols"),
         col("n_rows"), col("n_keys"),
