@@ -67,6 +67,25 @@ class Round16Spec extends AnyFunSuite {
     assert(rows.map(_._2).toSeq == Seq(2, 0, 0, 1))
   }
 
+  test("empty eval source: the curate screen admits every doc and the " +
+      "contamination report is empty (nothing to protect = nothing " +
+      "compromised)") {
+    import graft.streaming.DocStream
+    val none = "no_such_source"
+    val evalSh = DocStream.evalShingleSet(spark, dir, none)
+    assert(evalSh.isEmpty, "artifact for an absent eval source must be empty")
+    val curated = DocStream.batchCurateIngest(spark, dir, evalSource = none)
+    // with no eval set the screen is a no-op: survivors == the distinct
+    // scrubbed digests of the WHOLE corpus (no source excluded either)
+    val expected = graft.Tables.t(spark, dir, "documents")
+      .select(md5(regexp_replace(regexp_replace(col("text"),
+        TextAnalysis.EmailRe, "<EMAIL>"), TextAnalysis.Ipv4Re, "<IP>")))
+      .distinct().count()
+    assert(curated.count() == expected,
+      s"screen must admit everything: ${curated.count()} vs $expected")
+    assert(Curation.contaminationReport(spark, dir, none).count() == 0)
+  }
+
   test("checkpoint hygiene: mmAudioNeardup frees its fingerprint frame " +
       "(ADVICE r15)") {
     val sc = spark.sparkContext
