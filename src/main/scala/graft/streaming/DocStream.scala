@@ -106,9 +106,22 @@ object DocStream {
   def dedupStreamEventTtl(docs: Dataset[DocEvent], ttlMs: Long,
       watermarkDelay: String = "10 seconds"): Dataset[FirstSeen] = {
     import docs.sparkSession.implicits._
-    docs
+    firstSeenByDigestEventTtl(
+      docs.select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("event_ts")), ttlMs, watermarkDelay)
+  }
+
+  /** Event-time-TTL first-seen tail shared by [[dedupStreamEventTtl]]
+    * and [[curateStreamEventTtl]]: input columns (doc_id, text_md5,
+    * event_ts); state is one (digest → last-seen) entry bounded by the
+    * watermark-driven TTL.
+    */
+  private def firstSeenByDigestEventTtl(rows: DataFrame, ttlMs: Long,
+      watermarkDelay: String): Dataset[FirstSeen] = {
+    import rows.sparkSession.implicits._
+    rows
       .withWatermark("event_ts", watermarkDelay)
-      .select(col("doc_id"), md5(col("text")).as("text_md5"), col("event_ts"))
+      .select(col("doc_id"), col("text_md5"), col("event_ts"))
       .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Long, FirstSeen](
@@ -188,7 +201,8 @@ object DocStream {
     * admitted, matching the standalone decontaminate's join semantics.
     */
   private def curateStage(df: DataFrame, evalSh: Array[String],
-      evalSource: String, tau: Double): DataFrame = {
+      evalSource: String, tau: Double,
+      keep: Seq[String] = Nil): DataFrame = {
     import graft.operators.TextAnalysis.{EmailRe, Ipv4Re}
     val scrubbed = regexp_replace(
       regexp_replace(col("text"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
@@ -201,7 +215,8 @@ object DocStream {
         call_function("graft_leak_count", col("sh"),
             typedlit(evalSh.toSeq))
           .cast("double") / col("n_sh") < tau)
-      .select(col("doc_id"), md5(col("scrubbed")).as("text_md5"))
+      .select(col("doc_id") +: md5(col("scrubbed")).as("text_md5") +:
+        keep.map(col): _*)
   }
 
   /** Streaming curated ingest — the production composition admit →
@@ -219,6 +234,31 @@ object DocStream {
     firstSeenByDigest(
       curateStage(docs.toDF(), evalSh, evalSource, tau).as[(Long, String)],
       None)
+  }
+
+  case class DocCurEvent(doc_id: Long, source: String, text: String,
+      event_ts: java.sql.Timestamp)
+
+  /** Event-time-TTL flavor of [[curateStream]] — the unbounded-feed
+    * configuration: the same map-side curate stage (admit → scrub →
+    * decontamination screen), with the stateful tail keeping
+    * (digest → last-seen) under [[dedupStreamEventTtl]]'s
+    * watermark-driven TTL so admitted-doc state ages out on the data's
+    * own clock. A curated duplicate arriving within the TTL is
+    * suppressed; after expiry it re-admits — the standard trade that
+    * bounds state at one 40-byte entry per distinct surviving doc
+    * inside the TTL horizon, which is what makes the composition run
+    * forever on a 100 TB/day feed.
+    */
+  def curateStreamEventTtl(docs: Dataset[DocCurEvent],
+      evalSh: Array[String], ttlMs: Long, evalSource: String = "src0",
+      tau: Double = CurateTau,
+      watermarkDelay: String = "10 seconds"): Dataset[FirstSeen] = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    firstSeenByDigestEventTtl(
+      curateStage(docs.toDF(), evalSh, evalSource, tau,
+        keep = Seq("event_ts")),
+      ttlMs, watermarkDelay)
   }
 
   /** Batch twin (and the driver's oracle surface) of [[curateStream]]:

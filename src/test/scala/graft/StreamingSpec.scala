@@ -306,6 +306,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time-TTL curated ingest: eval rows and contaminated docs " +
+      "never admit, within-TTL dup drops, post-expiry re-admits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DocStream
+    // tiny synthetic eval artifact: the shingles of one benchmark item;
+    // "w1 w2 w3 w4" leaks 2/2 of its shingles (>= tau) and must drop
+    val evalSh = Array("w1 w2 w3", "w2 w3 w4")
+    val mem = MemoryStream[DocStream.DocCurEvent]
+    val q = DocStream.curateStreamEventTtl(mem.toDS(), evalSh,
+        ttlMs = 60000L, watermarkDelay = "10 seconds")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("curate_ttl").start()
+    try {
+      mem.addData(
+        DocStream.DocCurEvent(1L, "src1", "clean doc body one",
+          ts("2024-01-01 00:00:00")),
+        DocStream.DocCurEvent(2L, "src0", "eval row must not admit",
+          ts("2024-01-01 00:00:00")),
+        DocStream.DocCurEvent(3L, "src1", "w1 w2 w3 w4",
+          ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("curate_ttl").as[DocStream.FirstSeen]
+        .collect().map(_.doc_id).toSet == Set(1L),
+        "only the clean non-eval doc may admit")
+      // within-TTL duplicate of doc 1 → suppressed
+      mem.addData(DocStream.DocCurEvent(4L, "src1", "clean doc body one",
+        ts("2024-01-01 00:00:30")))
+      q.processAllAvailable()
+      assert(spark.table("curate_ttl").count() == 1)
+      // advance the watermark past last-seen + TTL, then re-admit
+      mem.addData(DocStream.DocCurEvent(5L, "src1", "another clean doc",
+        ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      mem.addData(DocStream.DocCurEvent(6L, "src1", "clean doc body one",
+        ts("2024-01-01 00:05:10")))
+      q.processAllAvailable()
+      val got = spark.table("curate_ttl").as[DocStream.FirstSeen].collect()
+      assert(got.map(_.doc_id).toSet == Set(1L, 5L, 6L),
+        s"expected {1,5,6}, got ${got.map(_.doc_id).toSet}")
+      // the contaminated text stays contaminated forever: TTL expiry
+      // applies to dedup state, not to the screen
+      mem.addData(DocStream.DocCurEvent(7L, "src1", "w1 w2 w3 w4",
+        ts("2024-01-01 00:05:20")))
+      q.processAllAvailable()
+      assert(spark.table("curate_ttl").count() == 3,
+        "a contaminated doc must never admit, expired state or not")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: in-window pairs emit, out-of-window don't") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp, Double)]
