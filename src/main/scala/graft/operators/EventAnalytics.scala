@@ -762,11 +762,18 @@ object EventAnalytics {
     ev.join(first, "user_id")
       .withColumn("weeks_since",
         expr("datediff(CAST(ts AS DATE), cohort_week) div 7"))
-      .groupBy(col("cohort_week"), col("weeks_since"))
-      .agg(countDistinct(col("user_id")).as("n_users"),
-        count(lit(1)).as("n_events"),
+      // two-level aggregate (the r16 Expand sweep): the per-user level
+      // rides the SAME (cohort, week, user) keys and combines map-side;
+      // decimal partial sums re-sum exactly, count(user_id) preserves
+      // countDistinct's NULL exclusion
+      .groupBy(col("cohort_week"), col("weeks_since"), col("user_id"))
+      .agg(count(lit(1)).as("c"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .cast("double").as("total_value"))
+          .as("v"))
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(count(col("user_id")).as("n_users"),
+        sum(col("c")).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"))
   }
 
   /** A/B experiment readout: deterministic 50/50 user bucketing (parity
@@ -788,11 +795,19 @@ object EventAnalytics {
       .withColumn("variant",
         when(conv(substring(md5(col("user_id").cast("string")), 1, 1),
           16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
+      // two-level aggregate (the r16 Expand sweep): TWO distinct
+      // aggregates made the rewrite Expand every event THREE ways; the
+      // per-user level folds both into flags on one pass. sum-of-conv
+      // guards the NULL-user group the distinct forms excluded
+      .groupBy(col("variant"), col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"),
+        count(when(col("event_type") === "click", lit(1))).as("clicks"))
       .groupBy(col("variant"))
-      .agg(countDistinct(col("user_id")).as("n_users"),
-        countDistinct(when(col("event_type") === "purchase",
-          col("user_id"))).as("n_converted"),
-        count(when(col("event_type") === "click", lit(1))).as("n_clicks"))
+      .agg(count(col("user_id")).as("n_users"),
+        sum(when(col("user_id").isNotNull, col("conv")).otherwise(0L))
+          .as("n_converted"),
+        sum(col("clicks")).as("n_clicks"))
       .withColumn("conv_rate_bp",
         expr("(n_converted * 10000) div n_users"))
 

@@ -1355,19 +1355,26 @@ $docRounds,
   def textDistinctN(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("source"), tokens(col("text")).as("w"))
+    // two-level aggregates (the r16 Expand sweep): count + countDistinct
+    // in one agg ran every exploded token/bigram through the hash
+    // aggregate twice; the per-type level combines map-side on the
+    // natural (source, type) key and its exchange carries exactly the
+    // rows the distinct shuffle always needed
     val u = docs.select(col("source"), explode(col("w")).as("tk"))
+      .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("c"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("tk")).as("n_types"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(col("tk")).as("n_types"))
     val b = docs.select(col("source"), explode(expr(
         """CASE WHEN size(w) >= 2
            THEN transform(sequence(0, size(w) - 2),
                   i -> concat_ws(' ', w[i], w[i + 1]))
            ELSE CAST(array() AS array<string>)
            END""")).as("bg"))
+      .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        countDistinct(col("bg")).as("n_bi_types"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(col("bg")).as("n_bi_types"))
     u.join(b, Seq("source"), "left_outer")
       .select(col("source"), col("n_tokens"), col("n_types"),
         expr("(n_types * 1000000) div n_tokens").as("distinct1_ppm"),

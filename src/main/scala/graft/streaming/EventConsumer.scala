@@ -417,10 +417,16 @@ object EventConsumer {
     * exact/approx contract pair, not a silent accuracy downgrade.
     */
   def batchWindowDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    // two-level aggregate, NOT countDistinct + count in one agg: the
+    // mixed form triggers the distinct-rewrite Expand, which runs every
+    // event through the hash aggregate twice (the r16 dq_uniqueness
+    // lesson, swept engine-wide); count(user_id) at the top preserves
+    // countDistinct's NULL exclusion, sum(c) keeps n_events over ALL rows
     Tables.t(spark, dir, "events")
-      .groupBy(window(col("ts"), "1 hour"))
-      .agg(countDistinct(col("user_id")).as("n_users"),
-        count(lit(1)).as("n_events"))
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("window"))
+      .agg(count(col("user_id")).as("n_users"), sum(col("c")).as("n_events"))
       .select(col("window.start").as("window_start"), col("n_users"),
         col("n_events"))
 
