@@ -169,13 +169,7 @@ object TextAnalysis {
   /** The integer-micro gradient fold (see [[textClassifierTrain]]). */
   private def classifierWeights(spark: SparkSession, dir: String,
       rounds: Int): Array[Long] = {
-    // persist PRE-PARTITIONED on doc_id: every round's per-doc z window
-    // requires ClusteredDistribution(doc_id), so caching the frame
-    // already hash-partitioned on it elides the per-round Exchange —
-    // one shuffle at materialization instead of one per round (r16;
-    // 10 rounds paid it 10x)
-    val allFeats = classifierFeatures(spark, dir)
-      .repartition(col("doc_id")).persist()
+    val allFeats = classifierFeatures(spark, dir).persist()
     val nDocs = allFeats.select(col("doc_id")).distinct().count()
     var wm = Array.fill(66)(0L)
     // empty-corpus contract (EdgeCaseSpec): zero documents -> the
