@@ -65,6 +65,7 @@ object GraftSession {
     graft.operators.EventAnalytics.release(spark, dir)
     graft.operators.Multimodal.release(spark, dir)
     graft.streaming.KafkaReplay.release(spark, dir)
+    graft.streaming.DocStream.release(spark, dir)
   }
 
   /** Apply the library conf contract to an existing session (idempotent),

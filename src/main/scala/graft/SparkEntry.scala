@@ -44,4 +44,14 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.iterator.map(_._2).reduce(_ ++ _)
+
+  /** Queries whose RETURNED frame is an eager localCheckpoint the CALLER
+    * owns (ADVICE r16): the checkpoint pins one RDD per invocation that
+    * GraftSession.release never sees (it is not in any operator cache),
+    * so harnesses that invoke these repeatedly (Bench's rep loop, the
+    * Verify dump) free it via Curation.freeCheckpoint after consuming
+    * the result — exactly what Round16Spec's hygiene tests do.
+    */
+  val callerOwnedCheckpoints: Set[String] =
+    Set("mm_audio_neardup", "dq_k_anonymize")
 }

