@@ -466,7 +466,19 @@ object Bench {
       val sample =
         try {
           familyBuild.get(name) match {
-            case Some(build) => time(build())
+            case Some(build) =>
+              // ingest rows measure the BUILD, not the ambient heap: in a
+              // full-suite session the allocation-heavy render/shingle
+              // loops run against whatever heap state the previous ~170
+              // rows left behind, and DhashContextAb measured the SAME
+              // dhash build at 6.9 s vs 3.7 s purely on pre-build GC
+              // state (r17 task #1 — this, not plan drift, was the
+              // r14→r16 index_build "creep": the composite row read
+              // 1.16× while the isolated probe sat below baseline). One
+              // untimed collection pins every rep to the compacted
+              // condition a fresh ingest JVM would see.
+              System.gc()
+              time(build())
             case None =>
               val fn = prodBodies.getOrElse(name, SparkEntry.queries(name))
               var df: org.apache.spark.sql.DataFrame = null
