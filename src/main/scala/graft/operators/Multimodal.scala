@@ -48,12 +48,34 @@ object Multimodal {
       })
   }
 
+  /** JVM-once ImageIO configuration for every codec kernel (r17 task
+    * #1's second finding): `ImageIO.read/write` on a ByteArray stream
+    * still creates a TEMP FILE per image when `useCache` is true (the
+    * JDK default) — `createImageInputStream` returns a
+    * FileCacheImageInputStream — so a 50k-image build issued ~100k
+    * create/write/delete ops against java.io.tmpdir per pass. That is
+    * invisible in an idle-session probe but collides with shuffle-file
+    * traffic in a real job (the bench's dedup build writes /tmp shuffle
+    * files immediately before the dhash build every pass: measured
+    * 6.4-7.9 s in-suite vs 3.5 s isolated on the identical binary, and
+    * at 100 TB every executor pays it on every codec task). The images
+    * here are ≤16×16 — memory-backed streams are strictly better.
+    * Touching this object from any kernel runs the setter exactly once
+    * per JVM (driver AND each executor, since the reference sits inside
+    * the partition lambdas).
+    */
+  private[operators] object ImageIoNoTmp {
+    javax.imageio.ImageIO.setUseCache(false)
+    def ensure(): Unit = ()
+  }
+
   /** REAL DECODER — JDK-builtin `javax.imageio`, no external libs. Width
     * and height come from actually parsing the image bytes; the format is
     * sniffed from the payload's magic number. Single-frame stills only
     * (n_frames = 1) — a video codec plugs in through the same signature.
     */
   def imageioDecode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    ImageIoNoTmp.ensure()
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bytes))
     require(img != null, s"undecodable payload for doc $docId")
@@ -92,6 +114,7 @@ object Multimodal {
 
   /** Encode a deterministic tiny PNG (executor-side; JDK ImageIO only). */
   def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    ImageIoNoTmp.ensure()
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -177,6 +200,7 @@ object Multimodal {
     withPngPayload(spark, dir).select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
+        ImageIoNoTmp.ensure()
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
         var (sr, sg, sb) = (0L, 0L, 0L)
@@ -205,6 +229,7 @@ object Multimodal {
     withPngPayload(spark, dir).select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
+        ImageIoNoTmp.ensure()
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
         val (w, h) = (img.getWidth, img.getHeight)
@@ -246,6 +271,7 @@ object Multimodal {
     import spark.implicits._
     t(spark, dir, "documents").select(col("doc_id")).as[Long]
       .mapPartitions { it =>
+        ImageIoNoTmp.ensure()
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { id =>
           val gid = id / 4
@@ -303,6 +329,7 @@ object Multimodal {
     withDhashPayload(spark, dir).select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
+        ImageIoNoTmp.ensure()
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
         val (w, h) = (img.getWidth, img.getHeight)
@@ -699,6 +726,7 @@ object Multimodal {
           id * 131 + f / sl)) }
       }
       .mapPartitions(_.map { case (id, f, png) =>
+        ImageIoNoTmp.ensure()
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(png))
         val md = java.security.MessageDigest.getInstance("MD5")
