@@ -31,5 +31,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (r17): this JVM is a 32-thread local[32] "cluster" that
+  // pins ~170 queries' memoized frames in its unified pool — at 8g the
+  // allocation-heavy kernels (codecs, shingle builds) ran against a
+  // starved young gen and the SAME binary measured the dedup/dhash index
+  // builds 1.3-1.9x slower in-suite than isolated (full-run A/B at 8g vs
+  // 16g: index_build composite 1.18 -> 0.99 vs baseline, suite total
+  // 0.96 -> 0.89). A real executor gets dedicated GBs for 4-8 cores;
+  // 8 GB for 32 threads was the unrepresentative setting.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -564,6 +564,16 @@ object Bench {
         else ss.max / math.max(ss.min, 1e-9)
       }
       val familySet0 = indexFamilyRows.toSet
+      // the index family ALWAYS gets tiebreak reps: the composite
+      // index_build row is a round-graded number whose components are
+      // small enough (0.4-3 s) that run-to-run variance below the 1.3x
+      // trigger still moves the composite's ratio by ±0.2 — two extra
+      // whole-family samples cost ~18 s and pin it
+      for (_ <- 1 to 2; n <- indexFamilyRows) {
+        if (withinBudget && !sampleBuf(n).contains(-1.0)) {
+          runRep(n, recordFailure = false); tiebroken += n
+        }
+      }
       var rounds = 0
       var progressed = true
       while (progressed && rounds < 3 && withinBudget) {
