@@ -169,7 +169,17 @@ object TextAnalysis {
   /** The integer-micro gradient fold (see [[textClassifierTrain]]). */
   private def classifierWeights(spark: SparkSession, dir: String,
       rounds: Int): Array[Long] = {
-    val allFeats = classifierFeatures(spark, dir).persist()
+    // persist PRE-PARTITIONED on doc_id: every round's per-doc z window
+    // requires ClusteredDistribution(doc_id), so caching the frame
+    // already hash-partitioned on it elides the per-round Exchange —
+    // one shuffle at materialization instead of one per round (r16;
+    // 10 rounds paid it 10x). NOTE r17: this fix originally landed as
+    // df17de4 and was silently REVERTED by the r16 end-of-round
+    // snapshot commit (the session's tree had it backed out at
+    // timeout); restored after the r17 isolated probe read the
+    // pre-fix 6.2 s where the r16 quiet leg had measured 3.69 s.
+    val allFeats = classifierFeatures(spark, dir)
+      .repartition(col("doc_id")).persist()
     val nDocs = allFeats.select(col("doc_id")).distinct().count()
     var wm = Array.fill(66)(0L)
     // empty-corpus contract (EdgeCaseSpec): zero documents -> the
