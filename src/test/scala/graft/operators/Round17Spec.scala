@@ -56,6 +56,56 @@ class Round17Spec extends AnyFunSuite {
       s"n_dup_rows must be 0: $r")
   }
 
+  test("codec kernels run with ImageIO's temp-file cache disabled " +
+      "(the r17 /tmp-collision fix is pinned, not incidental)") {
+    // touching any codec kernel must have initialized ImageIoNoTmp;
+    // useCache=true would put a FileCacheImageInputStream temp file in
+    // /tmp per image — ~1.5M file ops per 500k-image build (measured:
+    // sf10 build 390.4 -> 225.7 s on this one setting)
+    Multimodal.mmDecodeReal(spark, dir).count()
+    assert(!javax.imageio.ImageIO.getUseCache,
+      "ImageIO.useCache must be false after a codec kernel runs")
+  }
+
+  test("classifier training shuffles the feature table ONCE, not once " +
+      "per gradient round (the df17de4 revert trap is a red test now)") {
+    // Scale-free plan pin: with the doc_id-pre-partitioned persist, the
+    // 10 rounds reuse the cached partitioning and the only meaningful
+    // exchange is the single feature materialization (plus 66-row
+    // per-round aggregates); the reverted form re-shuffles the feature
+    // table EVERY round, making total shuffle-write ~11x the largest
+    // single stage. Assert total < 4x max — robust to AQE stage
+    // shaping, independent of corpus size.
+    val write = new java.util.concurrent.atomic.AtomicLong
+    val maxW = new java.util.concurrent.atomic.AtomicLong
+    val lst = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          val w = m.shuffleWriteMetrics.bytesWritten
+          write.addAndGet(w)
+          maxW.accumulateAndGet(w, Math.max(_, _))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(lst)
+    try {
+      TextAnalysis.textClassifierTrain(spark, dir).collect()
+      // drain async listener events
+      var prev = (-1L, -1L); var calm = 0; var waited = 0
+      while (calm < 3 && waited < 5000) {
+        Thread.sleep(50); waited += 50
+        val cur = (write.get, maxW.get)
+        if (cur == prev) calm += 1 else { calm = 0; prev = cur }
+      }
+    } finally spark.sparkContext.removeSparkListener(lst)
+    assert(maxW.get > 0, "training must shuffle the feature table once")
+    assert(write.get < 4 * maxW.get,
+      s"per-round re-shuffle detected: total ${write.get} B vs largest " +
+        s"stage ${maxW.get} B — the pre-partitioned persist is gone")
+  }
+
   test("eval shingle artifact: memoized per (session, dir) and evicted " +
       "by GraftSession.release like every other operator cache") {
     import graft.streaming.DocStream
