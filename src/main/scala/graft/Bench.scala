@@ -211,6 +211,9 @@ object Bench {
     // decontaminate → dedup composed; map-side screen vs the broadcast
     // eval artifact, one digest-keyed shuffle)
     "cur_contamination_report", "st14_stream_curate",
+    // round-18: incremental IVF admission (batch-only assignment kernel
+    // + aggregation of the stored index; zero cosine work on the base)
+    "sim_ivf_incremental",
   )
 
   /** Ingest-time rows: evict + rebuild each index FAMILY separately
@@ -564,15 +567,31 @@ object Bench {
         else ss.max / math.max(ss.min, 1e-9)
       }
       val familySet0 = indexFamilyRows.toSet
+      // An index-family tiebreak pass is ALL-OR-NONE (ADVICE r17): with
+      // recordFailure=false a thrown rep used to drop one row's sample
+      // while its siblings appended, desynchronizing the per-rep triples
+      // the composite index_build row sums — its min could then pair
+      // best-case components from DIFFERENT passes, biasing it below any
+      // observed triple. On any member failing to record, roll the whole
+      // family back to the pre-pass lengths.
+      def familyTiebreakPass(): Unit = {
+        val pre = indexFamilyRows.map(n => n -> sampleBuf(n).length).toMap
+        indexFamilyRows.foreach(n => runRep(n, recordFailure = false))
+        if (indexFamilyRows.forall(n => sampleBuf(n).length == pre(n) + 1))
+          tiebroken ++= indexFamilyRows
+        else indexFamilyRows.foreach { n =>
+          sampleBuf(n).takeInPlace(pre(n)); loadBuf(n).takeInPlace(pre(n))
+        }
+      }
       // the index family ALWAYS gets tiebreak reps: the composite
       // index_build row is a round-graded number whose components are
       // small enough (0.4-3 s) that run-to-run variance below the 1.3x
       // trigger still moves the composite's ratio by ±0.2 — two extra
       // whole-family samples cost ~18 s and pin it
-      for (_ <- 1 to 2; n <- indexFamilyRows) {
-        if (withinBudget && !sampleBuf(n).contains(-1.0)) {
-          runRep(n, recordFailure = false); tiebroken += n
-        }
+      for (_ <- 1 to 2) {
+        if (withinBudget &&
+            indexFamilyRows.forall(n => !sampleBuf(n).contains(-1.0)))
+          familyTiebreakPass()
       }
       var rounds = 0
       var progressed = true
@@ -586,10 +605,31 @@ object Bench {
         }.distinct
         asUnits.foreach { unit =>
           if (withinBudget) {
-            unit.foreach { n =>
+            if (unit == indexFamilyRows) familyTiebreakPass()
+            else unit.foreach { n =>
               runRep(n, recordFailure = false); tiebroken += n
             }
             progressed = true
+          }
+        }
+      }
+    }
+
+    // GC-fairness audit (ADVICE r17): the headline's index-family reps
+    // run after an untimed System.gc(), which the committed baseline's
+    // measurement condition may not have had — so the sidecar must make
+    // the headline choice auditable. Record two UN-gc'd builds of each
+    // family row (identical body, System.gc() skipped) in a separate
+    // sidecar field; they never feed the headline or the composite.
+    // Skipped on SPARK_GRAFT_BENCH_ONLY subset probes.
+    val nogcSamples = mutable.LinkedHashMap.empty[String, Seq[Double]]
+    if (only.isEmpty) {
+      indexFamilyRows.foreach { n =>
+        nogcSamples(n) = (1 to 2).map { _ =>
+          resetBeforeRep.get(n).foreach(_.apply())
+          try time(familyBuild(n)()) catch { case e: Throwable =>
+            System.err.println(s"[bench] nogc $n failed: ${e.getMessage}")
+            -1.0
           }
         }
       }
@@ -827,7 +867,27 @@ object Bench {
         }.mkString("{", ",", "}")
       val tiebreakPart = "\"tiebreak_rows\":" +
         tiebroken.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val side = s"""{"samples":$samplesJson,"medians":$mediansJson,"loadavg":$loadJson,"reps":$reps,"interleaved":true,"shuffled_passes":true,$tiebreakPart,"headline_stat":"min","cal_st_sec":${fmt(calSt)},"cal_mt_sec":${fmt(calMt)},"cal_threads":$cpus$oraclePart$ratioMapPart$vsbMapPart$shufflePart,"sf":"$sfDir"}"""
+      // Sidecar self-description for the commit gate (r17 judge #2): a
+      // committed sidecar must come from a FULL run on a quiet host —
+      // HygieneGateSpec red-tests subset=true, a short row count, or a
+      // high loadavg_p90, so the bench_samples.json clobber trap (a
+      // local probe overwriting the committed full-run artifact) fails
+      // `sbt test` instead of slipping into the snapshot commit.
+      val allLoadSorted =
+        results.flatMap { case (k, _) => loadBuf(k).toSeq }.sorted
+      val loadP90 =
+        if (allLoadSorted.isEmpty) 0.0
+        else allLoadSorted(
+          math.min(allLoadSorted.length - 1, (allLoadSorted.length * 0.9).toInt))
+      val provenancePart =
+        s""","rows":${results.size},"subset":${only.isDefined},"loadavg_p90":${fmt(loadP90)}"""
+      val nogcPart =
+        if (nogcSamples.isEmpty) ""
+        else "," + "\"index_nogc\":" + nogcSamples
+          .map { case (k, ss) =>
+            "\"" + k + "\":" + ss.map(fmt).mkString("[", ",", "]") }
+          .mkString("{", ",", "}")
+      val side = s"""{"samples":$samplesJson,"medians":$mediansJson,"loadavg":$loadJson,"reps":$reps,"interleaved":true,"shuffled_passes":true,$tiebreakPart,"headline_stat":"min"$provenancePart$nogcPart,"cal_st_sec":${fmt(calSt)},"cal_mt_sec":${fmt(calMt)},"cal_threads":$cpus$oraclePart$ratioMapPart$vsbMapPart$shufflePart,"sf":"$sfDir"}"""
       val w = new java.io.PrintWriter("bench_samples.json"); w.println(side); w.close()
     } catch { case e: Exception =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")

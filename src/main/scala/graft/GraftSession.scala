@@ -66,6 +66,11 @@ object GraftSession {
     graft.operators.Multimodal.release(spark, dir)
     graft.streaming.KafkaReplay.release(spark, dir)
     graft.streaming.DocStream.release(spark, dir)
+    // full-session teardown also sweeps probe-set broadcasts cached from
+    // non-DocStream call sites (per-dir release is handled by DocStream,
+    // which knows the dir → artifact mapping)
+    if (dir.isEmpty)
+      graft.plans.SetMemberCountBc.release(spark, None)
   }
 
   /** Apply the library conf contract to an existing session (idempotent),

@@ -52,7 +52,7 @@ object DhashContextAb {
     graft.operators.Dedup.buildIndexes(spark, dir)
     graft.operators.Similarity.buildIvfIndex(spark, dir)
     phase("B_after_dedup_ivf_built")
-    phase("C_after_dedup_ivf_built_gc_before_each")
+    phase("C_after_dedup_ivf_built_gc_before_each", gcFirst = true)
     graft.operators.Dedup.release(spark, Some(dir))
     graft.operators.Similarity.release(spark, Some(dir))
     phase("D_other_families_released")
@@ -66,7 +66,7 @@ object DhashContextAb {
         md5((col("id") + 2).cast("string")).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hog.count()
-    println(s"""{"phase":"E_hog_pinned_gb":${math.round(
+    println(s"""{"phase":"E_hog","pinned_gb":${math.round(
       spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e8) / 10.0}}""")
     phase("E_storage_pool_occupied")
     hog.unpersist(blocking = true)

@@ -1,0 +1,80 @@
+package graft.operators
+
+/** Dev/evidence main (r18, task #1): `index_load` read 0.729 s in the
+  * r17 committed sidecar vs the 0.554 s baseline (1.32×) and ~1.8×
+  * calibrated on the driver's leg — the only row above 1.3× on two
+  * independent legs, with no attribution probe. This reproduces the
+  * bench cold-leg context stepwise in one JVM (the DhashContextAb
+  * playbook):
+  *
+  *   phase A: save both indexes, then evict+reload reps in an otherwise
+  *            clean session (the isolated condition);
+  *   phase B: same reps after the dhash family + pixel index are built
+  *            and pinned (the bench cold leg runs AFTER the full timed
+  *            suite, so the storage pool and old gen carry the suite);
+  *   phase C: same reps with a System.gc() before each load (heap-state
+  *            attribution — the r17 index_build mechanism);
+  *   phase D: same reps with a ~4 GB storage-pool hog pinned (storage
+  *            contention attribution);
+  *   phase E: hog released — does the cost go away with the context?
+  *
+  * Per rep it records the dedup-load and ivf-load components separately
+  * plus the JVM GC-time delta, so the drift names a component and a
+  * mechanism, not a story.
+  *
+  * Usage: runMain graft.operators.IndexLoadAb <sfDir> [reps=3]
+  */
+object IndexLoadAb {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = graft.GraftSession.local("graft-index-load-ab",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val idx = s"target/ab_index/${new java.io.File(dir).getName}"
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    Dedup.saveDedupIndex(spark, dir, s"$idx/dedup")
+    Similarity.saveIvfIndex(spark, dir, s"$idx/ivf")
+    def rep(gcFirst: Boolean): (Double, Double, Long) = {
+      Dedup.release(spark, Some(dir))
+      Similarity.release(spark, Some(dir))
+      if (gcFirst) { System.gc(); Thread.sleep(200) }
+      val g0 = gcMs
+      val t0 = System.nanoTime()
+      Dedup.loadDedupIndex(spark, dir, s"$idx/dedup")
+      val t1 = System.nanoTime()
+      Similarity.loadIvfIndex(spark, dir, s"$idx/ivf")
+      ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9, gcMs - g0)
+    }
+    def phase(name: String, gcFirst: Boolean = false): Unit = {
+      val rows = (1 to reps).map(_ => rep(gcFirst))
+      def fmt(d: Double) = math.round(d * 1000) / 1000.0
+      def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
+      val totals = rows.map(r => r._1 + r._2)
+      println(s"""{"phase":"$name","sec_min":${fmt(totals.min)},"samples":${
+        arr(totals)},"dedup":${arr(rows.map(_._1))},"ivf":${
+        arr(rows.map(_._2))},"gc_ms":${rows.map(_._3).mkString("[", ",", "]")}}""")
+    }
+    rep(gcFirst = false) // untimed JIT warmup, same treatment everywhere
+    phase("A_fresh_session")
+    Multimodal.buildDhashSketch(spark, dir)
+    phase("B_after_dhash_built")
+    phase("C_gc_before_each", gcFirst = true)
+    import org.apache.spark.sql.functions._
+    val hog = spark.range(0, 40000000L, 1, 32)
+      .select(col("id"), md5(col("id").cast("string")).as("a"),
+        md5((col("id") + 1).cast("string")).as("b"),
+        md5((col("id") + 2).cast("string")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hog.count()
+    println(s"""{"phase":"D_hog","pinned_gb":${math.round(
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e8) / 10.0}}""")
+    phase("D_storage_pool_occupied")
+    hog.unpersist(blocking = true)
+    phase("E_hog_released")
+    spark.stop()
+  }
+}

@@ -278,13 +278,19 @@ object Similarity {
     * pinned), with zero corpus passes. The restart story the memoized
     * in-session cache alone cannot give.
     */
-  def loadIvfIndex(spark: SparkSession, dir: String, path: String): Unit = {
-    val code: Codebook = spark.read.parquet(s"$path/codebook")
+  /** The persisted codebook — a bounded collect (≤ [[MaxIvfK]] rows by
+    * the build-side cap), never a corpus read.
+    */
+  private def readCodebook(spark: SparkSession, path: String): Codebook =
+    spark.read.parquet(s"$path/codebook")
       .collect()
       .map(r => (r.getAs[Long]("cid"),
         r.getAs[scala.collection.Seq[Double]]("centroid").toVector: Seq[Double],
         r.getAs[Double]("cnorm")))
       .sortBy(_._1).toSeq
+
+  def loadIvfIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    val code: Codebook = readCodebook(spark, path)
     val assigned = spark.read.parquet(s"$path/assigned")
       .persist(StorageLevel.MEMORY_AND_DISK)
     assigned.count()
@@ -297,29 +303,154 @@ object Similarity {
     ()
   }
 
+  /** The deterministic "late-arriving batch" the incremental-admission
+    * family carves out of the corpus: every 8th vector, minus the
+    * codebook seed range, so the seeded codebook over the base equals the
+    * full-corpus codebook and incremental-vs-rebuild identity is exact.
+    */
+  private[operators] def incrBatchCond: Column =
+    col("vec_id") % 8 === 7 && col("vec_id") >= 16
+
+  /** Persist an IVF index over the subset of `dir`'s corpus matching
+    * `pred` — the BACKFILL half of the production index lifecycle: index
+    * the historical corpus once, then admit each arriving batch with
+    * [[updateIvfIndex]] instead of re-clustering. Same three artifacts as
+    * [[saveIvfIndex]].
+    */
+  private[operators] def saveIvfIndexWhere(spark: SparkSession, dir: String,
+      path: String, pred: Column): Unit = {
+    import spark.implicits._
+    val emb = withNorm(t(spark, dir, "embeddings")).filter(pred)
+    val sorted = seededCodebook(emb).sortBy(_._1)
+    val assigned = assignSeeded(emb, sorted)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      sorted.toDF("cid", "centroid", "cnorm")
+        .write.mode("overwrite").parquet(s"$path/codebook")
+      assigned.write.mode("overwrite").parquet(s"$path/assigned")
+      radiiOf(assigned).write.mode("overwrite").parquet(s"$path/radii")
+    } finally assigned.unpersist(blocking = true)
+  }
+
+  /** Incremental IVF index maintenance (VERDICT r17 #5 — the similarity
+    * sibling of `dedup_incremental`): admit the vectors matching
+    * `batchPred` into the PERSISTED index at `path` WITHOUT re-clustering
+    * or touching the already-indexed corpus — the per-batch cost of a
+    * streaming ingest against a 100 TB index. Three steps, none of them
+    * a base-corpus pass:
+    *
+    *   1. read the persisted codebook (bounded, ≤ [[MaxIvfK]] rows);
+    *   2. assign ONLY the batch map-side (k cosines per batch vector
+    *      against plan-literal centroids) and APPEND it to the assigned
+    *      table — at scale this is the parquet partition-append a
+    *      cid-bucketed table gets for free;
+    *   3. merge per-list radii: angle is monotone-decreasing in cosine,
+    *      so max(old radius, batch radius) IS the union's radius (same
+    *      doubles — acos is deterministic and semi-monotonic), and the
+    *      merge is a codebook-sized collect, never a corpus read.
+    *
+    * A subsequent [[loadIvfIndex]] serves exactly the index a full
+    * rebuild over base+batch would build (the codebook is unchanged and
+    * assignment is per-row in it) — Round18Spec pins that identity
+    * query-for-query against a fresh rebuild.
+    */
+  def updateIvfIndex(spark: SparkSession, dir: String, path: String,
+      batchPred: Column): Unit = {
+    import spark.implicits._
+    val sorted = readCodebook(spark, path).sortBy(_._1)
+    val batch = withNorm(t(spark, dir, "embeddings")).filter(batchPred)
+    val assignedBatch = assignSeeded(batch, sorted)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      assignedBatch.write.mode("append").parquet(s"$path/assigned")
+      // the radii artifact is overwritten, so materialize the merge
+      // driver-side first (≤ MaxIvfK rows — the bounded-codebook
+      // pattern) rather than reading and overwriting the same files in
+      // one query
+      val merged = spark.read.parquet(s"$path/radii")
+        .union(radiiOf(assignedBatch))
+        .groupBy("r_cid").agg(max(col("radius")).as("radius"))
+        .collect()
+        .map(r => (r.getAs[Long]("r_cid"), r.getAs[Double]("radius")))
+        .toSeq
+      merged.toDF("r_cid", "radius")
+        .write.mode("overwrite").parquet(s"$path/radii")
+    } finally assignedBatch.unpersist(blocking = true)
+  }
+
+  /** Per-list state after incrementally admitting the [[incrBatchCond]]
+    * batch into the base index — (cid, n_base, n_new, n_total, radius):
+    * the oracle-checked face of [[updateIvfIndex]]. The base side reads
+    * ONLY the session's stored assignment table (an aggregation of the
+    * index — zero cosine work on indexed vectors); the batch side runs
+    * the map-side assignment kernel over the arriving 1/8 of the corpus;
+    * the merge is a full-outer join of two codebook-sized aggregates.
+    * Radius merges as greatest(base, batch) — exactly the union's
+    * radius, the [[updateIvfIndex]] argument. The DuckDB oracle assigns
+    * the union flat and aggregates once: hash equality IS the
+    * incremental-equals-rebuild proof at sf0.01, every round.
+    */
+  def simIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (code, assigned, _) = ivfIndex(spark, dir)
+    val isBatch = incrBatchCond
+    def stats(df: DataFrame, nCol: String, rCol: String): DataFrame =
+      df.groupBy("cid").agg(
+        count(lit(1)).as(nCol),
+        acos(least(lit(1.0), greatest(lit(-1.0), min(col("ccos")))))
+          .as(rCol))
+    val baseStats = stats(assigned.filter(!isBatch), "n_base", "r_base")
+    val batch = withNorm(t(spark, dir, "embeddings")).filter(isBatch)
+    val batchStats =
+      stats(assignSeeded(batch, code.sortBy(_._1)), "n_new", "r_new")
+    baseStats.join(batchStats, Seq("cid"), "full_outer")
+      .select(col("cid"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("n_total"),
+        // greatest skips NULLs: a list with members on one side only
+        // keeps that side's radius
+        round(greatest(col("r_base"), col("r_new")), 6).as("radius"))
+      .orderBy("cid")
+  }
+
+  /** The list-assignment kernel shared by the index build, the persisted
+    * backfill, and incremental batch admission: cid = argmax of ROUNDED
+    * cosine (ties to the lowest cid, the family's discrete-choice
+    * convention); ccos = UNROUNDED cosine to the chosen centroid (the
+    * bounds need full precision). Map-side only — k cosines per row
+    * against plan-literal centroids, no shuffle.
+    */
+  private def assignSeeded(emb: DataFrame, sorted: Codebook): DataFrame = {
+    val cIds = typedLit(sorted.map(_._1))
+    emb
+      .withColumn("ud", udistsOf(sorted)(col("embedding"), col("nrm")))
+      .withColumn("rd", transform(col("ud"), d => round(d, 6)))
+      .withColumn("pos",
+        array_position(col("rd"), array_max(col("rd"))).cast("int"))
+      .withColumn("cid", element_at(cIds, col("pos")))
+      .withColumn("ccos", element_at(col("ud"), col("pos")))
+      .drop("ud", "rd", "pos")
+  }
+
+  /** Per-list angular radius r_i = max member angle = acos of the
+    * clamped MIN member cosine — |codebook| rows from a map-side
+    * partial-agg groupBy.
+    */
+  private def radiiOf(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cid").as("r_cid"))
+      .agg(acos(least(lit(1.0), greatest(lit(-1.0), min(col("ccos")))))
+        .as("radius"))
+
   private[operators] def ivfIndex(spark: SparkSession, dir: String)
       : (Codebook, DataFrame, DataFrame) =
     ivfCache.getOrElseUpdate((graft.GraftSession.sessionId(spark), dir), {
       val emb = withNorm(t(spark, dir, "embeddings"))
       val sorted = seededCodebook(emb).sortBy(_._1)
-      val cIds = typedLit(sorted.map(_._1))
-      // cid = argmax of ROUNDED cosine (ties to the lowest cid, the
-      // family's discrete-choice convention); ccos = UNROUNDED cosine to
-      // the chosen centroid (the bounds need full precision).
-      val assigned = emb
-        .withColumn("ud", udistsOf(sorted)(col("embedding"), col("nrm")))
-        .withColumn("rd", transform(col("ud"), d => round(d, 6)))
-        .withColumn("pos",
-          array_position(col("rd"), array_max(col("rd"))).cast("int"))
-        .withColumn("cid", element_at(cIds, col("pos")))
-        .withColumn("ccos", element_at(col("ud"), col("pos")))
-        .drop("ud", "rd", "pos")
+      val assigned = assignSeeded(emb, sorted)
         .persist(StorageLevel.MEMORY_AND_DISK)
       assigned.count() // materialize: the corpus pass runs exactly once
-      // Per-list angular radius r_i = max member angle — |codebook| rows.
-      val radii = assigned.groupBy(col("cid").as("r_cid"))
-        .agg(acos(least(lit(1.0), greatest(lit(-1.0), min(col("ccos")))))
-          .as("radius"))
+      val radii = radiiOf(assigned)
         .persist(StorageLevel.MEMORY_AND_DISK)
       radii.count()
       (sorted, assigned, radii)
@@ -1171,6 +1302,7 @@ object Similarity {
     "sim_pq_ann" -> (simPqAnn _),
     "sim_ivfpq_ann" -> (simIvfPqAnn _),
     "sim_semantic_prune" -> ((s: SparkSession, d: String) => simSemanticPrune(s, d)),
+    "sim_ivf_incremental" -> (simIvfIncremental _),
   )
 
   /** One Lloyd round as DuckDB CTEs: assign against `prev` (cid, ce, cn),
@@ -1373,6 +1505,30 @@ object Similarity {
               (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
             FROM scored)
       WHERE rank <= 5""",
+    "sim_ivf_incremental" -> s"""
+      WITH $normCte,
+      c AS (SELECT vec_id AS cid, embedding, nrm FROM n WHERE vec_id < 16),
+      ad AS (SELECT v.vec_id, c.cid,
+               list_sum(list_transform(generate_series(1, len(v.embedding)),
+                 i -> v.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                 / (v.nrm * c.nrm) AS du,
+               round(list_sum(list_transform(generate_series(1,
+                 len(v.embedding)),
+                 i -> v.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                 / (v.nrm * c.nrm), 6) AS d
+             FROM n v CROSS JOIN c),
+      assign AS (SELECT vec_id, cid, du FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d DESC, cid ASC) AS rn FROM ad)
+                 WHERE rn = 1)
+      SELECT cid,
+        CAST(sum(CASE WHEN vec_id % 8 = 7 AND vec_id >= 16
+          THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+        CAST(sum(CASE WHEN vec_id % 8 = 7 AND vec_id >= 16
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        CAST(count(*) AS BIGINT) AS n_total,
+        round(acos(least(1.0, greatest(-1.0, min(du)))), 6) AS radius
+      FROM assign GROUP BY cid ORDER BY cid""",
     "sim_ivf_ann" -> s"""
       WITH $normCte,
       c AS (SELECT vec_id AS cid, embedding, nrm FROM n WHERE vec_id < 16),

@@ -247,28 +247,66 @@ case class SetMemberCountBc(child: Expression,
 }
 
 object SetMemberCountBc {
-  /** One broadcast per distinct probe-set ARRAY (identity-keyed, weak):
-    * repeated query construction over the same cached artifact (bench
-    * reps, per-micro-batch restarts) must not re-broadcast it, and when
-    * the artifact is released/GC'd the entry vanishes and Spark's
-    * ContextCleaner reclaims the blocks — no explicit destroy needed.
+  /** Identity key: two cache entries are the same probe set iff they are
+    * the same ARRAY INSTANCE. Value equality would be O(set) per lookup
+    * and would alias distinct regenerations of an artifact.
     */
-  private val bcCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[Array[String],
-      org.apache.spark.broadcast.Broadcast[Array[String]]]())
+  private final class IdKey(val arr: Array[String]) {
+    override def hashCode: Int = System.identityHashCode(arr)
+    override def equals(o: Any): Boolean = o match {
+      case k: IdKey => k.arr eq arr
+      case _       => false
+    }
+  }
+
+  /** One broadcast per (session, probe-set instance): repeated query
+    * construction over the same cached artifact (bench reps,
+    * per-micro-batch restarts) must not re-broadcast it. Entries are
+    * evicted and DESTROYED explicitly via [[release]] (wired into
+    * [[graft.GraftSession.release]] and [[graft.streaming.DocStream]]'s
+    * artifact eviction) — the previous WeakHashMap self-cleanup never
+    * fired, because TorrentBroadcast pins the broadcast value (the same
+    * array used as the weak key) strongly in the driver BlockManager, so
+    * the weak entry stayed reachable and stale broadcasts accumulated
+    * per regenerated artifact (ADVICE r17). Session-scoping also stops a
+    * dead session's Broadcast from being served to a new SparkContext.
+    */
+  private val bcCache = scala.collection.concurrent.TrieMap
+    .empty[(String, IdKey),
+      org.apache.spark.broadcast.Broadcast[Array[String]]]
+
+  /** Live cache entries for `spark` — test seam for the release
+    * lifecycle.
+    */
+  private[graft] def cachedCount(spark: SparkSession): Int = {
+    val sid = graft.GraftSession.sessionId(spark)
+    bcCache.keys.count(_._1 == sid)
+  }
+
+  /** Destroy this session's cached broadcasts — those backing `arrs`
+    * only, or every entry of the session when `arrs` is None.
+    */
+  private[graft] def release(spark: SparkSession,
+      arrs: Option[Seq[Array[String]]] = None): Unit = {
+    val sid = graft.GraftSession.sessionId(spark)
+    bcCache.keys.toSeq
+      .filter { case (s, k) =>
+        s == sid && arrs.forall(_.exists(_ eq k.arr)) }
+      .foreach { key =>
+        bcCache.remove(key).foreach { b =>
+          try b.destroy() catch { case _: Throwable => () }
+        }
+      }
+  }
 
   /** `graft_leak_count(arr, set)` as a Column, with the set riding a
     * broadcast variable instead of a plan literal.
     */
   def column(spark: SparkSession, arrCol: org.apache.spark.sql.Column,
       set: Array[String]): org.apache.spark.sql.Column = {
-    val bc = bcCache.synchronized {
-      Option(bcCache.get(set)).getOrElse {
-        val b = spark.sparkContext.broadcast(set)
-        bcCache.put(set, b)
-        b
-      }
-    }
+    val bc = bcCache.getOrElseUpdate(
+      (graft.GraftSession.sessionId(spark), new IdKey(set)),
+      spark.sparkContext.broadcast(set))
     org.apache.spark.sql.GraftColumnBridge.column(
       SetMemberCountBc(
         org.apache.spark.sql.GraftColumnBridge.expression(arrCol), bc))

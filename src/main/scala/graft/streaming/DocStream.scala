@@ -180,9 +180,15 @@ object DocStream {
   private[graft] def release(spark: SparkSession,
       dir: Option[String]): Unit = {
     val sid = graft.GraftSession.sessionId(spark)
-    evalShCache.keys.toSeq
+    val evicted = evalShCache.keys.toSeq
       .filter { case (s, d, _) => s == sid && dir.forall(_ == d) }
-      .foreach(evalShCache.remove)
+    // destroy the broadcasts backing the evicted artifacts too (ADVICE
+    // r17): the probe kernel's cache no longer self-cleans via GC, so
+    // the artifact's eviction must carry its broadcast's destruction
+    val arrs = evicted.flatMap(evalShCache.get)
+    evicted.foreach(evalShCache.remove)
+    if (arrs.nonEmpty)
+      graft.plans.SetMemberCountBc.release(spark, Some(arrs))
   }
 
   def evalShingleSet(spark: SparkSession, dir: String,
@@ -288,6 +294,36 @@ object DocStream {
       curateStage(docs.toDF(), evalSh, evalSource, tau,
         keep = Seq("event_ts")),
       ttlMs, watermarkDelay)
+  }
+
+  /** Kafka-shaped DOCUMENT stream — the ingest half of the production
+    * composition source → curate → sink: the replay provider serves the
+    * documents fixture with the spark-sql-kafka schema (key = doc_id,
+    * value = the doc row as JSON), and this decodes `value` back to
+    * [[DocCur]]. Swapping to a real broker is the same one-line change
+    * as the events source: `format("kafka")` + bootstrap/subscribe —
+    * every transform downstream of the decode is untouched.
+    * `rowsPerBatch` throttles admission (≈ maxOffsetsPerTrigger) so a
+    * test can force multi-batch execution and kill mid-stream.
+    */
+  def kafkaDocSource(spark: SparkSession, dir: String,
+      rowsPerBatch: Long = 0L): Dataset[DocCur] = {
+    import spark.implicits._
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.format("graft.streaming.KafkaReplayProvider")
+      .option("path", dir).option("table", "documents")
+      .option("rowsperbatch", rowsPerBatch.toString)
+      .load()
+      .select(from_json(col("value").cast("string"), docSchema).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.source").as("source"),
+        col("d.text").as("text"))
+      .as[DocCur]
   }
 
   /** Batch twin (and the driver's oracle surface) of [[curateStream]]:

@@ -85,11 +85,11 @@ object KafkaReplay {
 
   /** (key bytes, value bytes, event-time micros) per Kafka partition. */
   private type PartitionLog = Array[Array[(Array[Byte], Array[Byte], Long)]]
-  private val cache = TrieMap.empty[(String, String, Int), PartitionLog]
+  private val cache = TrieMap.empty[(String, String, String, Int), PartitionLog]
 
   /** Evict the replayed logs pinned for `spark` (one full event log per
-    * (path, partitions) — driver heap, not executor blocks). Pass `dir`
-    * to evict a single fixture path only. Wired into
+    * (path, table, partitions) — driver heap, not executor blocks). Pass
+    * `dir` to evict a single fixture path only. Wired into
     * [[graft.GraftSession.release]] so a cycled bench/test session can't
     * leak its replay log into the long-lived JVM.
     */
@@ -113,42 +113,59 @@ object KafkaReplay {
     * the same path is re-read by a fresh session instead of replaying
     * the dead session's bytes.
     */
-  private[graft] def load(path: String, nParts: Int): PartitionLog = {
+  private[graft] def load(path: String, nParts: Int,
+      table: String = "events"): PartitionLog = {
     val spark = SparkSession.active
     val sid = graft.GraftSession.sessionId(spark)
-    cache.getOrElseUpdate((sid, path, nParts), {
-      // the serialized value carries RAW long-nanos ts (the producer wire
-      // contract — see scaladoc); if the fixture stores micros TIMESTAMP
-      // instead of nanos-as-long, re-derive nanos so the wire bytes are
-      // identical under either physical encoding
-      val raw0 = spark.read.parquet(s"$path/events.parquet")
-      val raw = raw0.schema("ts").dataType match {
-        case LongType => raw0
-        // micros TIMESTAMP (tz or ntz — cast is exact under the UTC
-        // session contract): re-derive the wire's long-nanos value
-        case _ => raw0.withColumn("ts",
-          expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    cache.getOrElseUpdate((sid, path, table, nParts), {
+      // each row of the wire log is (key id, value json, event micros)
+      val rows: Array[(Long, String, Long)] = table match {
+        case "documents" =>
+          // a keyed DOC producer (r18 — the ingest-composition twin):
+          // key = doc_id, value = the document row as JSON, arrival
+          // clock = doc_id micros. Fixture doc_ids are dense from 0, so
+          // with key-hash partitioning every equal per-partition offset
+          // advance covers an EXACT doc_id prefix — the precondition
+          // for stream-equals-batch first-seen dedup parity.
+          val raw = spark.read.parquet(s"$path/documents.parquet")
+          raw.select(col("doc_id"),
+              to_json(struct(raw.columns.map(col): _*)).as("json"))
+            .orderBy(col("doc_id")).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(0)))
+        case _ =>
+          // the serialized value carries RAW long-nanos ts (the producer
+          // wire contract — see scaladoc); if the fixture stores micros
+          // TIMESTAMP instead of nanos-as-long, re-derive nanos so the
+          // wire bytes are identical under either physical encoding
+          val raw0 = spark.read.parquet(s"$path/events.parquet")
+          val raw = raw0.schema("ts").dataType match {
+            case LongType => raw0
+            // micros TIMESTAMP (tz or ntz — cast is exact under the UTC
+            // session contract): re-derive the wire's long-nanos value
+            case _ => raw0.withColumn("ts",
+              expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+          }
+          raw.select(
+              col("user_id"),
+              to_json(struct(raw.columns.map(col): _*)).as("json"),
+              expr("ts div 1000").as("us"),
+              col("event_id"))
+            .orderBy(col("us"), col("event_id"))
+            .collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       }
-      val rows = raw.select(
-          col("user_id"),
-          to_json(struct(raw.columns.map(col): _*)).as("json"),
-          expr("ts div 1000").as("us"),
-          col("event_id"))
-        .orderBy(col("us"), col("event_id"))
-        .collect()
       require(rows.length <= MaxReplayRows,
         s"kafka replay harness loads the fixture driver-side; " +
           s"${rows.length} rows exceeds the $MaxReplayRows cap — " +
           "use the real kafka connector for corpora this size")
       val parts = Array.fill(nParts)(
         Array.newBuilder[(Array[Byte], Array[Byte], Long)])
-      rows.foreach { r =>
-        val uid = r.getLong(0)
+      rows.foreach { case (id, json, us) =>
         // floorMod: a negative key id must still land in [0, nParts)
-        parts(Math.floorMod(uid, nParts.toLong).toInt) += ((
-          uid.toString.getBytes("UTF-8"),
-          r.getString(1).getBytes("UTF-8"),
-          r.getLong(2)))
+        parts(Math.floorMod(id, nParts.toLong).toInt) += ((
+          id.toString.getBytes("UTF-8"),
+          json.getBytes("UTF-8"),
+          us))
       }
       parts.map(_.result())
     })
@@ -185,16 +202,18 @@ private class ReplayScanBuilder(props: Map[String, String])
     new ReplayStream(
       props.getOrElse("path",
         throw new IllegalArgumentException("kafka replay needs path")),
-      props.getOrElse("topic", "events"),
+      props.getOrElse("topic",
+        props.getOrElse("table", "events")),
       props.getOrElse("partitions", "4").toInt,
-      props.getOrElse("rowsperbatch", "0").toLong)
+      props.getOrElse("rowsperbatch", "0").toLong,
+      props.getOrElse("table", "events"))
 }
 
 private class ReplayStream(path: String, topic: String, nParts: Int,
-    rowsPerBatch: Long) extends MicroBatchStream
+    rowsPerBatch: Long, table: String) extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private lazy val log = KafkaReplay.load(path, nParts)
+  private lazy val log = KafkaReplay.load(path, nParts, table)
   private def endOffset = ReplayOffset(log.map(_.length.toLong).toIndexedSeq)
 
   override def initialOffset(): Offset =

@@ -16,6 +16,10 @@ class CacheLifecycleSpec extends AnyFunSuite {
 
   test("release unpersists and evicts all graft-pinned blocks") {
     val sc = spark.sparkContext
+    // clean slate: on the shared test session another suite may already
+    // have built (and pinned) this corpus's indexes, which would make
+    // `during -- before` empty on suite-order grounds alone
+    GraftSession.release(spark)
     val before = sc.getPersistentRDDs.keySet
 
     val pairsBefore = Dedup.dedupMinhashLsh(spark, dir)

@@ -552,6 +552,53 @@ class StreamingSpec extends AnyFunSuite {
       .count() == before)
   }
 
+  test("composed exactly-once: kafka-shaped doc replay -> curateStream " +
+      "-> idempotent sink survives a mid-stream kill-restart with no " +
+      "dup and no loss (VERDICT r17 #4 — the production ingest " +
+      "composition end to end)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_ing_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ing_ck").toString
+    val evalSh = graft.streaming.DocStream.evalShingleSet(spark, dir)
+    // 40 rows/batch over the 500-doc corpus → ~13 micro-batches: plenty
+    // of room to kill mid-stream after the second commit
+    def start() = graft.streaming.BatchSink.start(
+      graft.streaming.DocStream.curateStream(
+        graft.streaming.DocStream.kafkaDocSource(spark, dir,
+          rowsPerBatch = 40), evalSh).toDF(),
+      out, ckpt)
+    val q1 = start()
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (graft.streaming.BatchSink.committedBatchIds(spark, ckpt)
+          .size < 2 && q1.isActive && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally q1.stop() // the KILL: offsets + dedup state + sink manifest
+                        // must all recover from the checkpoint
+    val midIds = graft.streaming.BatchSink.committedBatchIds(spark, ckpt)
+    assert(midIds.nonEmpty, "the kill must land after at least one commit")
+    // mid-kill committed view: every row is a subset of the batch truth
+    // (prefix semantics — nothing phantom, nothing doubled)
+    val batch = graft.streaming.DocStream.batchCurateIngest(spark, dir)
+      .select(col("text_md5"), col("doc_id"))
+    val mid = graft.streaming.BatchSink.readCommitted(spark, out, ckpt)
+      .select(col("text_md5"), col("doc_id"))
+    assert(mid.exceptAll(batch).count() == 0,
+      "mid-kill committed rows must be a subset of the batch twin")
+    // restart from the same checkpoint: drain to completion
+    start().awaitTermination()
+    val afterIds = graft.streaming.BatchSink.committedBatchIds(spark, ckpt)
+    assert(afterIds.size > midIds.size,
+      s"restart must continue the stream (committed $midIds -> $afterIds)")
+    val streamed = graft.streaming.BatchSink.readCommitted(spark, out, ckpt)
+      .select(col("text_md5"), col("doc_id"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0,
+      "no duplicated or phantom rows across the kill-restart")
+    assert(batch.exceptAll(streamed).count() == 0,
+      "no lost rows across the kill-restart")
+  }
+
   test("ST10 stream-stream interval join matches the batch twin") {
     val dir = "/root/testdata/sf0.001"
     val stage = java.nio.file.Files.createTempDirectory("graft_ss").toString
