@@ -470,16 +470,18 @@ object Bench {
         try {
           familyBuild.get(name) match {
             case Some(build) =>
-              // ingest rows measure the BUILD, not the ambient heap: in a
-              // full-suite session the allocation-heavy render/shingle
-              // loops run against whatever heap state the previous ~170
-              // rows left behind, and DhashContextAb measured the SAME
-              // dhash build at 6.9 s vs 3.7 s purely on pre-build GC
-              // state (r17 task #1 — this, not plan drift, was the
-              // r14→r16 index_build "creep": the composite row read
-              // 1.16× while the isolated probe sat below baseline). One
+              // ingest rows measure the BUILD, not the ambient heap: one
               // untimed collection pins every rep to the compacted
-              // condition a fresh ingest JVM would see.
+              // condition a fresh ingest JVM would see. Evidence status
+              // (r18): the original r17 "6.9 vs 3.7 s on GC state" probe
+              // phase was mislabeled (gcFirst was never passed — ADVICE
+              // r17); the CORRECTED DhashContextAb re-run on the
+              // post-ImageIO-fix build measures gc-before-build at
+              // PARITY with no-gc (B 2.468 vs C 2.500 min), so this
+              // System.gc() is kept as a harmless condition-pin, not a
+              // measured win — and every full run now records un-gc'd
+              // twins in the sidecar (index_nogc) so the choice stays
+              // auditable against the baseline's treatment.
               System.gc()
               time(build())
             case None =>
@@ -658,12 +660,9 @@ object Bench {
           graft.operators.Dedup.release(spark, Some(sfDir))
           graft.operators.Similarity.release(spark, Some(sfDir))
           val steps: Seq[(String, () => Unit)] = Seq(
-            "index_load" -> (() => {
-              graft.operators.Dedup.loadDedupIndex(spark, sfDir,
-                s"$idxDir/dedup")
-              graft.operators.Similarity.loadIvfIndex(spark, sfDir,
-                s"$idxDir/ivf")
-            }),
+            "index_load" -> (() =>
+              graft.GraftSession.loadIndexes(spark, sfDir,
+                s"$idxDir/dedup", s"$idxDir/ivf")),
             "dedup_minhash_lsh_cold" -> (() =>
               SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
                 .write.format("noop").mode("overwrite").save()),

@@ -73,6 +73,19 @@ object GraftSession {
       graft.plans.SetMemberCountBc.release(spark, None)
   }
 
+  /** Restore the persisted dedup + IVF index artifacts for `dir`.
+    * Sequential on purpose: an r18 A/B (IndexLoadAb phase A vs S) found
+    * Future-based concurrent restore NO faster than back-to-back calls —
+    * at restore scale the wall clock is bound by the driver's
+    * single-threaded scheduling of tiny jobs, which concurrency cannot
+    * overlap — so the simple form is the honest one.
+    */
+  def loadIndexes(spark: SparkSession, dir: String, dedupPath: String,
+      ivfPath: String): Unit = {
+    graft.operators.Dedup.loadDedupIndex(spark, dir, dedupPath)
+    graft.operators.Similarity.loadIvfIndex(spark, dir, ivfPath)
+  }
+
   /** Apply the library conf contract to an existing session (idempotent),
     * and install the graft function/rule/strategy registry so SQL users
     * get `graft_*` functions and the custom operators without a separate

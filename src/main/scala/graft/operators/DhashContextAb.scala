@@ -18,6 +18,15 @@ package graft.operators
   * Per rep it also records the JVM GC-time delta, so "the render loop
   * is GC-contended in a loaded heap" is a number, not a story.
   *
+  * CORRECTION (r18): the r17 run of this probe never actually passed
+  * gcFirst=true for phase C (ADVICE r17), so its "6.9 s vs 3.7 s purely
+  * on pre-build GC state" conclusion was unsupported. The FIXED probe on
+  * the post-ImageIO-fix build measures B (no gc) 2.468 ≈ C (gc) 2.500 ≈
+  * D 2.460 min at sf0.1 — the dhash build is context-insensitive now;
+  * the r17 creep was the ImageIO temp-file cache (independently
+  * measured), not GC state. Bench keeps its pre-build System.gc() as a
+  * condition-pin only and records un-gc'd twins per run (index_nogc).
+  *
   * Usage: runMain graft.operators.DhashContextAb <sfDir> [reps=3]
   */
 object DhashContextAb {

@@ -22,6 +22,19 @@ package graft.operators
   * plus the JVM GC-time delta, so the drift names a component and a
   * mechanism, not a story.
   *
+  * FINDINGS (r18, sf0.1, quiet host): the row is CONTEXT-INSENSITIVE —
+  * B ≈ A, gc-before-each made it WORSE (C 0.90-1.44 s), the 4.4 GB
+  * storage hog made it no worse (D ≤ A), and the floor kept FALLING
+  * across phases (E 0.677 < A 0.942): the spread is JIT/warmup of the
+  * restore path plus ambient load, not heap or storage state — the
+  * r16/r17 index_build mechanisms do NOT apply here. The restore is
+  * driver-JOB-COUNT bound at this scale (components: dedup ~0.28 s,
+  * ivf ~0.40 s ≈ one schema-read + persist-count each, plus the
+  * codebook collect); dropping the eager 16-row radii count moved the
+  * sequential floor 0.68 → 0.63 s, and a concurrent-Futures restore
+  * A/B'd NO faster than sequential (the driver's single-threaded
+  * scheduling of tiny jobs serializes them), so sequential stays.
+  *
   * Usage: runMain graft.operators.IndexLoadAb <sfDir> [reps=3]
   */
 object IndexLoadAb {
@@ -38,6 +51,11 @@ object IndexLoadAb {
     }
     Dedup.saveDedupIndex(spark, dir, s"$idx/dedup")
     Similarity.saveIvfIndex(spark, dir, s"$idx/ivf")
+    // Times the two component restores back to back — the bench path
+    // (GraftSession.loadIndexes). An r18 A/B also ran the two loads in
+    // concurrent Futures: NO improvement (0.68 vs 0.63 floor) — restore
+    // wall clock is bound by the driver's single-threaded scheduling of
+    // tiny jobs, so the sequential form is kept.
     def rep(gcFirst: Boolean): (Double, Double, Long) = {
       Dedup.release(spark, Some(dir))
       Similarity.release(spark, Some(dir))

@@ -294,9 +294,12 @@ object Similarity {
     val assigned = spark.read.parquet(s"$path/assigned")
       .persist(StorageLevel.MEMORY_AND_DISK)
     assigned.count()
+    // radii stays LAZY: it is |codebook| rows — its first consumer
+    // materializes it for pennies, while an eager count here is a whole
+    // extra driver job on the restart path (r18 index_load attribution:
+    // at restore time job COUNT, not bytes, dominates)
     val radii = spark.read.parquet(s"$path/radii")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    radii.count()
     release(spark, Some(dir))
     ivfCache.put((graft.GraftSession.sessionId(spark), dir),
       (code, assigned, radii))
