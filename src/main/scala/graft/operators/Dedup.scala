@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -117,6 +117,88 @@ object Dedup {
     pr.count()
     pairCache.put((sid, dir, "pairs-64"), pr)
     ()
+  }
+
+  /** Sketch relation over the subset of `dir`'s documents matching
+    * `pred` — shingled and hashed ONCE, uncached (the save/update paths
+    * persist it themselves around their two consumers).
+    */
+  private def sketchesOf(spark: SparkSession, dir: String,
+      pred: Column): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    t(spark, dir, "documents")
+      .filter(pred)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        call_function("graft_shingles3", col("w")).as("sh"))
+      .select(col("doc_id"),
+        call_function("graft_minhash8", col("sh")).as("sig"),
+        call_function("graft_simhash64", col("sh")).as("simhash"))
+  }
+
+  /** Persist a dedup index over the subset of `dir`'s documents matching
+    * `pred` — the BACKFILL half of the index lifecycle (the
+    * [[graft.operators.Similarity.saveIvfIndexWhere]] twin): index the
+    * historical corpus once, then admit each arriving batch with
+    * [[updateDedupIndex]] instead of re-shingling anything.
+    */
+  private[operators] def saveDedupIndexWhere(spark: SparkSession,
+      dir: String, path: String, pred: Column): Unit = {
+    val sk = sketchesOf(spark, dir, pred)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      sk.write.mode("overwrite").parquet(s"$path/sketches")
+      pairsFromBands(mBandsOf(sk), sBandsOf(sk), 64)
+        .write.mode("overwrite").parquet(s"$path/pairs")
+    } finally sk.unpersist(blocking = true)
+  }
+
+  /** Incremental dedup-index maintenance (r18 — the persisted-artifact
+    * face of [[dedupIncremental]], and the dedup twin of
+    * [[graft.operators.Similarity.updateIvfIndex]]): admit the documents
+    * whose doc_id satisfies `isNew` into the index at `path` WITHOUT
+    * re-shingling the indexed corpus. Steps, none of which re-reads base
+    * TEXT:
+    *
+    *   1. shingle + sketch ONLY the batch (map-side) and append it to
+    *      the sketches table;
+    *   2. prune the BASE band relation to buckets the batch touches
+    *      (left-semi on the batch's band keys — the posting-list probe a
+    *      bucketed signature table serves without a full scan), run the
+    *      shared banded-candidates kernel over pruned-base ∪ batch, and
+    *      keep only pairs with ≥ 1 batch member (base-base pairs in
+    *      touched buckets are already in the artifact);
+    *   3. append those new verified pairs to the pairs table.
+    *
+    * Identity contract: while no (band, key) bucket crosses the
+    * hot-bucket cap ACROSS the increment, reload-after-update serves
+    * exactly what a full rebuild over base+batch would (Round18Spec pins
+    * sketches, pairs, and every LSH consumer at the fixture). A bucket
+    * that crosses the cap only WITH the batch keeps the base's
+    * already-recorded exhaustive pairs where a rebuild would anchor-star
+    * them — a candidate SUPERSET (more verification work, never lost
+    * recall), the same conservative direction as the prefix-join cap.
+    */
+  def updateDedupIndex(spark: SparkSession, dir: String, path: String,
+      isNew: Column => Column = c => c % 7 === 3): Unit = {
+    val batch = sketchesOf(spark, dir, isNew(col("doc_id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      batch.write.mode("append").parquet(s"$path/sketches")
+      val base = spark.read.parquet(s"$path/sketches")
+        .filter(!isNew(col("doc_id")))
+      def touched(baseBands: DataFrame, batchBands: DataFrame): DataFrame =
+        baseBands.join(batchBands.select(col("band"), col("key")).distinct(),
+            Seq("band", "key"), "left_semi")
+          .unionByName(batchBands)
+      val mNew = mBandsOf(batch)
+      val sNew = sBandsOf(batch)
+      pairsFromBands(touched(mBandsOf(base), mNew),
+          touched(sBandsOf(base), sNew), 64)
+        .filter(isNew(col("da")) || isNew(col("db")))
+        .write.mode("append").parquet(s"$path/pairs")
+    } finally batch.unpersist(blocking = true)
   }
 
   private[operators] def sketches(spark: SparkSession, dir: String): DataFrame =
@@ -603,31 +685,45 @@ object Dedup {
     * schedule concurrently instead of back-to-back — one cache entry, one
     * count action, roughly the wall-clock of the slower of the two.
     */
+  /** MinHash band relation of a sketch frame: (doc_id, sig, band, key). */
+  private def mBandsOf(sk: DataFrame): DataFrame =
+    sk.select(col("doc_id"), col("sig"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key", expr("concat(sig[band * 2], sig[band * 2 + 1])"))
+
+  /** SimHash band relation of a sketch frame: (doc_id, simhash, band, key). */
+  private def sBandsOf(sk: DataFrame): DataFrame =
+    sk.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key", expr("substr(simhash, 1 + band * 16, 16)"))
+
+  /** The verified (kind, da, db, metric) candidate-pair relation over a
+    * given pair of band relations — the kernel shared by the session
+    * index build and the persisted-artifact incremental admission.
+    */
+  private def pairsFromBands(mBands: DataFrame, sBands: DataFrame,
+      cap: Int): DataFrame = {
+    val m = bandedCandidates(mBands, "sig", cap)
+      .withColumn("sim_est", expr(
+        "CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) AS DOUBLE) / 8"))
+      .select(col("da"), col("db"), col("sim_est"))
+      .distinct()
+      .select(lit("m").as("kind"), col("da"), col("db"),
+        col("sim_est").as("metric"))
+    val s = bandedCandidates(sBands, "simhash", cap)
+      .withColumn("dist", hammingDist(col("sa"), col("sb")))
+      .select(col("da"), col("db"), col("dist"))
+      .distinct()
+      .select(lit("s").as("kind"), col("da"), col("db"),
+        col("dist").cast("double").as("metric"))
+    m.unionByName(s)
+  }
+
   private def combinedPairs(spark: SparkSession, dir: String,
       cap: Int): DataFrame =
     cachedIndex(spark, dir, s"pairs-$cap") {
-      val mBands = sketches(spark, dir)
-        .select(col("doc_id"), col("sig"),
-          explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("key", expr("concat(sig[band * 2], sig[band * 2 + 1])"))
-      val m = bandedCandidates(mBands, "sig", cap)
-        .withColumn("sim_est", expr(
-          "CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) AS DOUBLE) / 8"))
-        .select(col("da"), col("db"), col("sim_est"))
-        .distinct()
-        .select(lit("m").as("kind"), col("da"), col("db"),
-          col("sim_est").as("metric"))
-      val sBands = sketches(spark, dir)
-        .select(col("doc_id"), col("simhash"),
-          explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("key", expr("substr(simhash, 1 + band * 16, 16)"))
-      val s = bandedCandidates(sBands, "simhash", cap)
-        .withColumn("dist", hammingDist(col("sa"), col("sb")))
-        .select(col("da"), col("db"), col("dist"))
-        .distinct()
-        .select(lit("s").as("kind"), col("da"), col("db"),
-          col("dist").cast("double").as("metric"))
-      m.unionByName(s)
+      val sk = sketches(spark, dir)
+      pairsFromBands(mBandsOf(sk), sBandsOf(sk), cap)
     }
 
   /** Verified MinHash candidate index: ALL candidate pairs with their

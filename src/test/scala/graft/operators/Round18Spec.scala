@@ -76,6 +76,51 @@ class Round18Spec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup admission: updating the persisted base index " +
+      "equals a full rebuild — sketches, pairs, and the LSH consumers") {
+    import org.apache.spark.sql.Column
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_incr").toString
+    val isNew: Column => Column = c => c % 7 === 3
+    // backfill: persist an index over the base corpus only
+    Dedup.saveDedupIndexWhere(spark, dir, tmp, !isNew(col("doc_id")))
+    val nBase = spark.read.parquet(s"$tmp/sketches").count()
+    // admit the batch WITHOUT re-shingling the base
+    Dedup.updateDedupIndex(spark, dir, tmp)
+    Dedup.loadDedupIndex(spark, dir, tmp)
+    val skIncr = spark.read.parquet(s"$tmp/sketches")
+      .collect().map(_.toSeq).toSet
+    val pairsIncr = spark.read.parquet(s"$tmp/pairs")
+      .collect().map(_.toSeq).toSet
+    val lshIncr = Dedup.dedupMinhashLsh(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val admitIncr = Dedup.dedupIncremental(spark, dir)
+      .collect().map(_.toSeq).toSet
+
+    // fresh full rebuild over base+batch, persisted for the raw compare
+    Dedup.release(spark, Some(dir))
+    val tmpFull = java.nio.file.Files.createTempDirectory("dedup_full").toString
+    Dedup.saveDedupIndex(spark, dir, tmpFull)
+    val skFull = spark.read.parquet(s"$tmpFull/sketches")
+      .collect().map(_.toSeq).toSet
+    val pairsFull = spark.read.parquet(s"$tmpFull/pairs")
+      .collect().map(_.toSeq).toSet
+    val lshFull = Dedup.dedupMinhashLsh(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val admitFull = Dedup.dedupIncremental(spark, dir)
+      .collect().map(_.toSeq).toSet
+
+    assert(nBase < skFull.size,
+      "the base index must be a strict subset — the batch must be nonempty")
+    assert(skIncr == skFull,
+      "appended sketches must equal the full rebuild's sketch table")
+    assert(pairsIncr == pairsFull,
+      "incrementally admitted pairs must equal the full rebuild's pairs")
+    assert(lshIncr == lshFull,
+      "LSH near-dup pairs against the updated index must equal rebuild")
+    assert(admitIncr == admitFull,
+      "batch admission decisions against the updated index must equal rebuild")
+  }
+
   test("probe-set broadcast cache: entries are destroyed on " +
       "GraftSession.release, not left to WeakHashMap GC") {
     import spark.implicits._
