@@ -1482,19 +1482,44 @@ object Curation {
     val domains: Seq[String] = train.select(col("source")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
 
+    // r18 optimization round: the α-weighted count tables factor through
+    // α-INDEPENDENT per-(token, source) counts — cu(tok) = Σ_src
+    // α(src)·count(tok, src) — so the corpus is tokenized/exploded ONCE
+    // into three vocabulary-sized count tables (eagerly materialized,
+    // GC-cleanable localCheckpoint like dedupContainment's indexes), and
+    // each of the rounds+1 eval passes re-aggregates those tables instead
+    // of re-scanning the corpus. Exact Long sums in a different grouping
+    // order: bit-identical values (the former per-occurrence Σ α(src) IS
+    // Σ_src count·α(src); per-occurrence ll_u is constant per bigram, so
+    // Σ ll_u = Σ n_occ·ll_u). Before: 4 evals × (2 corpus tokenizations +
+    // 1 held-out pass); after: 1 tokenization pass total.
+    val uniSrc = train
+      .select(col("source"), explode(col("w")).as("tok"))
+      .groupBy(col("tok"), col("source")).agg(count(lit(1)).as("cn"))
+      .localCheckpoint()
+    val cbSrc = trainBg
+      .groupBy(col("w1"), col("w2"), col("source"))
+      .agg(count(lit(1)).as("cn"))
+      .localCheckpoint()
+    val testAgg = testBg
+      .groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
+
     // held-out per-domain nll (integer micro-nats) under the α-weighted
     // bigram LM; count tables are vocabulary-sized -> broadcast
     def evalDf(alpha: Map[String, Long]): DataFrame = {
       val aLit = typedLit(alpha)
-      val uni = train
-        .select(explode(col("w")).as("tok"),
-          element_at(aLit, col("source")).as("ap"))
+      val uni = uniSrc
+        .select(col("tok"),
+          (col("cn") * element_at(aLit, col("source"))).as("ap"))
         .groupBy(col("tok")).agg(sum(col("ap")).as("cu"))
       val tot = uni.agg(sum(col("cu")).as("t_w"))
-      val cb = trainBg
-        .withColumn("ap", element_at(aLit, col("source")))
+      val cb = cbSrc
+        .select(col("w1"), col("w2"),
+          (col("cn") * element_at(aLit, col("source"))).as("ap"))
         .groupBy(col("w1"), col("w2")).agg(sum(col("ap")).as("cb"))
-      testBg
+      testAgg
         .join(broadcast(cb), Seq("w1", "w2"), "left_outer")
         .join(broadcast(uni.select(col("tok").as("w1"),
           col("cu").as("c1"))), Seq("w1"), "left_outer")
@@ -1510,7 +1535,8 @@ object Curation {
           lit(TextAnalysis.LmFloor)))
         .withColumn("ll_u", round(log(col("p")) * 1e6).cast("long"))
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n"), sum(col("ll_u")).as("llu"))
+        .agg(sum(col("n_occ")).as("n"),
+          sum(col("ll_u") * col("n_occ")).as("llu"))
         .withColumn("nll_micro",
           (-round(col("llu").cast("double") / col("n"))).cast("long"))
     }
@@ -1550,7 +1576,10 @@ object Curation {
     val aLit = typedLit(alpha)
     val ntrain = train.groupBy(col("source"))
       .agg(count(lit(1)).as("n_train_docs"))
-    ntrain
+    // eager |domains|-row checkpoint of the readout, then drop the three
+    // count-table checkpoints deterministically (graphKcore's scratch
+    // discipline) — repeated invocations must not accumulate pinned RDDs
+    val out = ntrain
       .join(evalDf(alpha).select(col("source"), col("n"),
         col("nll_micro")), Seq("source"), "left_outer")
       .select(col("source"), col("n_train_docs"),
@@ -1559,6 +1588,9 @@ object Curation {
         col("nll_micro"),
         element_at(aLit, col("source")).as("alpha_ppm"))
       .orderBy(col("source"))
+      .localCheckpoint()
+    Seq(uniSrc, cbSrc, testAgg).foreach(freeCheckpoint)
+    out
   }
 
   /** The [[curDoremiMix]] oracle: the R-round EG loop unrolled as a

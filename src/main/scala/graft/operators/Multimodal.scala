@@ -112,20 +112,23 @@ object Multimodal {
     t(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
-  /** Encode a deterministic tiny PNG (executor-side; JDK ImageIO only). */
+  /** Encode a deterministic tiny PNG (executor-side; JDK ImageIO only).
+    * r18 optimization round: pixels land via ONE bulk setRGB (identical
+    * ColorModel conversion per pixel, one JNI-free call instead of w·h
+    * per-pixel calls through the raster indirection) — byte-identical
+    * PNGs, Opt18Spec pins the kernel parity.
+    */
   def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
     ImageIoNoTmp.ensure()
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        img.setRGB(x, y, ((seed * 31 + y * width + x) & 0xffffff).toInt)
-        x += 1
-      }
-      y += 1
+    val px = new Array[Int](width * height)
+    var k = 0
+    while (k < px.length) {
+      px(k) = ((seed * 31 + k) & 0xffffff).toInt
+      k += 1
     }
+    img.setRGB(0, 0, width, height, px, 0, width)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -204,15 +207,14 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
         var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val v = img.getRGB(x, y) & 0xffffff
-            sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
-            x += 1
-          }
-          y += 1
+        // r18 optimization round: bulk getRGB, identical per-pixel values
+        val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
+          img.getWidth)
+        var k = 0
+        while (k < px.length) {
+          val v = px(k) & 0xffffff
+          sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+          k += 1
         }
         (id, img.getWidth * img.getHeight, sr, sg, sb)
       })
@@ -279,15 +281,21 @@ object Multimodal {
           val h = (8 + (gid / 8) % 8).toInt
           val img = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val px = new Array[Int](w * h)
           var k = 0
-          while (k < w * h) {
-            val hex = md.digest(s"$gid:$k".getBytes("UTF-8"))
-              .take(3).map("%02x".format(_)).mkString
-            val base = Integer.parseInt(hex, 16)
-            val v = if (k % 16 == (id % 4).toInt) 0xffffff ^ base else base
-            img.setRGB(k % w, k / w, v)
+          while (k < px.length) {
+            // r18 optimization round: the first 3 digest bytes AS a
+            // 24-bit int — exactly Integer.parseInt(hex-of-first-3-bytes,
+            // 16), minus the three per-pixel "%02x".format allocations
+            // the old form paid (the render was ~1 md5 + 3 string
+            // formats PER PIXEL; Opt18Spec pins payload byte-parity)
+            val d = md.digest(s"$gid:$k".getBytes("UTF-8"))
+            val base = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) |
+              (d(2) & 0xff)
+            px(k) = if (k % 16 == (id % 4).toInt) 0xffffff ^ base else base
             k += 1
           }
+          img.setRGB(0, 0, w, h, px, 0, w)
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
           (id, bos.toByteArray)
@@ -333,12 +341,12 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
         val (w, h) = (img.getWidth, img.getHeight)
-        val px = new Array[Int](w * h)
+        // r18 optimization round: ONE bulk getRGB (same ColorModel
+        // conversion per pixel as the per-pixel call, row-major order
+        // identical) instead of w·h raster round-trips
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         var k = 0
-        while (k < px.length) {
-          px(k) = img.getRGB(k % w, k / w) & 0xffffff
-          k += 1
-        }
+        while (k < px.length) { px(k) = px(k) & 0xffffff; k += 1 }
         (id, w, h, px)
       })
       .toDF("doc_id", "w", "h", "px")
@@ -725,25 +733,40 @@ object Multimodal {
         (0 until nf).iterator.map { f => (id, f, encodePng(8, 8,
           id * 131 + f / sl)) }
       }
-      .mapPartitions(_.map { case (id, f, png) =>
-        ImageIoNoTmp.ensure()
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(png))
-        val md = java.security.MessageDigest.getInstance("MD5")
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val p = img.getRGB(x, y) & 0xffffff
-            md.update((p & 0xff).toByte)
-            md.update(((p >> 8) & 0xff).toByte)
-            md.update(((p >> 16) & 0xff).toByte)
-            x += 1
+      .mapPartitions { it =>
+        // r18 optimization round: bulk getRGB + one md.update over a
+        // byte buffer (same byte sequence B,G,R per row-major pixel) +
+        // table-driven hex — identical digests, minus w·h raster calls
+        // and 16 "%02x".format allocations per frame
+        val hexTab = "0123456789abcdef".toCharArray
+        it.map { case (id, f, png) =>
+          ImageIoNoTmp.ensure()
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val buf = new Array[Byte](px.length * 3)
+          var k = 0
+          while (k < px.length) {
+            val p = px(k) & 0xffffff
+            buf(3 * k) = (p & 0xff).toByte
+            buf(3 * k + 1) = ((p >> 8) & 0xff).toByte
+            buf(3 * k + 2) = ((p >> 16) & 0xff).toByte
+            k += 1
           }
-          y += 1
+          md.update(buf)
+          val d = md.digest()
+          val cs = new Array[Char](32)
+          var b = 0
+          while (b < 16) {
+            cs(2 * b) = hexTab((d(b) >> 4) & 0xF)
+            cs(2 * b + 1) = hexTab(d(b) & 0xF)
+            b += 1
+          }
+          (id, f, new String(cs))
         }
-        (id, f, md.digest().map("%02x".format(_)).mkString)
-      })
+      }
       .toDF("doc_id", "frame_idx", "pixel_md5")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
     frames

@@ -94,7 +94,7 @@ object Similarity {
     * dim d has integer weight ((p·97 + d·31 + 13) mod 17) − 8 — pure
     * arithmetic, reproducible in any engine, no stored model.
     */
-  private val bucketExpr =
+  private[operators] val bucketExpr =
     """array_join(transform(sequence(0, 3), p ->
        CASE WHEN aggregate(transform(sequence(0, 63),
          d -> CAST(embedding[d] AS DOUBLE)
@@ -102,10 +102,25 @@ object Similarity {
          CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0
        THEN '1' ELSE '0' END), '')"""
 
+  /** r18 optimization round: the 4-bit sign bucket as the NATIVE
+    * [[graft.plans.LshBucket]] expression (codegen'd static call) instead
+    * of the interpreted HOF form above — per corpus row the HOF built a
+    * 64-element array and tree-walked a lambda per element, ×4 planes.
+    * `LshVectors.bucketOf` runs the identical left-to-right double fold
+    * over the identical integer hyperplane weights (the expression has
+    * been the join-key twin of this arithmetic since LshJoinRewrite
+    * landed), so buckets are bit-identical on the 64-dim corpus;
+    * Opt18Spec pins native == HOF parity, [[bucketExpr]] stays as the
+    * reference. */
+  private def bucketCol: Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.LshBucket(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("embedding"))))
+
   /** LSH-bucketed ANN: top-5 within the query's bucket only. */
   def simLshAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(t(spark, dir, "embeddings"))
-      .withColumn("bucket", expr(bucketExpr))
+      .withColumn("bucket", bucketCol)
     val q = emb.filter(col("vec_id") < 10)
     val scored = q.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") &&
@@ -126,7 +141,7 @@ object Similarity {
     */
   def simLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(t(spark, dir, "embeddings"))
-      .withColumn("bucket", expr(bucketExpr))
+      .withColumn("bucket", bucketCol)
     val q = emb.filter(col("vec_id") < 10)
       .withColumn("probe", explode(expr(
         """concat(array(bucket), transform(sequence(0, 3), i ->
@@ -160,7 +175,7 @@ object Similarity {
   def simRangeSearch(spark: SparkSession, dir: String,
       tau: Double = 0.25): DataFrame = {
     val emb = withNorm(t(spark, dir, "embeddings"))
-      .withColumn("bucket", expr(bucketExpr))
+      .withColumn("bucket", bucketCol)
     val q = emb.filter(col("vec_id") < 10)
       .withColumn("probe", explode(expr(
         """concat(array(bucket), transform(sequence(0, 3), i ->
@@ -1216,7 +1231,7 @@ object Similarity {
     */
   def simNegativesHard(spark: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(t(spark, dir, "embeddings"))
-      .withColumn("bucket", expr(bucketExpr))
+      .withColumn("bucket", bucketCol)
     val q = emb.filter(col("vec_id") < 50)
     val scored = q.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") &&

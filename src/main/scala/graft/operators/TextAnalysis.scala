@@ -178,8 +178,15 @@ object TextAnalysis {
     // snapshot commit (the session's tree had it backed out at
     // timeout); restored after the r17 isolated probe read the
     // pre-fix 6.2 s where the r16 quiet leg had measured 3.69 s.
+    // ... and pre-SORTED within partitions (r18 optimization round):
+    // the per-round z window needs its input ordered by doc_id inside
+    // each partition, and InMemoryTableScan preserves the cached plan's
+    // outputOrdering — so sorting ONCE at materialization elides the
+    // per-round Sort the same way the repartition elides the per-round
+    // Exchange (10 rounds paid 10 full-table sorts; now one).
     val allFeats = classifierFeatures(spark, dir)
-      .repartition(col("doc_id")).persist()
+      .repartition(col("doc_id")).sortWithinPartitions(col("doc_id"))
+      .persist()
     val nDocs = allFeats.select(col("doc_id")).distinct().count()
     var wm = Array.fill(66)(0L)
     // empty-corpus contract (EdgeCaseSpec): zero documents -> the
@@ -1110,6 +1117,36 @@ ${if (eval) evalTail(rounds) else trainTail(rounds)}"""
     */
   private def bpeEncodedDocs(spark: SparkSession, dir: String,
       nMerges: Int): DataFrame = {
+    val (s1, s2) = ("\u0001", "\u0002")
+    val merges = bpeMerges(spark, dir, nMerges)
+    // r18 optimization round: the per-token wrap + k-merge replace chain
+    // + marker counting runs as ONE native kernel per document
+    // (plans.BpeEncodeStats - the SimHash64 convention) instead of an
+    // interpreted 9-node HOF chain per TOKEN plus two more replace+length
+    // passes per token for the counts. Byte-identical by construction
+    // (same wrap semantics incl. the Java-regex line-terminator carve-out,
+    // same leftmost-non-overlapping replace); Opt18Spec pins parity
+    // against the retained HOF reference on the fixture and adversarial
+    // tokens.
+    graft.plans.GraftFunctions.register(spark)
+    val searches = typedLit(merges.map { case (_, l, r, _) =>
+      s1 + l + s2 + s1 + r + s2 })
+    val repls = typedLit(merges.map { case (_, l, r, _) => s1 + l + r + s2 })
+    t(spark, dir, "documents")
+      .withColumn("st", call_function("graft_bpe_stats",
+        tokens(col("text")), searches, repls))
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        col("st.m").as("n_bpe_tokens"),
+        col("st.c").as("n_chars"))
+  }
+
+  /** The pre-r18 HOF encode chain, kept as the parity REFERENCE for
+    * [[bpeEncodedDocs]]'s native kernel (Opt18Spec) - never on a query
+    * path.
+    */
+  private[operators] def bpeEncodedDocsHofReference(spark: SparkSession,
+      dir: String, nMerges: Int): DataFrame = {
     val (s1, s2) = ("\u0001", "\u0002")
     val merges = bpeMerges(spark, dir, nMerges)
     def chain(c: org.apache.spark.sql.Column) =

@@ -82,20 +82,29 @@ case class MinHashSig(child: Expression, k: Int)
     false
   }
 
+  // r18 optimization round: the seed prefixes are loop constants — the
+  // old form allocated (h.toString + "|").getBytes per (shingle, h), and
+  // digest() allocated a fresh 16-byte array per call; the scratch-buffer
+  // form only copies when a new minimum is found. Same md5 of the same
+  // bytes — HashParitySpec's native==SQL-twin pin is unchanged.
+  @transient private lazy val seedBytes: Array[Array[Byte]] =
+    Array.tabulate(k)(h => (h.toString + "|").getBytes("UTF-8"))
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val md = MessageDigest.getInstance("MD5")
     val mins = new Array[Array[Byte]](k)
+    val scratch = new Array[Byte](16)
     var i = 0
     while (i < arr.numElements()) {
       val feature = arr.getUTF8String(i).getBytes
       var h = 0
       while (h < k) {
-        val seed = (h.toString + "|").getBytes("UTF-8")
-        md.update(seed)
+        md.update(seedBytes(h))
         md.update(feature)
-        val d = md.digest()
-        if (mins(h) == null || unsignedLess(d, mins(h))) mins(h) = d
+        md.digest(scratch, 0, 16)
+        if (mins(h) == null || unsignedLess(scratch, mins(h)))
+          mins(h) = java.util.Arrays.copyOf(scratch, 16)
         h += 1
       }
       i += 1
@@ -397,6 +406,94 @@ case class WinnowFingerprints(child: Expression)
     copy(child = c)
 }
 
+/** Per-document BPE encode + count kernel — the native twin of the
+  * per-token HOF chain in TextAnalysis.bpeEncodedDocs (r18 optimization
+  * round): for each token, wrap every code point as U+0001 c U+0002 (the
+  * regexp_replace(tk, "(.)", …) semantics — Java-regex `.` skips the five
+  * line terminators LF CR NEL LS PS, which are copied through
+  * UNWRAPPED, exactly as the regex path leaves non-matches), apply the
+  * learned merge list as a literal replace chain (leftmost non-overlapping,
+  * the StringReplace/UTF8String.replace semantics — byte-level search of
+  * valid UTF-8 in valid UTF-8 only matches at code-point boundaries, so
+  * String.replace agrees), then count U+0001 markers (= subword count m)
+  * and code points minus both marker kinds (= content chars c). Returns
+  * struct(m, c) summed over the doc's tokens; a NULL token element nulls
+  * the whole struct (the HOF aggregate's null-propagation contract).
+  *
+  * Why native: the HOF form evaluated an interpreted 9-node expression
+  * chain per TOKEN (regex engine with group capture per character, k
+  * replace nodes), then two more replace+length passes per token for the
+  * counts. One eval per DOCUMENT does the whole loop (the SimHash64
+  * rationale); Opt18Spec pins native == HOF-chain parity on the fixture
+  * corpus and on adversarial tokens (line terminators, supplementary
+  * code points, empty strings).
+  */
+case class BpeEncodeStats(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("m", LongType), StructField("c", LongType)))
+
+  // the merge lists are plan literals: parse them once per literal
+  // instance, not per row (identity check — a Literal serves the same
+  // ArrayData object every eval)
+  @transient private var cachedKey: AnyRef = _
+  @transient private var searches: Array[String] = _
+  @transient private var repls: Array[String] = _
+
+  override protected def nullSafeEval(toksAny: Any, seAny: Any,
+      reAny: Any): Any = {
+    if (!(seAny.asInstanceOf[AnyRef] eq cachedKey)) {
+      val se = seAny.asInstanceOf[ArrayData]
+      val re = reAny.asInstanceOf[ArrayData]
+      searches = Array.tabulate(se.numElements())(i =>
+        se.getUTF8String(i).toString)
+      repls = Array.tabulate(re.numElements())(i =>
+        re.getUTF8String(i).toString)
+      cachedKey = seAny.asInstanceOf[AnyRef]
+    }
+    val toks = toksAny.asInstanceOf[ArrayData]
+    var m = 0L
+    var c = 0L
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      val t = toks.getUTF8String(i).toString
+      val sb = new java.lang.StringBuilder(t.length * 3)
+      var o = 0
+      while (o < t.length) {
+        val cp = t.codePointAt(o)
+        if (cp == 0x0A || cp == 0x0D || cp == 0x85 || cp == 0x2028 ||
+            cp == 0x2029) sb.appendCodePoint(cp)
+        else {
+          sb.append('\u0001'); sb.appendCodePoint(cp); sb.append('\u0002')
+        }
+        o += Character.charCount(cp)
+      }
+      var s = sb.toString
+      var k = 0
+      while (k < searches.length) {
+        s = s.replace(searches(k), repls(k)); k += 1
+      }
+      var mm = 0
+      var j = 0
+      while (j < s.length) { if (s.charAt(j) == '\u0001') mm += 1; j += 1 }
+      m += mm
+      c += s.codePointCount(0, s.length) - 2L * mm
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m, c))
+  }
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): BpeEncodeStats =
+    copy(first = f, second = s, third = t)
+}
+
 /** Session registration for the custom expressions (idempotent). */
 object GraftFunctions {
   /** Sessions already registered — registration now runs ONCE per
@@ -439,6 +536,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_mg_candidates",
       exprs => MisraGriesCandidates.fromArgs(exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bpe_stats",
+      exprs => BpeEncodeStats(exprs(0), exprs(1), exprs(2)), "built-in")
     // Spark's own runtime-filter predicate, exposed for the explicit
     // bloom-pruned join (Relational.bloomPrunedSemiJoin): codegen'd, and
     // the serialized sketch rides along as a foldable binary literal —
@@ -508,6 +608,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[MisraGriesCandidates].getName,
         "graft_mg_candidates"),
       (exprs: Seq[Expression]) => MisraGriesCandidates.fromArgs(exprs)))
+    e.injectFunction((FunctionIdentifier("graft_bpe_stats"),
+      new ExpressionInfo(classOf[BpeEncodeStats].getName, "graft_bpe_stats"),
+      (exprs: Seq[Expression]) =>
+        BpeEncodeStats(exprs(0), exprs(1), exprs(2))))
     e.injectFunction((FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
