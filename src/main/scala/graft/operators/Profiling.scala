@@ -318,7 +318,10 @@ object Profiling {
   // delimiter content (a non-null part always encodes digit-first, so
   // the bare 'N' marker cannot collide), never NULL itself — composite
   // rows with a NULL part still count as one key, matching the oracle
-  private def uniqKeyExpr(key: Seq[String]): org.apache.spark.sql.Column = {
+  // kept as the executable reference twin of the oracle SQL's encoding
+  // (Opt18Spec pins raw-key counts == encoded-string counts on the
+  // adversarial composite/NULL fixture)
+  private[graft] def uniqKeyExpr(key: Seq[String]): org.apache.spark.sql.Column = {
     def enc(c: org.apache.spark.sql.Column) = {
       val s = c.cast("string")
       when(s.isNull, lit("N"))
@@ -328,22 +331,39 @@ object Profiling {
     else concat_ws("#", key.map(c => enc(col(c))): _*)
   }
 
+  // r18 optimization round (guide §4 expressions / §2.3 shuffle bytes):
+  // the audits group and sketch on the RAW key columns instead of
+  // materializing [[uniqKeyExpr]]'s string per row. The encoding stays
+  // the documented oracle-side convention; its injectivity argument is
+  // exactly why the raw form is equivalent: equal tuples ⇔ equal
+  // encodings (length prefix, NULL marker), groupBy/distinct NULL
+  // equality matches the 'N' marker, and a never-NULL composite encoding
+  // means every composite group is a key. So every count below is
+  // provably identical while the per-row cast/concat work disappears and
+  // the exchanges carry native key bytes (longs, not rendered strings).
+  // Round12dSpec's composite/NULL fixtures and the oracle hash pin it.
+  private def rawKey(key: Seq[String]): org.apache.spark.sql.Column =
+    if (key.size == 1) col(key.head) else struct(key.map(col): _*)
+
   private[graft] def keyUniquenessAudit(table: String, df: DataFrame,
       key: Seq[String]): DataFrame = {
-    val keyExpr = uniqKeyExpr(key)
     // two-level aggregate, NOT count + countDistinct in one agg: mixing
     // them triggers the distinct-rewrite Expand, which runs every row
     // through the hash aggregate TWICE (one projection per aggregate
     // path — the r16 fix for this row's 1.31x baseline ratio). The
     // per-key level combines map-side and its exchange carries the same
     // (key, count) pairs the exact-distinct shuffle always needs;
-    // count(k) at the top level preserves countDistinct's NULL-key
-    // exclusion while sum(c) keeps n_rows over ALL rows.
+    // the top level preserves countDistinct's NULL-key exclusion
+    // (single-column key: count(k) skips the NULL-key group; composite:
+    // the encoding was never NULL, so every group counts) while sum(c)
+    // keeps n_rows over ALL rows.
     // coalesce preserves the pre-rewrite empty-table contract (ADVICE
     // r16): zero groups make sum(c) NULL where count(*) was 0
-    df.groupBy(keyExpr.as("k")).agg(count(lit(1)).as("c"))
+    val nKeys =
+      if (key.size == 1) count(col(key.head)) else count(lit(1))
+    df.groupBy(key.map(col): _*).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_rows"),
-        count(col("k")).as("n_keys"))
+        nKeys.as("n_keys"))
       .select(lit(table).as("table_name"),
         lit(key.mkString(",")).as("key_cols"),
         col("n_rows"), col("n_keys"),
@@ -383,7 +403,13 @@ object Profiling {
     */
   private[graft] def keyUniquenessAuditApprox(table: String, df: DataFrame,
       key: Seq[String]): DataFrame = {
-    val keyExpr = uniqKeyExpr(key)
+    // raw key (single column, or never-NULL struct for composites — see
+    // [[rawKey]]): countDistinct over it equals countDistinct over the
+    // injective string encoding, and the HLL hashes native key bytes
+    // instead of a per-row rendered string. The sketch ESTIMATE changes
+    // with its hash input (still rsd 2%); the 5% contract is re-proved
+    // at sf0.001/0.01/0.1 (oracle hash: hll_ok stays TRUE) + Round14Spec.
+    val keyExpr = rawKey(key)
     // the a8 shape: the sketch aggregates in its OWN frame — mixing
     // countDistinct and approx_count_distinct in one agg triggers the
     // distinct-rewrite Expand and recomputes the sketch over doubled
@@ -431,7 +457,10 @@ object Profiling {
   private[graft] def keyUniquenessAuditProd(table: String, df: DataFrame,
       key: Seq[String]): DataFrame =
     df.agg(count(lit(1)).as("n_rows"),
-        approx_count_distinct(uniqKeyExpr(key), rsd = 0.02)
+        // rawKey, not the rendered string: at 100 TB this row is ONE scan
+        // whose only per-row work is the HLL update — hashing 8 native
+        // key bytes beats rendering+hashing a decimal string per row
+        approx_count_distinct(rawKey(key), rsd = 0.02)
           .as("n_keys_est"))
       .select(lit(table).as("table_name"),
         lit(key.mkString(",")).as("key_cols"),

@@ -175,4 +175,34 @@ class Opt18Spec extends AnyFunSuite {
     assert(math.abs(ppm.sum - 1000000L) <= 2L * out.length,
       s"ppm sum drifted: ${ppm.sum}")
   }
+
+  test("uniqueness audits on raw key columns == the encoded-string " +
+      "reference on the adversarial composite/NULL fixture") {
+    import spark.implicits._
+    // the Round12d adversarial shape: delimiter content inside parts,
+    // NULL parts (equal-by-group), plus a fully-NULL composite
+    val df = Seq(
+      (Option("a#b"), Option("c")),
+      (Option("a"), Option("b#c")),
+      (Option("a"), None: Option[String]),
+      (Option("a"), None: Option[String]),
+      (None: Option[String], Option("a")),
+      (None: Option[String], None: Option[String])).toDF("k1", "k2")
+    val raw = Profiling.keyUniquenessAudit("t", df, Seq("k1", "k2"))
+      .collect()(0)
+    // reference: the retained oracle-side string encoding
+    val enc = df.groupBy(Profiling.uniqKeyExpr(Seq("k1", "k2")).as("k"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+        count(col("k")).as("n_keys")).collect()(0)
+    assert(raw.getAs[Long]("n_rows") == enc.getAs[Long]("n_rows"))
+    assert(raw.getAs[Long]("n_keys") == enc.getAs[Long]("n_keys"),
+      s"raw-key grouping diverged from the injective encoding: $raw vs $enc")
+    // single-column NULL-key exclusion is preserved too
+    val one = Seq(Option(1L), Option(1L), Option(2L), None)
+      .toDF("k")
+    val r1 = Profiling.keyUniquenessAudit("t1", one, Seq("k")).collect()(0)
+    assert(r1.getAs[Long]("n_rows") == 4L && r1.getAs[Long]("n_keys") == 2L,
+      s"NULL single-column key must stay excluded from n_keys: $r1")
+  }
 }
