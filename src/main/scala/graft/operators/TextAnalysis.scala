@@ -118,6 +118,10 @@ object TextAnalysis {
     * training and eval — buckets 0..63 hashed tokens, 64 the length
     * feature, 65 the intercept.
     */
+  // test-scoped attribution probe (ClsAb) reads the feature table alone
+  private[graft] def classifierFeaturesForProbe(spark: SparkSession,
+      dir: String): DataFrame = classifierFeatures(spark, dir)
+
   private def classifierFeatures(spark: SparkSession,
       dir: String): DataFrame = {
     // Label threshold 0.75 ~ the corpus quality median, so classes are
